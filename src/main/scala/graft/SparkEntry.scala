@@ -1,13 +1,514 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Intervals, Sessionize, Stats}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where the semantics
+  * are SQL-expressible.
+  *
+  * Cross-engine exactness rules used throughout (so value hashes match):
+  *  - money/quantity sums go through DECIMAL(18,2) (exact, order-independent),
+  *    then cast to double at the end;
+  *  - event-time arithmetic stays in integer microseconds (`Tables.events`
+  *    surfaces the ns-parquet as long µs — DuckDB truncates ns to µs on
+  *    read, so µs is the finest commonly-visible precision);
+  *  - averages are one double division of exact parts;
+  *  - percentiles/stddev/similarities are rounded to 6 decimals;
+  *  - every query ends with a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---- shared helpers ------------------------------------------------
+
+  private val GapUs: Long = 600L * 1000 * 1000 // 600 s session gap
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact sum of a 2-decimal quantity, surfaced as double. */
+  private def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** events with integer-us interval [s_us, e_us), e = s + floor(value*1e6). */
+  private def eventIntervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      col("ts").as("s_us"),
+      (col("ts") + floor(col("value") * lit(1e6)).cast("long")).as("e_us"))
+
+  // ---- operators exposed as queries ---------------------------------
+
+  /** A1-style grouped pricing summary (SURVEY §2.4 A1; TPC-H Q1 shape). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A1 entity catalog: per-user event rollup with sorted distinct list
+    * (reference episode catalog, catalogs/episodes.py:106-121). */
+  def entityCatalog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts")).as("first_ts_us"),
+        max(col("ts")).as("last_ts_us"),
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("type_list"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id")
+
+  /** A2 activity catalog: per-event-type rollup (catalogs/speakers.py:61-75). */
+  def activityCatalog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"),
+        min(col("ts")).as("first_ts_us"),
+        max(col("ts")).as("last_ts_us"))
+      .orderBy("event_type")
+
+  /** G1 sessionization: break on >600s gap or event_type change
+    * (aggregation/spans.py:113-249 re-expressed as gaps-and-islands). */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    Sessionize.withSessions(e, Seq("user_id"), "ts", Seq("event_id"),
+        GapUs, changeCols = Seq("event_type"))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_us"),
+        max(col("ts")).as("end_us"),
+        min(col("event_type")).as("event_type"), // constant within session
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** A7/A8 interval union coverage per user (coverage.py:19-80). */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame =
+    Intervals.unionDuration(eventIntervals(spark, dir), Seq("user_id"), "s_us", "e_us",
+        unionCol = "union_us", nIslandsCol = "n_islands")
+      .orderBy("user_id")
+
+  /** A9/A10 gap statistics per user (coverage.py:336-372, integrity.py:26-151). */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("gap_us", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(when(col("gap_us") > GapUs, 1L).otherwise(0L)).as("n_large_gaps"))
+      .orderBy("user_id")
+  }
+
+  /** A4 distribution stats with exact percentiles (distribution.py:19-108). */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_v"),
+        max(col("l_quantity")).as("max_v"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_v"),
+        round(percentile(col("l_quantity"), lit(0.05)), 6).as("p05"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_v"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A6 fixed-edge histogram of event values (distribution.py:218-319). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Stats.histogram(Tables.events(spark, dir), col("value"),
+        Seq(0.0, 10.0, 25.0, 50.0, 100.0, 200.0))
+      .orderBy("bin_id")
+
+  /** A12 exact-duplicate stats over normalized document text
+    * (integrity.py:379-549). One summary row; dup detail table is empty on
+    * this corpus (verified) but the group-by machinery is identical. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("norm_text", TF.normalizeWs(col("text")))
+      .filter(length(col("norm_text")) >= 10)
+    val groups = docs.groupBy("norm_text").agg(count(lit(1)).as("n"))
+    groups.agg(
+      sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"))
+  }
+
+  /** A19 stopword-filtered top-20 terms (text_quality.py:394-492). */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(explode(TF.contentTokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+  }
+
+  /** A14 per-user share + top-10 ranking (balance.py:18-208, W3). */
+  def userShare(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    val ranked = counts
+      .withColumn("pct", round(lit(100.0) * col("n") / sum(col("n")).over(total), 4))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+    ranked.filter(col("rnk") <= 10).orderBy("rnk")
+  }
+
+  /** J1 dimension enrichment via broadcast joins (balance.py:295-299). */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("n_name")).as("n_nations"),
+        dsum(col("c_acctbal")).as("total_acctbal"),
+        (dsum(col("c_acctbal")) / count(lit(1))).as("avg_acctbal"))
+      .orderBy("r_name")
+  }
+
+  /** J5/E2 anti-join: customers with no orders (ingest.py:219-295 shape). */
+  def custWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J7 semi-join: customers that do have orders, rolled up by nation. */
+  def custWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  /** A16 text metrics per language (text_quality.py:39-156). */
+  def textMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TF.tokenCount(col("text")))
+      .withColumn("n_chars_calc", length(col("text")))
+    docs.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"),
+        sum(col("n_chars_calc")).as("total_chars"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_chars_calc")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  /** A17 lexical density per language (text_quality.py:159-277). */
+  def lexicalDensity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TF.tokenCount(col("text")))
+      .withColumn("n_content", TF.contentTokenCount(col("text")))
+    docs.groupBy("lang")
+      .agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_content")).as("content_tokens"))
+      .withColumn("density",
+        col("content_tokens").cast("double") / col("total_tokens").cast("double"))
+      .orderBy("lang")
+  }
+
+  /** J8 pairwise interval overlaps per user (coverage.py:374-427). */
+  def overlapPairs(spark: SparkSession, dir: String): DataFrame =
+    Intervals.overlapPairCounts(eventIntervals(spark, dir),
+        Seq("user_id"), "s_us", "e_us", "event_id")
+      .orderBy("user_id")
+
+  /** V3 exact top-k cosine neighbors for a query set (embedding.py:408-472).
+    * Brute-force contract; the LSH/IVF variants are the scale path. */
+  def knnExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = q.join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+      col("query_id") =!= col("neighbor_id"))
+    val sims = joined.select(
+      col("query_id"), col("neighbor_id"),
+      round(VF.cosine(col("qv"), col("nv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- driver contract ----------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> pricingSummary _,
+    "q02_entity_catalog" -> entityCatalog _,
+    "q03_activity_catalog" -> activityCatalog _,
+    "q04_sessions" -> sessions _,
+    "q05_interval_union" -> intervalUnion _,
+    "q06_gap_stats" -> gapStats _,
+    "q07_value_stats" -> valueStats _,
+    "q08_value_histogram" -> valueHistogram _,
+    "q09_dedup_stats" -> dedupStats _,
+    "q10_top_terms" -> topTerms _,
+    "q11_user_share" -> userShare _,
+    "q12_region_rollup" -> regionRollup _,
+    "q13_cust_without_orders" -> custWithoutOrders _,
+    "q14_cust_with_orders" -> custWithOrders _,
+    "q15_text_metrics" -> textMetrics _,
+    "q16_lexical_density" -> lexicalDensity _,
+    "q17_overlap_pairs" -> overlapPairs _,
+    "q18_knn_exact" -> knnExact _,
+  )
+
+  private val stopwordsSqlList: String =
+    TF.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_entity_catalog" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_list,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q03_activity_catalog" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q04_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value FROM events
+        |), l AS (
+        |  SELECT *, lag(ts) OVER w AS prev_ts, lag(event_type) OVER w AS prev_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > 600000000
+        |    OR event_type <> prev_type THEN 1 ELSE 0 END AS brk FROM l
+        |), s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS start_us, max(ts) AS end_us,
+        |  min(event_type) AS event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q05_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events
+        |), m AS (
+        |  SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR s_us > prev_max THEN 1 ELSE 0 END AS brk FROM m
+        |), g AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM b
+        |), isl AS (
+        |  SELECT user_id, island, min(s_us) AS s, max(e_us) AS e FROM g GROUP BY user_id, island
+        |)
+        |SELECT user_id, CAST(sum(e - s) AS BIGINT) AS union_us, count(*) AS n_islands
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q06_gap_stats" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+        |  max(gap_us) AS max_gap_us,
+        |  CAST(sum(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large_gaps
+        |FROM l WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q07_value_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+        |  round(quantile_cont(l_quantity, 0.05), 6) AS p05,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  round(stddev_samp(l_quantity), 6) AS std_v
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q08_value_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN value < 0.0 THEN -1 WHEN value < 10.0 THEN 0
+        |    WHEN value < 25.0 THEN 1 WHEN value < 50.0 THEN 2
+        |    WHEN value < 100.0 THEN 3 WHEN value < 200.0 THEN 4
+        |    ELSE 5 END AS bin_id FROM events
+        |), g AS (
+        |  SELECT bin_id, count(*) AS n FROM b GROUP BY bin_id
+        |)
+        |SELECT bin_id, n, round(100.0 * n / sum(n) OVER (), 4) AS pct
+        |FROM g ORDER BY bin_id""".stripMargin,
+
+    "q09_dedup_stats" ->
+      """WITH d AS (
+        |  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+        |  FROM documents
+        |), f AS (
+        |  SELECT norm_text FROM d WHERE length(norm_text) >= 10
+        |), g AS (
+        |  SELECT norm_text, count(*) AS n FROM f GROUP BY norm_text
+        |)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM g""".stripMargin,
+
+    "q10_top_terms" ->
+      s"""WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+        |)
+        |SELECT term, count(*) AS n FROM t
+        |WHERE length(term) > 0 AND term NOT IN $stopwordsSqlList
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q11_user_share" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        |), r AS (
+        |  SELECT user_id, n, round(100.0 * n / sum(n) OVER (), 4) AS pct,
+        |    CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rnk
+        |  FROM c
+        |)
+        |SELECT user_id, n, pct, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q12_region_rollup" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  count(DISTINCT n_name) AS n_nations,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q13_cust_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_custkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q14_cust_with_orders" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q15_text_metrics" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_tokens,
+        |    length(text) AS n_chars_calc
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_chars_calc) AS BIGINT) AS total_chars,
+        |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens,
+        |  CAST(CAST(sum(n_chars_calc) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q16_lexical_density" ->
+      s"""WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '\\s+'),
+        |        t -> length(t) > 0 AND t NOT IN $stopwordsSqlList)) AS n_content
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_content) AS BIGINT) AS content_tokens,
+        |  CAST(CAST(sum(n_content) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) AS density
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q17_overlap_pairs" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events
+        |)
+        |SELECT a.user_id AS user_id, count(*) AS n_overlap_pairs
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND a.s_us < b.e_us AND b.s_us < a.e_us
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+
+    "q18_knn_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+  )
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided synthetic tables (see TESTDATA.md).
+  *
+  * All reads are plain parquet scans so Catalyst's column pruning and
+  * predicate pushdown reach the file source. The `events` table is written
+  * with nanosecond-precision timestamps, which Spark 4 refuses to read as
+  * TIMESTAMP; we read them as `long` nanoseconds-since-epoch
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and keep all event-time
+  * arithmetic in integer nanoseconds — exact, overflow-safe until 2262,
+  * and immune to float drift in cross-engine comparisons.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `ts` is surfaced as LongType microseconds since epoch.
+    *
+    * The file stores nanosecond precision; Spark 4 reads it as long ns
+    * (`nanosAsLong`), but DuckDB's parquet reader — the correctness
+    * oracle — truncates ns to µs on read, so sub-µs digits can never be
+    * compared. We standardize on truncated µs (`DIV 1000`) everywhere. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events").withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+  }
+}
