@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Intervals, Sessionize, Stats}
+import graft.functions.{Hashes, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Intervals, Sessionize, Stats, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where the semantics
@@ -274,6 +274,109 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** MinHash-LSH near-dup candidates with exact-Jaccard verification
+    * (the scale path for integrity.py:551-616's O(n²) fuzzy dedup).
+    * Word-bigram shingles, k=12 minhashes in 4 bands of 3 — poly-hash based
+    * so the DuckDB oracle can replay the identical pipeline. The corpus has
+    * planted near-dups at bigram-jaccard ≈ 0.96-0.99; banding at r=3 catches
+    * those with probability ≈ 1 while keeping candidate sets tiny. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash 30-bit fingerprints per document (near-dup sketching). */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhash(TF.tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup summary per language block: pair count at
+    * Hamming ≤ 8 and the minimum pairwise distance. */
+  def simhashPairStats(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), Dedup.simhash(TF.tokens(col("text"))).as("fp"))
+    val a = fps.select(col("lang"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("lang"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", Dedup.hamming(col("fp_a"), col("fp_b")))
+      .groupBy("lang")
+      .agg(
+        sum(when(col("dist") <= 8, 1L).otherwise(0L)).as("n_pairs_le8"),
+        min(col("dist")).cast("long").as("min_dist"))
+      .orderBy("lang")
+  }
+
+  /** N-gram (word-bigram) Jaccard: top-20 most-similar same-language
+    * document pairs — exact, blocked by language. */
+  def jaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("lang"), col("doc_id"),
+      array_distinct(TF.wordShingles(col("text"), 2)).as("sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .select("lang", "id_a", "id_b", "jac")
+      .orderBy(col("jac").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** Embedding near-dup: top-20 vector pairs by cosine (a < b). */
+  def embeddingTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(VF.cosine(col("va"), col("vb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** Heuristic quality score rollup per language (DECIMAL-exact mean). */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("score", TextAnalysis.qualityScore(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("score").cast("decimal(20,12)")).cast("double") / count(lit(1))).as("avg_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("lang")
+
+  /** Whitespace vs BPE-ish token counts per language. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws", TF.tokenCount(col("text")))
+      .withColumn("n_bpeish", TextAnalysis.bpeishTokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_ws"),
+        sum(col("n_bpeish")).as("total_bpeish"),
+        (sum(col("n_bpeish")).cast("double") / sum(col("n_ws")).cast("double")).as("bpe_per_ws"))
+      .orderBy("lang")
+
+  /** Rolling-hash fingerprint per document (content addressing). */
+  def docFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Self-trained char-trigram language-ID confusion matrix. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = TextAnalysis.langIdByTrigramProfile(docs, "doc_id", col("text"), "lang")
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
   // ---- driver contract ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -295,10 +398,81 @@ object SparkEntry {
     "q16_lexical_density" -> lexicalDensity _,
     "q17_overlap_pairs" -> overlapPairs _,
     "q18_knn_exact" -> knnExact _,
+    "q19_minhash_neardup" -> minhashNearDup _,
+    "q20_simhash_fp" -> simhashFingerprints _,
+    "q21_simhash_pairs" -> simhashPairStats _,
+    "q22_jaccard_topk" -> jaccardTopPairs _,
+    "q23_embedding_pairs" -> embeddingTopPairs _,
+    "q24_doc_quality" -> docQuality _,
+    "q25_token_counts" -> tokenCounts _,
+    "q26_fingerprints" -> docFingerprints _,
+    "q27_langid" -> langIdConfusion _,
   )
 
   private val stopwordsSqlList: String =
     TF.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // -- DuckDB fragments shared across generated oracles ----------------
+  private val toksSql = """list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"""
+  private val contentToksSql = s"list_filter($toksSql, u -> u NOT IN $stopwordsSqlList)"
+  private val normTextSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private def ph(e: String): String = Hashes.polyHashSql(e)
+
+  /** q19 oracle: the full MinHash pipeline replayed in SQL. */
+  private def minhashOracleSql: String = {
+    val sigExprs = (0 until 12)
+      .map(i => s"list_min(list_transform(sh, s -> ${ph(s"'$i|' || s")})) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', m${3 * b}, m${3 * b + 1}, m${3 * b + 2}) AS band_key FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM toks
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+       |      / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jac
+       |  FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.id_a
+       |  JOIN toks tb ON tb.doc_id = c.id_b
+       |)
+       |SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Shared CTE computing per-doc 30-bit simhash fingerprints. */
+  private def simhashFpCte: String = {
+    val bitExprs = (0 until 30)
+      .map(i => s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) AS s$i")
+      .mkString(",\n    ")
+    val fpExpr = (0 until 30)
+      .map(i => s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""hs AS (
+       |  SELECT doc_id, lang, list_transform($toksSql, t -> ${ph("t")}) AS hs FROM documents
+       |), bits AS (
+       |  SELECT doc_id, lang,
+       |    $bitExprs
+       |  FROM hs
+       |), fps AS (
+       |  SELECT doc_id, lang, CAST($fpExpr AS BIGINT) AS fp FROM bits
+       |)""".stripMargin
+  }
+
+  /** DuckDB word-bigram list from a token-list column `tk`. */
+  private val bigramsFromTkSql =
+    "list_transform(range(1, len(tk)), i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -510,5 +684,105 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q19_minhash_neardup" -> minhashOracleSql,
+
+    "q20_simhash_fp" ->
+      s"""WITH $simhashFpCte
+        |SELECT doc_id, fp FROM fps ORDER BY doc_id""".stripMargin,
+
+    "q21_simhash_pairs" ->
+      s"""WITH $simhashFpCte
+        |SELECT a.lang AS lang,
+        |  CAST(sum(CASE WHEN bit_count(xor(a.fp, b.fp)) <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_le8,
+        |  CAST(min(bit_count(xor(a.fp, b.fp))) AS BIGINT) AS min_dist
+        |FROM fps a JOIN fps b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |GROUP BY a.lang ORDER BY lang""".stripMargin,
+
+    "q22_jaccard_topk" ->
+      s"""WITH t0 AS (
+        |  SELECT lang, doc_id, $toksSql AS tk FROM documents
+        |), d AS (
+        |  SELECT lang, doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+        |)
+        |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q23_embedding_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q24_doc_quality" ->
+      s"""WITH d AS (
+        |  SELECT lang,
+        |    CAST(len($toksSql) AS DOUBLE) AS ntok,
+        |    CAST(len($contentToksSql) AS DOUBLE) AS ncont,
+        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS chars
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    0.4 * least(1.0, ntok / 50.0)
+        |    + 0.3 * (1.0 - (CASE WHEN ntok = 0.0 THEN 1.0 ELSE 1.0 - ncont / ntok END))
+        |    + 0.3 * least(1.0, (CASE WHEN ntok = 0.0 THEN 0.0 ELSE chars / ntok END) / 8.0) AS score
+        |  FROM d
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(score AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q25_token_counts" ->
+      s"""WITH d AS (
+        |  SELECT lang,
+        |    len($toksSql) AS n_ws,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpeish
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_ws) AS BIGINT) AS total_ws,
+        |  CAST(sum(n_bpeish) AS BIGINT) AS total_bpeish,
+        |  CAST(CAST(sum(n_bpeish) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n_ws) AS BIGINT) AS DOUBLE) AS bpe_per_ws
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q26_fingerprints" ->
+      s"""SELECT doc_id, ${ph(normTextSql)} AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_langid" ->
+      s"""WITH norm AS (
+        |  SELECT doc_id, lang, $normTextSql AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(1, length(t) - 1),
+        |      i -> substr(t, CAST(i AS INTEGER), 3)))) AS g
+        |  FROM norm
+        |), prof AS (
+        |  SELECT plabel, g FROM (
+        |    SELECT plabel, g, row_number() OVER (PARTITION BY plabel ORDER BY n DESC, g) AS r
+        |    FROM (SELECT lang AS plabel, g, count(*) AS n FROM grams GROUP BY lang, g)
+        |  ) WHERE r <= 50
+        |), scores AS (
+        |  SELECT gr.doc_id, p.plabel, count(*) AS score
+        |  FROM grams gr JOIN prof p ON gr.g = p.g
+        |  GROUP BY gr.doc_id, p.plabel
+        |), pred AS (
+        |  SELECT doc_id, plabel AS predicted FROM (
+        |    SELECT doc_id, plabel, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plabel) AS r
+        |    FROM scores
+        |  ) WHERE r = 1
+        |)
+        |SELECT d.lang AS lang, pred.predicted AS predicted, count(*) AS n
+        |FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+        |GROUP BY d.lang, pred.predicted ORDER BY lang, predicted""".stripMargin,
   )
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash functions for dedup/fingerprinting (reference: content-addressed
+  * IDs, src/lakehouse/ids.py:14-53; near-dup keys, integrity.py:460-519).
+  *
+  * Two families:
+  *  - [[polyHash]]: polynomial rolling hash over character codes, mod
+  *    1e9+7. Weaker mixing, but exactly replicable in SQL engines
+  *    (`list_reduce` fold) — used by the oracle-checked dedup queries so
+  *    the *entire* MinHash/SimHash pipeline is cross-engine verifiable.
+  *  - [[fastHash]]: xxhash64 — the production path at scale (codegen'd,
+  *    one call per value instead of a per-char fold).
+  */
+object Hashes {
+
+  val PolyMod: Long = 1000000007L
+  val PolyMul: Long = 131L
+
+  /** Fold characters: acc = (acc * 131 + code) % 1e9+7, acc0 = 0.
+    * Empty-safe: empty string hashes to 0. Works on code points (ASCII
+    * and BMP); the oracle side uses DuckDB `unicode()` identically. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => length(c) > 0), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * PolyMul + c) % PolyMod)
+
+  /** SQL (DuckDB) rendering of [[polyHash]] over an arbitrary expression —
+    * the single source of truth for oracle parity. */
+  def polyHashSql(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> length(c) > 0), " +
+      "c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * $PolyMul + c) % $PolyMod)"
+
+  /** Seeded production hash (NOT SQL-replicable). */
+  def fastHash(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
+}

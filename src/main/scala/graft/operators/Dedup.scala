@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, TextFunctions => TF}
+
+/** Deduplication operators for large text corpora.
+  *
+  * The reference only has exact dedup + an O(n²) fuzzy pass guarded at 10k
+  * rows (src/lakehouse/quality/metrics/integrity.py:379-616). At 100 TB
+  * the only viable shapes are hash-groupBy (exact) and locality-sensitive
+  * bucketing (near-dup): shingle → MinHash signature → band → bucket
+  * equi-join. Every step here is a plain shuffle-on-key operation, so the
+  * candidate-pair blowup is bounded per bucket, never global.
+  *
+  * Hash choice is pluggable: [[Hashes.polyHash]]-based variants are
+  * cross-engine verifiable (the DuckDB oracle computes the identical
+  * pipeline); production should prefer xxhash64 via `hashFn`.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized text (integrity.py:379-549).
+    * Returns (key columns…, n, plus whatever `agg` projections). */
+  def exactDuplicateGroups(df: DataFrame, textCol: Column, extraKeys: Seq[Column] = Nil): DataFrame = {
+    val keyed = df.withColumn("norm_text", TF.normalizeWs(textCol))
+    keyed.groupBy((col("norm_text") +: extraKeys): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
+
+  /** MinHash signature of a distinct-shingle array column.
+    * k independent hash functions h_i(s) = polyHash("i|" + s); the
+    * signature is the elementwise min over shingles. */
+  def minhashSignature(shingles: Column, k: Int,
+      hashFn: (Column, Int) => Column = (s, i) => Hashes.polyHash(concat(lit(i + "|"), s))): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => hashFn(s, i)))
+    }: _*)
+
+  /** LSH banding: (doc_id, band_id, band_key) rows, one per band, where
+    * band_key joins the r signature slots of that band. Docs sharing any
+    * band_key are candidate pairs. */
+  def minhashBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      df.select(
+        col(idCol),
+        lit(b).as("band_id"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col(sigCol), b * rowsPerBand + r + 1)): _*).as("band_key"))
+    }
+    perBand.reduce(_.unionByName(_))
+  }
+
+  /** Candidate pairs (idA < idB) from shared LSH buckets.
+    * The groupBy/self-join is on (band_id, band_key) — the shuffle key —
+    * so skew is bounded by bucket size, and `distinct` collapses pairs
+    * found in multiple bands. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over two distinct-element array columns.
+    * |∩| / (|A| + |B| − |∩|): single double division, cross-engine exact. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: distinct word shingles →
+    * signature → bands → candidate pairs → exact-Jaccard verification.
+    * Returns (id_a, id_b, jac) for candidates with jac ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: Column,
+      shingleWords: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val shingled = df.select(
+      col(idCol),
+      array_distinct(
+        if (shingleWords <= 1) TF.tokens(textCol)
+        else TF.wordShingles(textCol, shingleWords)).as("sh"))
+    val sig = shingled.withColumn("sig", minhashSignature(col("sh"), k))
+    val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol)
+    val withSets = cand
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSets
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  private val SimhashBits = 30 // fits in polyHash's mod-1e9+7 range
+
+  /** 30-bit SimHash fingerprint of the token array: bit i of the result is
+    * set iff Σ_tokens (bit i of h(token) ? +1 : −1) > 0. */
+  def simhash(tokens: Column,
+      hashFn: Column => Column = Hashes.polyHash(_)): Column = {
+    val hs = transform(tokens, t => hashFn(t))
+    val bitSums = (0 until SimhashBits).map { i =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pair counts within a blocking key: pairs at Hamming
+    * distance ≤ maxDist. (At scale, replace the blocked self-join with
+    * 4-chunk pigeonhole banding on the fingerprint.) */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, fpCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val a = df.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col(fpCol).as("fp_a")): _*)
+    val b = df.select((blockCols.map(col) :+ col(idCol).as("id_b") :+ col(fpCol).as("fp_b")): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0, opposite is -1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    val sims = df.select(VF.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(sims.sameElements(Array(1.0, 0.0, -1.0)))
+  }
+
+  test("clipped cosine stays in [0,1] (reference quirk beats.py:217)") {
+    val df = Seq((Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    assert(df.select(VF.cosineClipped01(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  test("l2Normalize yields unit norm; zero vector unchanged") {
+    val df = Seq((Seq(3.0, 4.0), Seq(0.0, 0.0))).toDF("v", "z")
+    val Array(n, z) = df.select(
+      VF.l2Norm(VF.l2Normalize(col("v"))), VF.l2Norm(col("z"))).as[(Double, Double)].collect()
+      .flatMap(t => Array(t._1, t._2))
+    assert(math.abs(n - 1.0) < 1e-12 && z == 0.0)
+  }
+
+  test("normalizeWs collapses whitespace and lowercases") {
+    val out = Seq("  A \t B\n C ").toDF("t")
+      .select(TF.normalizeWs(col("t"))).as[String].head()
+    assert(out == "a b c")
+  }
+
+  test("tokens drop empties; shingles are windows; short text gives none") {
+    val df = Seq("a b  c").toDF("t")
+    assert(df.select(TF.tokens(col("t"))).as[Seq[String]].head() == Seq("a", "b", "c"))
+    assert(df.select(TF.wordShingles(col("t"), 2)).as[Seq[String]].head() == Seq("a b", "b c"))
+    assert(Seq("ab").toDF("t").select(TF.charShingles(col("t"), 3)).as[Seq[String]].head().isEmpty)
+    assert(Seq("abcd").toDF("t").select(TF.charShingles(col("t"), 3)).as[Seq[String]].head()
+      == Seq("abc", "bcd"))
+  }
+
+  test("punctRatio counts punctuation over non-whitespace") {
+    val r = Seq("ab, cd!").toDF("t").select(TF.punctRatio(col("t"))).as[Double].head()
+    assert(r == 2.0 / 6.0)
+  }
+
+  test("polyHash is deterministic, order-sensitive, empty-safe") {
+    val df = Seq(("abc", "cba", "")).toDF("x", "y", "z")
+    val row = df.select(Hashes.polyHash(col("x")), Hashes.polyHash(col("y")),
+      Hashes.polyHash(col("z"))).first()
+    val manual = "abc".foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+    assert(row.getLong(0) == manual)
+    assert(row.getLong(0) != row.getLong(1))
+    assert(row.getLong(2) == 0L)
+  }
+}

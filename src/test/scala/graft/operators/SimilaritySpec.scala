@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.{VectorFunctions => VF}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 40 deterministic vectors in 8-d, clustered around 4 seeds. */
+  private lazy val vectors = {
+    val rng = new scala.util.Random(7)
+    val seeds = Array.fill(4)(Array.fill(8)(rng.nextGaussian()))
+    (0 until 40).map { i =>
+      val s = seeds(i % 4)
+      (i.toLong, s.map(x => (x + 0.1 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private lazy val corpus = vectors.select(col("vec_id").as("neighbor_id"),
+    VF.vecAsDouble(col("embedding")).as("nv"))
+  private lazy val queries = vectors.filter(col("vec_id") < 4)
+    .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
+
+  test("exact top-k: k rows per query, self excluded, sims descending") {
+    val out = Similarity.topKExact(queries, corpus, k = 5).collect()
+    assert(out.length == 4 * 5)
+    assert(!out.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("top-1 neighbor of a clustered vector is from the same cluster") {
+    val out = Similarity.topKExact(queries, corpus, k = 1).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 4 == r.getAs[Long]("query_id") % 4)
+    }
+  }
+
+  test("IVF with all cells probed equals exact search") {
+    val cents = Similarity.trainIvfCentroids(vectors, "vec_id", "embedding", nCells = 4)
+    val ivf = Similarity.topKIvf(spark, queries, corpus, cents, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topKExact(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF with 1 probe achieves >= 0.6 recall on clustered data") {
+    val cents = Similarity.trainIvfCentroids(vectors, "vec_id", "embedding", nCells = 4)
+    val ivf = Similarity.topKIvf(spark, queries, corpus, cents, k = 5, nProbe = 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topKExact(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("cosinePairsAbove finds planted identical pair") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairsAbove(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
