@@ -1,0 +1,86 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.catalogs.DomainCatalogs
+import graft.embed.{Embedder, HashEncoder}
+import graft.ingest.Ingest
+import graft.quality.Quality
+import graft.segment.{Beats, Sections, Spans}
+import graft.snapshot.Snapshot
+
+/** Thin command front-end mirroring the reference CLI surface
+  * (reference: src/lakehouse/cli/__init__.py:41 — ingest / materialize /
+  * validate / catalog / quality / snapshot). */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = GraftSession.create()
+    try args(0) match {
+      case "ingest" =>
+        val Array(_, in, out) = args.take(3)
+        val (norm, errors) = Ingest.ingestDirectory(spark, in)
+        Ingest.writeNormalized(norm, s"$out/normalized")
+        errors.write.mode("overwrite").parquet(s"$out/errors")
+        println(s"ingested: ${spark.read.parquet(s"$out/normalized").count()} utterances")
+
+      case "materialize" =>
+        val Array(_, base) = args.take(2)
+        val utts = spark.read.parquet(s"$base/normalized")
+        val spans = Spans.enrichWithRoles(Spans.generate(utts), Map.empty)
+        spans.write.mode("overwrite").parquet(s"$base/spans")
+        val spansR = spark.read.parquet(s"$base/spans")
+        val spanEmb = Embedder.embed(spansR, "span_id", "text", "span", HashEncoder())
+        Embedder.store(spanEmb, s"$base/span_embeddings")
+        val beats = Beats.generateFromDf(spansR,
+          Some(spark.read.parquet(s"$base/span_embeddings/embeddings.parquet")))
+        beats.write.mode("overwrite").parquet(s"$base/beats")
+        val beatsR = spark.read.parquet(s"$base/beats")
+        val beatEmb = Embedder.embed(beatsR, "beat_id", "text", "beat", HashEncoder())
+        Embedder.store(beatEmb, s"$base/beat_embeddings")
+        val sections = Sections.generateFromDf(beatsR,
+          Some(spark.read.parquet(s"$base/beat_embeddings/embeddings.parquet")))
+        sections.write.mode("overwrite").parquet(s"$base/sections")
+        println(s"materialized: ${spark.read.parquet(s"$base/spans").count()} spans, " +
+          s"${spark.read.parquet(s"$base/beats").count()} beats, " +
+          s"${spark.read.parquet(s"$base/sections").count()} sections")
+
+      case "catalog" =>
+        val Array(_, base) = args.take(2)
+        val utts = spark.read.parquet(s"$base/normalized")
+        DomainCatalogs.episodeCatalog(utts).write.mode("overwrite")
+          .parquet(s"$base/catalogs/episodes")
+        DomainCatalogs.speakerCatalog(utts).write.mode("overwrite")
+          .parquet(s"$base/catalogs/speakers")
+        println("catalogs written")
+
+      case "quality" =>
+        val Array(_, base) = args.take(2)
+        val utts = spark.read.parquet(s"$base/normalized")
+        val episodes = utts.groupBy("episode_id")
+          .agg((max(col("end")) - min(col("start"))).as("episode_duration"))
+        val a = Quality.assess(
+          spark.read.parquet(s"$base/spans"),
+          spark.read.parquet(s"$base/beats"), episodes)
+        println(Quality.renderMarkdown(a))
+
+      case "snapshot" =>
+        val Array(_, base, out, version) = args.take(4)
+        val m = Snapshot.create(spark, base, out, version,
+          java.time.Instant.now().toString)
+        println(s"snapshot ${m.version}: ${m.files.length} files")
+
+      case other =>
+        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.cli.Main <command> [args]
+      |  ingest <inputDir> <lakeDir>
+      |  materialize <lakeDir>
+      |  catalog <lakeDir>
+      |  quality <lakeDir>
+      |  snapshot <lakeDir> <snapshotsDir> <version>""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** V1 embedding generation behind a pluggable encoder
+  * (reference: src/lakehouse/embeddings/generator.py:128-223,
+  * models.py:87-348 — sentence-transformers/OpenAI batch encode with a
+  * provider fallback chain; hermetic deterministic stub for CI).
+  *
+  * Spark shape: `mapPartitions` with batched encoding — the executor-side
+  * analog of the reference's batch-32 `model.encode` loop. The encoder is
+  * a plain serializable trait; a real ONNX/JNI model plugs in without
+  * touching the plumbing. Text is truncated to `maxChars` first
+  * (generator.py:167-170).
+  */
+trait TextBatchEncoder extends Serializable {
+  def name: String
+  def version: Option[String]
+  def dim: Int
+  /** Encode a batch of texts into dim-sized vectors. */
+  def encode(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** Deterministic, hermetic encoder: per-dimension values derived from a
+  * seeded hash of the text, L2-normalized. Similar texts do NOT embed
+  * similarly — this is a plumbing stub (the reference mocks models the
+  * same way in tests, tests/test_aggregation.py:18-60). */
+final case class HashEncoder(dim: Int = 384) extends TextBatchEncoder {
+  def name = "graft-hash-encoder"
+  def version = Some("1")
+  def encode(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(t, i + 1)
+      v(i) = (h.toDouble / Int.MaxValue).toFloat
+      i += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) v.map(x => (x / norm).toFloat) else v
+  }
+}
+
+object Embedder {
+
+  val DefaultBatchSize = 32
+  val DefaultMaxChars = 8192
+
+  /** Produce the embeddings artifact table
+    * (artifact_id, artifact_type, embedding, model_name, model_version)
+    * from any frame with an id column and a text column. */
+  def embed(df: DataFrame, idCol: String, textCol: String, artifactType: String,
+      encoder: TextBatchEncoder,
+      batchSize: Int = DefaultBatchSize,
+      maxChars: Int = DefaultMaxChars): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(String, String)] = df
+      .select(col(idCol).cast("string"), substring(col(textCol), 1, maxChars))
+      .as[(String, String)]
+    val encoded = pairs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = encoder.encode(batch.map(_._2))
+        batch.zip(vecs).map { case ((id, _), v) => (id, v.toSeq) }
+      }
+    }
+    encoded.toDF("artifact_id", "embedding")
+      .withColumn("artifact_type", lit(artifactType))
+      .withColumn("model_name", lit(encoder.name))
+      .withColumn("model_version", lit(encoder.version.orNull))
+      .select("artifact_id", "artifact_type", "embedding", "model_name", "model_version")
+  }
+
+  /** S12 storage layout: parquet per artifact type + a small JSON
+    * metadata sidecar (model, dim, counts). */
+  def store(embeddings: DataFrame, outDir: String): Unit = {
+    embeddings.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val meta = embeddings
+      .groupBy("artifact_type", "model_name", "model_version")
+      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).as("dim"))
+      .collect()
+      .map(r => s"""{"artifact_type": "${r.getString(0)}", "model_name": "${r.getString(1)}", "model_version": ${Option(r.getString(2)).map("\"" + _ + "\"").getOrElse("null")}, "count": ${r.getLong(3)}, "dim": ${r.getInt(4)}}""")
+      .mkString("[", ", ", "]")
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/metadata.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write(meta.getBytes("UTF-8"))
+    out.close()
+  }
+}

@@ -1,0 +1,296 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Intervals, Stats}
+
+/** Seven-category data-quality assessment engine with threshold-driven
+  * RAG gating (reference: src/lakehouse/quality/assessor.py:467-843,
+  * the metrics modules, thresholds.py:29-188).
+  *
+  * Each category is a handful of Spark aggregation/window jobs over
+  * shared cached inputs; metric values are collected (they're tiny) and
+  * threshold evaluation + RAG stay driver-side, exactly like the
+  * reference's `ThresholdViolation` flow.
+  */
+object Quality {
+
+  /** Defaults mirror reference thresholds.py:29-90 (PRD-derived). */
+  final case class Thresholds(
+      coverageMin: Double = 95.0,
+      gapMaxPercent: Double = 2.0,
+      overlapMaxPercent: Double = 2.0,
+      spanLengthMin: Double = 20.0,
+      spanLengthMax: Double = 120.0,
+      spanComplianceMin: Double = 90.0,
+      beatLengthMin: Double = 60.0,
+      beatLengthMax: Double = 180.0,
+      beatComplianceMin: Double = 90.0,
+      timestampRegressionsMax: Long = 0,
+      negativeDurationMax: Long = 0,
+      exactDuplicateMaxPercent: Double = 1.0,
+      sameSpeakerNeighborMaxPercent: Double = 60.0,
+      sameEpisodeNeighborMaxPercent: Double = 70.0,
+      neighborK: Int = 10,
+      neighborSampleSize: Int = 100,
+      outlierCount: Int = 20,
+      topSpeakersCount: Int = 10)
+
+  final case class Violation(name: String, expected: String, actual: String, severity: String)
+
+  final case class Assessment(
+      metrics: Map[String, Double],
+      violations: Seq[Violation],
+      ragStatus: String)
+
+  // ---- Category A: coverage (coverage.py:19-279) --------------------
+
+  /** Per-episode coverage: union span time / episode duration. Episode
+    * duration comes from utterance extents (episodes frame:
+    * episode_id, episode_duration). */
+  def coverage(segments: DataFrame, episodes: DataFrame): DataFrame =
+    Intervals.unionDuration(
+        segments.select(col("episode_id"), col("start_time"), col("end_time")),
+        Seq("episode_id"), "start_time", "end_time", unionCol = "union_s")
+      .join(episodes, "episode_id")
+      .withColumn("coverage_pct", lit(100.0) * col("union_s") / col("episode_duration"))
+
+  /** A9 gaps between consecutive segments per episode. */
+  def gapMetrics(segments: DataFrame): DataFrame =
+    Intervals.withGapFromPrev(
+        segments.select(col("episode_id"), col("start_time"), col("end_time")),
+        Seq("episode_id"), "start_time", "end_time")
+      .filter(col("_gap").isNotNull)
+      .groupBy("episode_id")
+      .agg(
+        sum(when(col("_gap") > 0, col("_gap")).otherwise(0.0)).as("total_gap_s"),
+        sum(when(col("_gap") < 0, -col("_gap")).otherwise(0.0)).as("total_overlap_s"),
+        max(col("_gap")).as("max_gap_s"))
+
+  // ---- Category B: distribution (distribution.py) -------------------
+
+  def durationStats(segments: DataFrame): DataFrame =
+    segments.agg(
+      count(lit(1)).as("n"),
+      min(col("duration")).as("min_s"),
+      max(col("duration")).as("max_s"),
+      avg(col("duration")).as("mean_s"),
+      percentile(col("duration"), lit(0.05)).as("p05"),
+      percentile(col("duration"), lit(0.5)).as("p50"),
+      percentile(col("duration"), lit(0.95)).as("p95"),
+      stddev_samp(col("duration")).as("std_s"))
+
+  /** A5: % within [min,max] — forced to sum to 100.00 like the
+    * reference (distribution.py:111-215). */
+  def lengthCompliance(segments: DataFrame, minLen: Double, maxLen: Double): DataFrame =
+    segments.agg(
+      count(lit(1)).as("n"),
+      round(lit(100.0) * sum(when(col("duration") >= minLen && col("duration") <= maxLen, 1)
+        .otherwise(0)) / count(lit(1)), 2).as("within_pct"),
+      round(lit(100.0) * sum(when(col("duration") < minLen, 1).otherwise(0)) / count(lit(1)), 2)
+        .as("too_short_pct"),
+      round(lit(100.0) * sum(when(col("duration") > maxLen, 1).otherwise(0)) / count(lit(1)), 2)
+        .as("too_long_pct"))
+
+  /** A6 fixed-edge histograms (span edges distribution.py:230; beat :231). */
+  val SpanHistEdges = Seq(0.0, 20.0, 40.0, 60.0, 90.0, 120.0, 180.0)
+  val BeatHistEdges = Seq(0.0, 60.0, 90.0, 120.0, 150.0, 180.0, 240.0)
+
+  def durationHistogram(segments: DataFrame, edges: Seq[Double]): DataFrame =
+    Stats.histogram(segments, col("duration"), edges).orderBy("bin_id")
+
+  // ---- Category C: integrity (integrity.py) -------------------------
+
+  /** A10 timestamp monotonicity: prev end > next start, per episode
+    * (and per episode+speaker when `bySpeaker`). */
+  def timestampRegressions(segments: DataFrame, bySpeaker: Boolean = false): DataFrame = {
+    val parts = if (bySpeaker) Seq("episode_id", "speaker") else Seq("episode_id")
+    val w = Window.partitionBy(parts.map(col): _*)
+      .orderBy(col("start_time"), col("end_time"))
+    segments
+      .withColumn("_prev_end", lag(col("end_time"), 1).over(w))
+      .filter(col("_prev_end").isNotNull && col("_prev_end") > col("start_time"))
+  }
+
+  /** A11 violation counters as one row of conditional aggregates. */
+  def integrityCounters(segments: DataFrame): DataFrame =
+    segments.agg(
+      sum(when(col("duration") <= 0, 1L).otherwise(0L)).as("nonpositive_durations"),
+      sum(when(col("start_time") < 0 || col("end_time") < 0, 1L).otherwise(0L)).as("negative_timestamps"),
+      sum(when(col("episode_id").isNull || col("episode_id") === "", 1L).otherwise(0L)).as("missing_episode"),
+      sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L)).as("missing_text"))
+
+  /** A12 exact duplicates: normalized text + 5-min bin composite key
+    * (integrity.py:379-549); returns (dup_groups, dup_rows, pct). */
+  def exactDuplicates(segments: DataFrame, minLen: Int = 10): DataFrame = {
+    val keyed = segments
+      .withColumn("_norm", TF.normalizeWs(col("text")))
+      .filter(length(col("_norm")) >= minLen)
+      .withColumn("_bin", floor(col("start_time") / 300).cast("int"))
+    val groups = keyed.groupBy("_norm", "episode_id", "speaker", "_bin")
+      .agg(count(lit(1)).as("n"))
+    groups.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("dup_groups"),
+      coalesce(sum(when(col("n") > 1, col("n")).otherwise(0L)), lit(0L)).as("dup_rows"))
+      .withColumn("dup_pct",
+        when(col("n_rows") > 0, lit(100.0) * col("dup_rows") / col("n_rows")).otherwise(0.0))
+  }
+
+  /** A13 near-duplicates at scale: MinHash-LSH instead of the O(n²)
+    * rapidfuzz pass the reference guards at 10k rows. */
+  def nearDuplicates(segments: DataFrame, idCol: String, threshold: Double = 0.8): DataFrame =
+    Dedup.minhashNearDups(segments.select(col(idCol), col("text")), idCol,
+      col("text"), shingleWords = 2, k = 12, bands = 4, threshold = threshold)
+
+  // ---- Category D: balance (balance.py) -----------------------------
+
+  /** A14 speaker distribution with top-N + long-tail rollup. */
+  def speakerBalance(segments: DataFrame, topN: Int): DataFrame = {
+    val bySpeaker = segments.groupBy("speaker")
+      .agg(count(lit(1)).as("n"), sum(col("duration")).as("total_s"))
+    val total = Window.partitionBy()
+    val ranked = bySpeaker
+      .withColumn("pct", lit(100.0) * col("n") / sum(col("n")).over(total))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("speaker"))))
+    val top = ranked.filter(col("rnk") <= topN)
+      .select(col("speaker"), col("n"), col("total_s"), col("pct"))
+    val tail = ranked.filter(col("rnk") > topN)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("total_s")), lit(0.0)).as("total_s"),
+        coalesce(sum(col("pct")), lit(0.0)).as("pct"))
+      .withColumn("speaker", lit("<other>"))
+      .select("speaker", "n", "total_s", "pct")
+    top.unionByName(tail).filter(col("n") > 0)
+  }
+
+  // ---- Category E: text quality (text_quality.py) -------------------
+
+  def textQuality(segments: DataFrame): DataFrame =
+    segments
+      .withColumn("_tok", TF.tokenCount(col("text")))
+      .withColumn("_content", TF.contentTokenCount(col("text")))
+      .withColumn("_punct", TF.punctRatio(col("text")))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_tok")).as("total_tokens"),
+        avg(col("_tok")).as("avg_tokens"),
+        avg(length(col("text"))).as("avg_chars"),
+        (sum(col("_content")).cast("double") / sum(col("_tok"))).as("lexical_density"),
+        avg(col("_punct")).as("avg_punct_ratio"))
+
+  // ---- Category F: embedding sanity (embedding.py) ------------------
+
+  /** V8/V9: % of k-NN sharing the query's speaker / episode. Queries are
+    * a deterministic sample (hash-ordered — V7's seeded-sample analog). */
+  def neighborLeakage(spark: SparkSession, segments: DataFrame, embeddings: DataFrame,
+      k: Int, sampleSize: Int): DataFrame = {
+    val joined = segments
+      .join(embeddings.select(col("artifact_id"), col("embedding")),
+        segments("span_id") === col("artifact_id"))
+      .select(col("span_id"), col("episode_id"), col("speaker"),
+        VF.vecAsDouble(col("embedding")).as("v"))
+      .cache()
+    val queries = joined
+      .withColumn("_h", xxhash64(col("span_id")))
+      .orderBy("_h").limit(sampleSize)
+      .select(col("span_id").as("query_id"), col("episode_id").as("q_ep"),
+        col("speaker").as("q_spk"), col("v").as("qv"))
+    val corpus = joined.select(col("span_id").as("neighbor_id"),
+      col("episode_id").as("n_ep"), col("speaker").as("n_spk"), col("v").as("nv"))
+    val knn = graft.operators.Similarity.topKExact(
+      queries.select("query_id", "qv"), corpus.select("neighbor_id", "nv"), k)
+    knn.join(queries, "query_id").join(corpus, "neighbor_id")
+      .agg(
+        (lit(100.0) * sum(when(col("q_spk") === col("n_spk"), 1).otherwise(0)) / count(lit(1)))
+          .as("same_speaker_pct"),
+        (lit(100.0) * sum(when(col("q_ep") === col("n_ep"), 1).otherwise(0)) / count(lit(1)))
+          .as("same_episode_pct"))
+  }
+
+  // ---- Category G: diagnostics (diagnostics.py:20-156) --------------
+
+  def durationOutliers(segments: DataFrame, idCol: String, k: Int): DataFrame = {
+    val longest = segments.select(col(idCol), col("duration"))
+      .orderBy(col("duration").desc, col(idCol)).limit(k)
+      .withColumn("kind", lit("longest"))
+    val shortest = segments.select(col(idCol), col("duration"))
+      .orderBy(col("duration").asc, col(idCol)).limit(k)
+      .withColumn("kind", lit("shortest"))
+    longest.unionByName(shortest)
+  }
+
+  // ---- Assessment: thresholds + RAG (assessor.py:1040-1067) ---------
+
+  def assess(spans: DataFrame, beats: DataFrame, episodes: DataFrame,
+      t: Thresholds = Thresholds()): Assessment = {
+    val m = scala.collection.mutable.Map[String, Double]()
+
+    val cov = coverage(spans, episodes)
+      .agg(avg(col("coverage_pct"))).first().getDouble(0)
+    m("coverage_pct") = cov
+
+    val spanCompliance = lengthCompliance(spans, t.spanLengthMin, t.spanLengthMax)
+      .first().getAs[Double]("within_pct")
+    m("span_compliance_pct") = spanCompliance
+    val beatCompliance = lengthCompliance(beats, t.beatLengthMin, t.beatLengthMax)
+      .first().getAs[Double]("within_pct")
+    m("beat_compliance_pct") = beatCompliance
+
+    // integrity per level, NOT concatenated (assessor.py:617-679 bug-fix note)
+    val spanRegr = timestampRegressions(spans.withColumn("speaker", col("speaker"))).count()
+    val beatRegr = timestampRegressions(beats.withColumn("speaker", lit(""))).count()
+    m("span_regressions") = spanRegr.toDouble
+    m("beat_regressions") = beatRegr.toDouble
+    val spanDup = exactDuplicates(spans).first().getAs[Double]("dup_pct")
+    m("span_dup_pct") = spanDup
+    val negDur = integrityCounters(spans).first().getAs[Long]("nonpositive_durations")
+    m("nonpositive_durations") = negDur.toDouble
+
+    val violations = Seq.newBuilder[Violation]
+    def check(cond: Boolean, name: String, expected: String, actual: String,
+        severity: String = "error"): Unit =
+      if (!cond) violations += Violation(name, expected, actual, severity)
+
+    check(cov >= t.coverageMin, "coverage_min", s">= ${t.coverageMin}", f"$cov%.2f")
+    check(spanCompliance >= t.spanComplianceMin, "span_length_compliance",
+      s">= ${t.spanComplianceMin}", f"$spanCompliance%.2f", "warning")
+    check(beatCompliance >= t.beatComplianceMin, "beat_length_compliance",
+      s">= ${t.beatComplianceMin}", f"$beatCompliance%.2f", "warning")
+    check(spanRegr <= t.timestampRegressionsMax, "timestamp_regressions",
+      s"<= ${t.timestampRegressionsMax}", spanRegr.toString)
+    check(negDur <= t.negativeDurationMax, "negative_durations",
+      s"<= ${t.negativeDurationMax}", negDur.toString)
+    check(spanDup <= t.exactDuplicateMaxPercent, "exact_duplicate_pct",
+      s"<= ${t.exactDuplicateMaxPercent}", f"$spanDup%.2f")
+
+    val vs = violations.result()
+    val rag =
+      if (vs.exists(_.severity == "error")) "RED"
+      else if (vs.exists(_.severity == "warning")) "AMBER"
+      else "GREEN"
+    Assessment(m.toMap, vs, rag)
+  }
+
+  /** Markdown report (reporter.py:113-160 shape). */
+  def renderMarkdown(a: Assessment): String = {
+    val sb = new StringBuilder
+    sb.append(s"# Quality Assessment\n\n**Status: ${a.ragStatus}**\n\n## Metrics\n\n")
+    sb.append("| metric | value |\n|---|---|\n")
+    a.metrics.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append(f"| $k | $v%.4f |\n")
+    }
+    sb.append("\n## Violations\n\n")
+    if (a.violations.isEmpty) sb.append("None.\n")
+    else {
+      sb.append("| check | expected | actual | severity |\n|---|---|---|---|\n")
+      a.violations.foreach { v =>
+        sb.append(s"| ${v.name} | ${v.expected} | ${v.actual} | ${v.severity} |\n")
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Schemas
+
+/** N1: the reference's `ingest --incremental` batch re-run becomes a
+  * Structured Streaming file source with `Trigger.AvailableNow` +
+  * checkpointing — exactly-once file-level incremental processing with
+  * no driver-side bookkeeping (reference: cli/commands/ingest.py:219-295
+  * tracks processed episodes by hand).
+  */
+object StreamingIngest {
+
+  /** Start a one-shot (AvailableNow) incremental ingest: new files under
+    * `inputDir` are validated and appended to `outDir`. Returns after the
+    * backlog drains. */
+  def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val raw = spark.readStream
+      .schema(Schemas.rawUtterance)
+      .option("pathGlobFilter", "*.jsonl")
+      .json(inputDir)
+      .withColumn("source_file", input_file_name())
+    val valid = graft.ingest.Ingest.withValidationErrors(
+        graft.ingest.Ingest.withEpisodeId(raw))
+      .filter(size(col("errors")) === 0)
+      .drop("errors", "_corrupt_record")
+      .withColumn("duration", col("end") - col("start"))
+    val q = valid.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time windowed rollup with watermarking over a stream of
+    * timestamped events — the streaming upgrade path for the reference's
+    * 5-minute dedup bins (SURVEY §2.9). */
+  def windowedCounts(events: DataFrame, tsCol: String, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}
