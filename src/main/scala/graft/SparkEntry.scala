@@ -262,28 +262,22 @@ object SparkEntry {
       .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val joined = q.join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
-      col("query_id") =!= col("neighbor_id"))
-    val sims = joined.select(
-      col("query_id"), col("neighbor_id"),
-      round(VF.cosine(col("qv"), col("nv")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    graft.operators.Similarity.topKExact(q, c, 5)
       .orderBy("query_id", "rnk")
   }
 
   /** MinHash-LSH near-dup candidates with exact-Jaccard verification
     * (the scale path for integrity.py:551-616's O(n²) fuzzy dedup).
-    * Word-bigram shingles, k=12 minhashes in 4 bands of 3 — poly-hash based
+    * Word-bigram shingles, k=12 minhashes in 3 bands of 4 — poly-hash based
     * so the DuckDB oracle can replay the identical pipeline. The corpus has
-    * planted near-dups at bigram-jaccard ≈ 0.96-0.99; banding at r=3 catches
-    * those with probability ≈ 1 while keeping candidate sets tiny. */
+    * planted near-dups at bigram-jaccard ≈ 0.96-0.99; banding at r=4 catches
+    * those with p ≈ 0.997 while suppressing random same-vocab collisions
+    * (j=0.5 pairs collide at ~6% per band instead of ~13%). */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 4, threshold = 0.5)
+        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** SimHash 30-bit fingerprints per document (near-dup sketching). */
@@ -309,28 +303,46 @@ object SparkEntry {
   }
 
   /** N-gram (word-bigram) Jaccard: top-20 most-similar same-language
-    * document pairs — exact, blocked by language. */
+    * document pairs — exact. Each doc's shingle set is a sorted array of
+    * 64-bit hashes; per-pair overlap is a codegen'd two-pointer merge.
+    * (An inverted-index join is the alternative when shingle document
+    * frequencies are low; this corpus shares a tiny vocabulary, making
+    * Σdf² worse than n²·merge, so the dense shape wins here.) */
   def jaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(
-      col("lang"), col("doc_id"),
-      array_distinct(TF.wordShingles(col("text"), 2)).as("sh"))
-    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.HashFunctions.sorted_intersect_count
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .select(col("lang"), col("doc_id"),
+        array_distinct(TF.wordShinglesOfTokens(col("tk"), 2)).as("sh"))
+      .withColumn("hsh", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("sz", size(col("sh")))
+      .drop("sh")
+      .cache() // reused as both join sides
+    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a"))
+    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b"))
     a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
-      .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .select("lang", "id_a", "id_b", "jac")
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
 
-  /** Embedding near-dup: top-20 vector pairs by cosine (a < b). */
+  /** Embedding near-dup: top-20 vector pairs by cosine (a < b).
+    * Codegen'd dot kernel + norms computed once per vector. */
   def embeddingTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vec_dot
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(VF.cosine(col("va"), col("vb")), 6).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
@@ -418,22 +430,28 @@ object SparkEntry {
   private val normTextSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private def ph(e: String): String = Hashes.polyHashSql(e)
 
-  /** q19 oracle: the full MinHash pipeline replayed in SQL. */
+  /** q19 oracle: the full MinHash pipeline replayed in SQL (same affine
+    * slot-hash family as [[Dedup.affineA]]/[[Dedup.affineB]], same k=12
+    * in 3 bands of 4 as the Spark side). */
   private def minhashOracleSql: String = {
-    val sigExprs = (0 until 12)
-      .map(i => s"list_min(list_transform(sh, s -> ${ph(s"'$i|' || s")})) AS m$i")
+    val (k, bands) = (12, 3)
+    val r = k / bands
+    val sigExprs = (0 until k)
+      .map(i => s"list_min(list_transform(hs, h -> (h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Hashes.PolyMod})) AS m$i")
       .mkString(",\n    ")
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', m${3 * b}, m${3 * b + 1}, m${3 * b + 2}) AS band_key FROM sig")
+    val bandSelects = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', ${(0 until r).map(j => s"m${r * b + j}").mkString(", ")}) AS band_key FROM sig")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH t0 AS (
        |  SELECT doc_id, $toksSql AS tk FROM documents
        |), toks AS (
        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+       |), hsh AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM toks
        |), sig AS (
        |  SELECT doc_id,
        |    $sigExprs
-       |  FROM toks
+       |  FROM hsh
        |), bands AS (
        |  $bandSelects
        |), cand AS (

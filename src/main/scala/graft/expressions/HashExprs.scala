@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive kernels shared by interpreted eval and generated code (the
+  * generated Java calls these as static methods — no lambda interpretation,
+  * no virtual dispatch in the loop). */
+object HashKernels {
+  final val PolyMod = 1000000007L
+  final val PolyMul = 131L
+
+  /** Polynomial fold over Unicode code points — same value as
+    * graft.functions.Hashes.polyHash's HOF formulation. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * PolyMul + cp) % PolyMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** polyHash per element of an array<string>. */
+  def polyHashArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = polyHash(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k minhash slots in one pass: slot_i = min over hs of (a_i·h + b_i) % p. */
+  def minhashSlots(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = (h * a(i) + b(i)) % PolyMod
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(out.map(Long.box(_): Any))
+  }
+
+  /** |A ∩ B| for two ASCENDING-sorted long arrays (two-pointer merge). */
+  def sortedIntersectCount(x: ArrayData, y: ArrayData): Long = {
+    var i = 0; var j = 0; var c = 0L
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val a = x.getLong(i); val b = y.getLong(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** polyHash as a codegen-friendly expression (the `aggregate` HOF version
+  * interprets a lambda per character; this is one static call per row). */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.polyHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Elementwise polyHash over an array<string> column. */
+case class PolyHashArrayExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.polyHashArray(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.polyHashArray($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** One-pass k-slot minhash signature over an array<long> of base hashes. */
+case class MinhashSlotsExpr(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSlots(v.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.minhashSlots($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Intersection size of two sorted array<long> columns — the fast exact
+  * set-overlap primitive behind n-gram Jaccard at scale. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    HashKernels.sortedIntersectCount(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.HashKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object HashFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_poly_hash", e => PolyHashExpr(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_poly_hash_array", e => PolyHashArrayExpr(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      e => SortedIntersectCountExpr(e(0), e(1)), "built-in")
+  }
+
+  def registerMinhash(spark: SparkSession, name: String, a: Array[Long], b: Array[Long]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, e => MinhashSlotsExpr(e.head, a, b), "built-in")
+
+  def poly_hash(c: Column): Column = call_function("graft_poly_hash", c)
+  def poly_hash_array(c: Column): Column = call_function("graft_poly_hash_array", c)
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
+}

@@ -50,16 +50,28 @@ object TextFunctions {
   /** Character n-gram shingles of the normalized text (for MinHash/Jaccard).
     * Empty array when the text is shorter than n (guarded: Spark `sequence`
     * descends when stop < start). */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normalizeWs(text)
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOfNormalized(normalizeWs(text), n)
+
+  /** Shingles over an ALREADY-normalized column. Prefer materializing the
+    * normalized text as its own column first — the lambda reads it per
+    * element, so it must be a cheap attribute, not a regexp expression. */
+  def charShinglesOfNormalized(norm: Column, n: Int): Column = {
     val cnt = length(norm) - (n - 1)
     when(cnt < 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (e.g. for n-gram Jaccard dedup). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (e.g. for n-gram Jaccard dedup).
+    * NOTE: prefer [[wordShinglesOfTokens]] over a materialized token
+    * column in hot paths — here `tokens(text)` is referenced inside the
+    * per-element lambda, so Catalyst re-evaluates the split per shingle. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOfTokens(tokens(text), n)
+
+  /** Shingles over an already-materialized token-array column (cheap
+    * per-element attribute access instead of re-splitting). */
+  def wordShinglesOfTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt < 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), cnt - 1),

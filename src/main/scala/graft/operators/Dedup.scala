@@ -29,13 +29,20 @@ object Dedup {
       .filter(col("n") > 1)
   }
 
-  /** MinHash signature of a distinct-shingle array column.
-    * k independent hash functions h_i(s) = polyHash("i|" + s); the
-    * signature is the elementwise min over shingles. */
-  def minhashSignature(shingles: Column, k: Int,
-      hashFn: (Column, Int) => Column = (s, i) => Hashes.polyHash(concat(lit(i + "|"), s))): Column =
+  /** Universal-hash family for minhash slots: h_i(x) = (a_i·x + b_i) mod p.
+    * One expensive base hash per shingle, k cheap affine rehashes — the
+    * standard trick that keeps signature cost O(shingles + k) instead of
+    * O(shingles · k) char folds. Constants are fixed so the SQL oracle
+    * can mirror them. */
+  def affineA(i: Int): Long = ((2L * i + 1) * 1000003L) % Hashes.PolyMod
+  def affineB(i: Int): Long = (999331L * i) % Hashes.PolyMod
+
+  /** Signature from a PRE-MATERIALIZED base-hash array column (keep `hs`
+    * a real column: Catalyst's CollapseProject would otherwise inline an
+    * expensive expression into each of the k slots). */
+  def signatureFromHashes(hs: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingles, s => hashFn(s, i)))
+      array_min(transform(hs, h => (h * affineA(i) + affineB(i)) % Hashes.PolyMod))
     }: _*)
 
   /** LSH banding: (doc_id, band_id, band_key) rows, one per band, where
@@ -48,7 +55,7 @@ object Dedup {
         col(idCol),
         lit(b).as("band_id"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col(sigCol), b * rowsPerBand + r + 1)): _*).as("band_key"))
+          get(col(sigCol), lit(b * rowsPerBand + r))): _*).as("band_key"))
     }
     perBand.reduce(_.unionByName(_))
   }
@@ -80,18 +87,38 @@ object Dedup {
       shingleWords: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    val shingled = df.select(
-      col(idCol),
-      array_distinct(
-        if (shingleWords <= 1) TF.tokens(textCol)
-        else TF.wordShingles(textCol, shingleWords)).as("sh"))
-    val sig = shingled.withColumn("sig", minhashSignature(col("sh"), k))
+    // materialize tokens before shingling (per-element lambda must read an
+    // attribute, not re-split the text), then CACHE: the banding union and
+    // the two verification joins would otherwise re-evaluate the
+    // shingle+hash subtree ~10x across the plan
+    val shingled = df
+      .select(col(idCol), TF.tokens(textCol).as("tk"))
+      .select(col(idCol),
+        array_distinct(
+          if (shingleWords <= 1) col("tk")
+          else TF.wordShinglesOfTokens(col("tk"), shingleWords)).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs can't be near-dups
+    val spark = df.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
+      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
+    val sig = shingled
+      .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
+      .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
+      // sorted 64-bit shingle hashes: exact-Jaccard verification becomes a
+      // codegen'd two-pointer merge instead of string-array intersection
+      .withColumn("hsh", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("sz", size(col("sh")))
+      .cache()
     val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol)
     val withSets = cand
-      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sig.select(col(idCol).as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b")), "id_b")
     withSets
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter",
+        graft.expressions.HashFunctions.sorted_intersect_count(col("ha"), col("hb")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }

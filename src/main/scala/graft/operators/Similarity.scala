@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExprs
 import graft.functions.{VectorFunctions => VF}
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -22,11 +23,16 @@ object Similarity {
     * Broadcast the (small) query side so the corpus never shuffles. */
   def topKExact(queries: DataFrame, corpus: DataFrame, k: Int,
       roundDp: Int = 6): DataFrame = {
-    val joined = broadcast(queries).join(corpus,
-      col("query_id") =!= col("neighbor_id"))
+    VectorExprs.register(queries.sparkSession)
+    // norms once per vector (columns, so they survive the join), codegen
+    // dot per pair: dot/(sqrt·sqrt) keeps oracle-bit-exact association
+    val q = queries.withColumn("_qn", sqrt(VectorExprs.vec_dot(col("qv"), col("qv"))))
+    val c = corpus.withColumn("_nn", sqrt(VectorExprs.vec_dot(col("nv"), col("nv"))))
+    val joined = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
     val sims = joined.select(
       col("query_id"), col("neighbor_id"),
-      round(VF.cosine(col("qv"), col("nv")), roundDp).as("sim"))
+      round(VectorExprs.vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), roundDp)
+        .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -103,9 +109,13 @@ object Similarity {
       VF.vecAsDouble(col(vecCol)).as("_v")): _*)
     val a = base.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_v").as("va")): _*)
     val b = base.select((blockCols.map(col) :+ col(idCol).as("id_b") :+ col("_v").as("vb")): _*)
-    val joined = if (blockCols.nonEmpty) a.join(b, blockCols) else a.crossJoin(b)
+    VectorExprs.register(df.sparkSession)
+    val an = a.withColumn("_na", sqrt(VectorExprs.vec_dot(col("va"), col("va"))))
+    val bn = b.withColumn("_nb", sqrt(VectorExprs.vec_dot(col("vb"), col("vb"))))
+    val joined = if (blockCols.nonEmpty) an.join(bn, blockCols) else an.crossJoin(bn)
     joined.filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(VF.cosine(col("va"), col("vb")), 6))
+      .withColumn("sim",
+        round(VectorExprs.vec_dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("sim")): _*)
   }

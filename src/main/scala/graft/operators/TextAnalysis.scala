@@ -51,8 +51,12 @@ object TextAnalysis {
     * no driver-side model object, so it scales to any corpus size. */
   def langIdByTrigramProfile(df: DataFrame, idCol: String, textCol: Column,
       labelCol: String, profileSize: Int = 50): DataFrame = {
-    val grams = df.select(col(idCol), col(labelCol),
-        explode(array_distinct(TF.charShingles(textCol, 3))).as("g"))
+    // materialize normalized text first: shingling references it per
+    // element, and only a multi-use column reference escapes Catalyst's
+    // projection inlining (a raw regexp_replace would re-run per shingle)
+    val grams = df.withColumn("_norm", TF.normalizeWs(textCol))
+      .select(col(idCol), col(labelCol),
+        explode(array_distinct(TF.charShinglesOfNormalized(col("_norm"), 3))).as("g"))
     // train: per-label top trigrams
     val profile = grams.groupBy(col(labelCol).as("plabel"), col("g"))
       .agg(count(lit(1)).as("n"))

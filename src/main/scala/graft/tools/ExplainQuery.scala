@@ -1,0 +1,13 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev-only: print the formatted physical plan of a query. */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    SparkEntry.queries(args(0))(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}
