@@ -389,6 +389,129 @@ object SparkEntry {
       .orderBy("lang", "predicted")
   }
 
+  /** A21/A22 segment statistics over generated sessions (children per
+    * parent, duration stats, in-range %). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessions(spark, dir)
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+    s.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(col("n_events")).as("total_events"),
+      (sum(col("n_events")).cast("double") / count(lit(1))).as("events_per_session"),
+      max(col("dur_us")).as("max_dur_us"),
+      round(lit(100.0) * sum(when(col("dur_us") <= 600L * 1000 * 1000, 1).otherwise(0))
+        / count(lit(1)), 4).as("within_10min_pct"))
+  }
+
+  /** V7 deterministic stratified sampling: 3 rows per (user bucket,
+    * event_type) stratum by hash order — the reproducible analog of the
+    * reference's seeded numpy sampling (embedding.py:186-307). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)).cast("int"))
+    // LCG scramble as the deterministic "random" order — replicable in
+    // any engine with 64-bit integer arithmetic (unlike xxhash64)
+    val scramble = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+    val w = Window.partitionBy("bucket", "event_type")
+      .orderBy(scramble, col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("event_id")).as("min_event_id"))
+      .orderBy("bucket")
+  }
+
+  /** C16/V10 correlation: Pearson + Spearman (corr of ranks) per flag. */
+  def correlations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val wQ = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val wP = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    li.withColumn("rq", row_number().over(wQ).cast("double"))
+      .withColumn("rp", row_number().over(wP).cast("double"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("pearson"),
+        round(corr(col("rq"), col("rp")), 6).as("spearman"))
+      .orderBy("l_returnflag")
+  }
+
+  /** J9 temporal-adjacency join: per user, events with a neighbor within
+    * a tolerance (equi on user + range predicate — the band-join shape;
+    * the reference uses ±5s on speech, we use ±1h on this event corpus). */
+  def adjacencyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("ts"))
+    val tolUs = 3600L * 1000 * 1000
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("id_a") =!= col("id_b") &&
+        abs(col("ts_a") - col("ts_b")) <= tolUs)
+      .groupBy("user_id")
+      .agg(countDistinct(col("id_a")).as("n_with_neighbor"),
+        count(lit(1)).as("n_adjacent_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** Rollup aggregation (engine capability beyond the reference's flat
+    * GROUP BYs; A1 family at multiple grains). */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** W2 running/windowed aggregates: cumulative sum + 5-row moving average
+    * per user over event time. Output limited to 2 users for compactness. */
+  def runningAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") < 2)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.withColumn("running_total",
+        sum(dec2(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("moving_avg",
+        (sum(dec2(col("value"))).over(w.rowsBetween(-4, 0)).cast("double")
+          / count(lit(1)).over(w.rowsBetween(-4, 0))))
+      .select("user_id", "event_id", "ts", "running_total", "moving_avg")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** V16 embedding sanity: dim consistency + norm stats per label. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vec_dot
+    Tables.embeddings(spark, dir)
+      .withColumn("v", VF.vecAsDouble(col("embedding")))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(size(col("embedding"))).as("n_dims"),
+        min(size(col("embedding"))).cast("long").as("dim"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        (sum(col("nrm").cast("decimal(20,12)")).cast("double") / count(lit(1))).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  /** V10 length-bias: corr(document length, embedding norm) — documents
+    * and embeddings share the id space (doc_id = vec_id). */
+  def lengthBias(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vec_dot
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", VF.vecAsDouble(col("embedding")))
+      .select(col("vec_id"), sqrt(vec_dot(col("v"), col("v"))).as("nrm"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("n_chars").cast("double"), col("nrm")), 6).as("len_norm_corr"))
+      .orderBy("lang")
+  }
+
   // ---- driver contract ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,6 +542,14 @@ object SparkEntry {
     "q25_token_counts" -> tokenCounts _,
     "q26_fingerprints" -> docFingerprints _,
     "q27_langid" -> langIdConfusion _,
+    "q28_session_stats" -> sessionStats _,
+    "q29_stratified_sample" -> stratifiedSample _,
+    "q30_correlations" -> correlations _,
+    "q31_adjacency" -> adjacencyCounts _,
+    "q32_rollup" -> rollupSummary _,
+    "q33_running_aggs" -> runningAggregates _,
+    "q34_embedding_stats" -> embeddingStats _,
+    "q35_length_bias" -> lengthBias _,
   )
 
   private val stopwordsSqlList: String =
@@ -802,5 +933,114 @@ object SparkEntry {
         |SELECT d.lang AS lang, pred.predicted AS predicted, count(*) AS n
         |FROM documents d JOIN pred ON d.doc_id = pred.doc_id
         |GROUP BY d.lang, pred.predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q28_session_stats" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts, user_id, event_type FROM events
+        |), l AS (
+        |  SELECT *, lag(ts) OVER w AS prev_ts, lag(event_type) OVER w AS prev_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > 600000000
+        |    OR event_type <> prev_type THEN 1 ELSE 0 END AS brk FROM l
+        |), s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b
+        |), sess AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events,
+        |    max(ts) - min(ts) AS dur_us
+        |  FROM s GROUP BY user_id, session_seq
+        |)
+        |SELECT count(*) AS n_sessions, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE) / count(*) AS events_per_session,
+        |  max(dur_us) AS max_dur_us,
+        |  round(100.0 * sum(CASE WHEN dur_us <= 600000000 THEN 1 ELSE 0 END) / count(*), 4) AS within_10min_pct
+        |FROM sess""".stripMargin,
+
+    "q29_stratified_sample" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(user_id % 10 AS INTEGER) AS bucket,
+        |    (event_id * 1103515245 + 12345) % 2147483647 AS scramble
+        |  FROM events
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket, event_type
+        |    ORDER BY scramble, event_id) AS rn FROM e
+        |)
+        |SELECT bucket, count(*) AS n_sampled,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(event_id) AS min_event_id
+        |FROM r WHERE rn <= 3 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q30_correlations" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS DOUBLE) AS rq,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE) AS rp
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS pearson,
+        |  round(corr(rq, rp), 6) AS spearman
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q31_adjacency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |)
+        |SELECT a.user_id AS user_id,
+        |  count(DISTINCT a.event_id) AS n_with_neighbor,
+        |  count(*) AS n_adjacent_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND abs(a.ts - b.ts) <= 3600000000
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q33_running_aggs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts, value
+        |  FROM events WHERE user_id < 2
+        |)
+        |SELECT user_id, event_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg
+        |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q34_embedding_stats" ->
+      """WITH e AS (
+        |  SELECT label, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n,
+        |  count(DISTINCT len(embedding)) AS n_dims,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm,
+        |  CAST(sum(CAST(nrm AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS avg_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "q35_length_bias" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT lang, count(*) AS n,
+        |  round(corr(CAST(n_chars AS DOUBLE), nrm), 6) AS len_norm_corr
+        |FROM documents d JOIN e ON d.doc_id = e.vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
