@@ -28,8 +28,13 @@ object Main {
       case "materialize" =>
         val Array(_, base) = args.take(2)
         val utts = spark.read.parquet(s"$base/normalized")
-        val spans = Spans.enrichWithRoles(Spans.generate(utts), Map.empty)
-        spans.write.mode("overwrite").parquet(s"$base/spans")
+        val spansRaw = Spans.enrichWithRoles(Spans.generate(utts), Map.empty)
+        // F5 duration guardrail between steps (drop + log top offenders)
+        val guard = graft.quality.Guardrails(spansRaw, "span_id",
+          graft.quality.Guardrails.SpanMaxDuration)
+        if (guard.topOffenders.nonEmpty)
+          System.err.println(s"[guardrail] dropped spans: ${guard.topOffenders.mkString(", ")}")
+        guard.kept.write.mode("overwrite").parquet(s"$base/spans")
         val spansR = spark.read.parquet(s"$base/spans")
         val spanEmb = Embedder.embed(spansR, "span_id", "text", "span", HashEncoder())
         Embedder.store(spanEmb, s"$base/span_embeddings")

@@ -45,7 +45,8 @@ object Similarity {
   def trainIvfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2): DataFrame = {
     val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    var assigned = v.withColumn("cell_id", pmod(col("_id"), lit(nCells)).cast("int"))
+    // hash-based seeding: works for any id type, deterministic everywhere
+    var assigned = v.withColumn("cell_id", pmod(xxhash64(col("_id")), lit(nCells)).cast("int"))
     var centroids: DataFrame = null
     for (_ <- 0 to iters) {
       centroids = averageByCell(assigned)
