@@ -1,0 +1,28 @@
+package graft.core
+
+/** C18/C20 driver-side config helpers. */
+object Config {
+
+  /** C18: `${VAR}` / `${VAR:-default}` interpolation against an
+    * environment map (reference: snapshot/config.py:305-388). */
+  def interpolateEnv(s: String, env: Map[String, String] = sys.env): String = {
+    val pattern = """\$\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}""".r
+    pattern.replaceAllIn(s, m => {
+      val value = env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse("")
+      scala.util.matching.Regex.quoteReplacement(value)
+    })
+  }
+
+  /** C20: extract status and metric values from a rendered quality
+    * report (reference: snapshot/manifest.py:139-238 regex extraction).
+    * Works on graft.quality.Quality.renderMarkdown output. */
+  final case class QaSummary(status: Option[String], metrics: Map[String, Double])
+
+  def parseQaReport(md: String): QaSummary = {
+    val status = """\*\*Status: (\w+)\*\*""".r.findFirstMatchIn(md).map(_.group(1))
+    val metric = """\| ([a-zA-Z0-9_]+) \| (-?[0-9]+\.[0-9]+) \|""".r
+    val metrics = metric.findAllMatchIn(md)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    QaSummary(status, metrics)
+  }
+}
