@@ -331,21 +331,12 @@ object SparkEntry {
   }
 
   /** Embedding near-dup: top-20 vector pairs by cosine (a < b).
-    * Codegen'd dot kernel + norms computed once per vector. */
-  def embeddingTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    graft.expressions.VectorExprs.register(spark)
-    import graft.expressions.VectorExprs.vec_dot
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-      .limit(20)
-  }
+    * Blocked all-pairs kernel (see [[graft.operators.Similarity
+    * .topPairsExactBlocked]]): O(B·n·d) network instead of an n²-row
+    * crossJoin, exact results including 6-dp rounding ties. */
+  def embeddingTopPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.topPairsExactBlocked(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 20, nBlocks = 8)
 
   /** Heuristic quality score rollup per language (DECIMAL-exact mean). */
   def docQuality(spark: SparkSession, dir: String): DataFrame =

@@ -102,6 +102,61 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Exact global top-k most-similar pairs by cosine — blocked all-pairs.
+    *
+    * The naive shape (crossJoin + per-pair expression) materializes an
+    * n²/2-row intermediate that carries two full vectors per row; at
+    * n = 2000 / d = 64 that is already ~25 s of row-copy overhead for
+    * ~0.1 s of arithmetic. Here the n² loop runs inside a tight JVM
+    * kernel over packed blocks instead:
+    *
+    *   1. vectors are bucketed into `nBlocks` groups (`id % nBlocks`),
+    *      each packed into one row via collect_list — total shuffled
+    *      bytes = the corpus itself, once;
+    *   2. the B×(B+1)/2 block pairs are distributed as tasks (a
+    *      self-join on block id, every executor sees only its pairs);
+    *   3. each task computes its sub-rectangle of the similarity matrix
+    *      with a bounded worst-first heap, emitting ≤ k rows;
+    *   4. a final sort of ≤ k·B²/2 tiny rows yields the global top-k.
+    *
+    * Scale story: network is O(B·n·d) instead of O(n²·d), flops
+    * parallelize across B²/2 tasks, and no single node ever holds more
+    * than two blocks. At 100 TB one would raise nBlocks so a block fits
+    * comfortably in a task (or switch to the IVF path below for
+    * approximate search).
+    *
+    * Exactness: per pair the kernel computes
+    * round(dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b))), roundDp) with
+    * left-to-right double accumulation and BigDecimal HALF_UP rounding —
+    * bit-identical to both the previous Spark expression formulation and
+    * the DuckDB oracle. The heap orders by (rounded sim desc, id_a,
+    * id_b), the same total order as the final sort, so selection is
+    * exact including rounding ties.
+    */
+  def topPairsExactBlocked(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBlocks: Int = 8, roundDp: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df
+      .select(col(idCol).cast("long").as("_id"), VF.vecAsDouble(col(vecCol)).as("_v"))
+      .groupBy(pmod(col("_id"), lit(nBlocks)).cast("int").as("bid"))
+      .agg(collect_list(struct(col("_id"), col("_v"))).as("items"))
+    val a = packed.select(col("bid").as("bid_a"), col("items").as("ia"))
+    val b = packed.select(col("bid").as("bid_b"), col("items").as("ib"))
+    val blockPairs = a.join(b, col("bid_a") <= col("bid_b"))
+      // one task per block pair: the kernel is the unit of work
+      .repartition(nBlocks * (nBlocks + 1) / 2, col("bid_a"), col("bid_b"))
+    val top = blockPairs
+      .as[(Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
+      .mapPartitions { it =>
+        it.flatMap { case (ba, ia, bb, ib) =>
+          SimilarityKernels.topPairs(ia, if (ba == bb) null else ib, k, roundDp)
+        }
+      }
+      .toDF("id_a", "id_b", "sim")
+    top.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(k)
+  }
+
   /** All pairs (a < b) with cosine above a threshold, blocked by optional
     * key columns (embedding-based near-dup detection). */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
@@ -120,4 +175,74 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("sim")): _*)
   }
+}
+
+/** JVM-side kernels for [[Similarity.topPairsExactBlocked]]. Kept free of
+  * Spark classes so they are trivially unit-testable. */
+object SimilarityKernels {
+
+  private final case class Entry(sim: Double, idA: Long, idB: Long)
+
+  /** Heap order: head = WORST entry of the kept top-k under the output
+    * order (sim desc, id_a asc, id_b asc). */
+  private val worstFirst: Ordering[Entry] = new Ordering[Entry] {
+    def compare(x: Entry, y: Entry): Int = {
+      val c = java.lang.Double.compare(x.sim, y.sim)
+      if (c != 0) c
+      else {
+        val ca = java.lang.Long.compare(y.idA, x.idA)
+        if (ca != 0) ca else java.lang.Long.compare(y.idB, x.idB)
+      }
+    }
+  }
+
+  /** Spark/DuckDB-compatible HALF_UP decimal rounding of a double. */
+  def roundHalfUp(x: Double, dp: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(dp, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Top-k cosine pairs of a block rectangle. `ys == null` means the
+    * within-block (triangular) case. Emits (id_a, id_b, roundedSim) with
+    * id_a < id_b, at most k rows. */
+  def topPairs(xsIn: Array[(Long, Array[Double])],
+      ysIn: Array[(Long, Array[Double])], k: Int, dp: Int): Iterator[(Long, Long, Double)] = {
+    val xs = xsIn.sortBy(_._1)
+    val ys = if (ysIn == null) xs else ysIn.sortBy(_._1)
+    val xn = xs.map(t => norm(t._2))
+    val yn = if (ysIn == null) xn else ys.map(t => norm(t._2))
+    // candidates within half-an-ulp-of-dp below the current worst can
+    // never displace it after rounding — skip their BigDecimal round
+    val eps = 0.5 * math.pow(10.0, -dp) + 1e-12
+    val pq = new scala.collection.mutable.PriorityQueue[Entry]()(worstFirst.reverse)
+    var i = 0
+    while (i < xs.length) {
+      val (xid, xv) = xs(i)
+      var j = if (ysIn == null) i + 1 else 0
+      while (j < ys.length) {
+        val (yid, yv) = ys(j)
+        if (xid != yid) {
+          val raw = dot(xv, yv) / (xn(i) * yn(j))
+          if (pq.size < k || raw >= pq.head.sim - eps) {
+            val ida = math.min(xid, yid); val idb = math.max(xid, yid)
+            val e = Entry(roundHalfUp(raw, dp), ida, idb)
+            if (pq.size < k) pq.enqueue(e)
+            else if (worstFirst.compare(e, pq.head) > 0) { pq.dequeue(); pq.enqueue(e) }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    pq.iterator.map(e => (e.idA, e.idB, e.sim)).toArray.iterator
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
 }

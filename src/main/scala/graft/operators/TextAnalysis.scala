@@ -51,12 +51,15 @@ object TextAnalysis {
     * no driver-side model object, so it scales to any corpus size. */
   def langIdByTrigramProfile(df: DataFrame, idCol: String, textCol: Column,
       labelCol: String, profileSize: Int = 50): DataFrame = {
-    // materialize normalized text first: shingling references it per
-    // element, and only a multi-use column reference escapes Catalyst's
-    // projection inlining (a raw regexp_replace would re-run per shingle)
+    graft.expressions.TextExprs.register(df.sparkSession)
+    // single-pass codegen kernel for the distinct trigrams (the
+    // transform+array_distinct formulation interprets a lambda per char),
+    // CACHED because both the train and classify phases scan it — without
+    // the cache Catalyst recomputes the explode subtree twice
     val grams = df.withColumn("_norm", TF.normalizeWs(textCol))
       .select(col(idCol), col(labelCol),
-        explode(array_distinct(TF.charShinglesOfNormalized(col("_norm"), 3))).as("g"))
+        explode(graft.expressions.TextExprs.distinct_char_ngrams(col("_norm"), 3)).as("g"))
+      .cache()
     // train: per-label top trigrams
     val profile = grams.groupBy(col(labelCol).as("plabel"), col("g"))
       .agg(count(lit(1)).as("n"))

@@ -61,6 +61,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("blocked top-pairs equals the expression formulation exactly") {
+    import graft.expressions.VectorExprs
+    VectorExprs.register(spark)
+    val emb = vectors.select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorExprs.vec_dot(col("v"), col("v"))))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val reference = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorExprs.vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(17)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val blocked = Similarity.topPairsExactBlocked(vectors, "vec_id", "embedding",
+        k = 17, nBlocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(blocked == reference)
+  }
+
+  test("blocked top-pairs handles rounding ties deterministically") {
+    // many identical vectors → all pairwise sims round to 1.0; selection
+    // must then be by (id_a, id_b) ascending, exactly like the SQL order
+    val df = (0 until 12).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topPairsExactBlocked(df, "vec_id", "embedding", k = 5, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
+  }
+
   test("cosinePairsAbove finds planted identical pair") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)),
