@@ -87,9 +87,10 @@ object SparkEntry {
         max(col("ts")).as("last_ts_us"))
       .orderBy("event_type")
 
-  /** G1 sessionization: break on >600s gap or event_type change
-    * (aggregation/spans.py:113-249 re-expressed as gaps-and-islands). */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  /** Session rollup without the output ordering — shared by [[sessions]]
+    * (which presents it sorted) and [[sessionStats]] (a global aggregate,
+    * where a total sort would be pure waste). */
+  private def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     Sessionize.withSessions(e, Seq("user_id"), "ts", Seq("event_id"),
         GapUs, changeCols = Seq("event_type"))
@@ -100,8 +101,12 @@ object SparkEntry {
         max(col("ts")).as("end_us"),
         min(col("event_type")).as("event_type"), // constant within session
         dsum(col("value")).as("total_value"))
-      .orderBy("user_id", "session_seq")
   }
+
+  /** G1 sessionization: break on >600s gap or event_type change
+    * (aggregation/spans.py:113-249 re-expressed as gaps-and-islands). */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionAgg(spark, dir).orderBy("user_id", "session_seq")
 
   /** A7/A8 interval union coverage per user (coverage.py:19-80). */
   def intervalUnion(spark: SparkSession, dir: String): DataFrame =
@@ -304,30 +309,19 @@ object SparkEntry {
 
   /** N-gram (word-bigram) Jaccard: top-20 most-similar same-language
     * document pairs — exact. Each doc's shingle set is a sorted array of
-    * 64-bit hashes; per-pair overlap is a codegen'd two-pointer merge.
-    * (An inverted-index join is the alternative when shingle document
-    * frequencies are low; this corpus shares a tiny vocabulary, making
-    * Σdf² worse than n²·merge, so the dense shape wins here.) */
+    * 64-bit hashes; the all-pairs merge runs inside the blocked kernel
+    * ([[graft.operators.Dedup.jaccardTopPairsBlocked]]), never as an
+    * n²-row join. (An inverted-index join is the alternative when shingle
+    * document frequencies are low; this corpus shares a tiny vocabulary,
+    * making Σdf² worse than n²·merge, so the dense shape wins here.) */
   def jaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    graft.expressions.HashFunctions.register(spark)
-    import graft.expressions.HashFunctions.sorted_intersect_count
+    graft.expressions.TextExprs.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), TF.tokens(col("text")).as("tk"))
       .select(col("lang"), col("doc_id"),
-        array_distinct(TF.wordShinglesOfTokens(col("tk"), 2)).as("sh"))
-      .withColumn("hsh", array_sort(transform(col("sh"), s => xxhash64(s))))
-      .withColumn("sz", size(col("sh")))
-      .drop("sh")
-      .cache() // reused as both join sides
-    val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a"))
-    val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b"))
-    a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
-      .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
-      .withColumn("jac",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .select("lang", "id_a", "id_b", "jac")
-      .orderBy(col("jac").desc, col("id_a"), col("id_b"))
-      .limit(20)
+        graft.expressions.TextExprs.xx_sorted_hash(
+          graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), 2)).as("hsh"))
+    Dedup.jaccardTopPairsBlocked(docs, "lang", "doc_id", "hsh", k = 20, nBlocks = 8)
   }
 
   /** Embedding near-dup: top-20 vector pairs by cosine (a < b).
@@ -383,7 +377,7 @@ object SparkEntry {
   /** A21/A22 segment statistics over generated sessions (children per
     * parent, duration stats, in-range %). */
   def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    val s = sessions(spark, dir)
+    val s = sessionAgg(spark, dir)
       .withColumn("dur_us", col("end_us") - col("start_us"))
     s.agg(
       count(lit(1)).as("n_sessions"),
@@ -435,14 +429,20 @@ object SparkEntry {
   def adjacencyCounts(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("ts"))
     val tolUs = 3600L * 1000 * 1000
-    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
-    val b = e.select(col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"))
-    a.join(b, Seq("user_id"))
-      .filter(col("id_a") =!= col("id_b") &&
-        abs(col("ts_a") - col("ts_b")) <= tolUs)
+    // RANGE-frame window instead of the band self-join: one sorted pass
+    // per user (two-pointer frame) counts each event's in-tolerance
+    // neighbors, so cost is O(n log n + Σ neighbors) rather than the
+    // join's O(n·k) row materialization. event_id is unique, so
+    // "count(DISTINCT a.event_id)" degenerates to "events with ≥1
+    // neighbor", and ordered-pair count = Σ (frame size − 1).
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-tolUs, tolUs)
+    e.withColumn("n_nbr", count(lit(1)).over(w) - 1)
       .groupBy("user_id")
-      .agg(countDistinct(col("id_a")).as("n_with_neighbor"),
-        count(lit(1)).as("n_adjacent_pairs"))
+      .agg(
+        sum(when(col("n_nbr") > 0, 1L).otherwise(0L)).as("n_with_neighbor"),
+        sum(col("n_nbr")).as("n_adjacent_pairs"))
+      .filter(col("n_adjacent_pairs") > 0) // join shape emits no row for pairless users
       .orderBy("user_id")
   }
 

@@ -44,6 +44,61 @@ object TextKernels {
   }
 }
 
+object ShingleKernels {
+
+  /** Distinct word n-gram shingles of a token array, space-joined,
+    * first-occurrence order — one pass over the tokens instead of the
+    * interpreted transform(sequence…slice…concat_ws) + array_distinct
+    * chain (which allocates a lambda frame and a sliced array per
+    * shingle). */
+  def distinctWordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements() - (n - 1)
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[String](toks.numElements())
+    var i = 0
+    while (i < words.length) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Ascending-sorted xxhash64 (Spark seed 42) of each string element —
+    * the sorted-long-set encoding used for exact set-intersection counts.
+    * Matches `array_sort(transform(a, s -> xxhash64(s)))` exactly. */
+  def xxSortedHash(arr: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = hs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Codegen-friendly distinct-char-ngram expression (n fixed at plan time). */
 case class DistinctCharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -54,13 +109,45 @@ case class DistinctCharNgramsExpr(child: Expression, n: Int) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Distinct word-ngram shingles over a token-array column. */
+case class DistinctWordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.distinctWordNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleKernels.distinctWordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Sorted xxhash64 array of a string array (set-intersection encoding). */
+case class XxSortedHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.xxSortedHash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleKernels.xxSortedHash($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExprs {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_distinct_char_ngrams",
       es => DistinctCharNgramsExpr(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_distinct_word_ngrams",
+      es => DistinctWordNgramsExpr(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_xx_sorted_hash", es => XxSortedHashExpr(es(0)), "built-in")
+  }
 
   /** Requires [[register]] on the executing session. */
   def distinct_char_ngrams(s: Column, n: Int): Column =
     call_function("graft_distinct_char_ngrams", s, org.apache.spark.sql.functions.lit(n))
+
+  def distinct_word_ngrams(toks: Column, n: Int): Column =
+    call_function("graft_distinct_word_ngrams", toks, org.apache.spark.sql.functions.lit(n))
+
+  def xx_sorted_hash(a: Column): Column = call_function("graft_xx_sorted_hash", a)
 }

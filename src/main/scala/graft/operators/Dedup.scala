@@ -87,27 +87,27 @@ object Dedup {
       shingleWords: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    // materialize tokens before shingling (per-element lambda must read an
-    // attribute, not re-split the text), then CACHE: the banding union and
+    // single-pass shingle kernel (the transform+slice+concat_ws chain
+    // interprets a lambda per shingle), then CACHE: the banding union and
     // the two verification joins would otherwise re-evaluate the
     // shingle+hash subtree ~10x across the plan
+    val spark = df.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    graft.expressions.TextExprs.register(spark)
+    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
+      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
     val shingled = df
       .select(col(idCol), TF.tokens(textCol).as("tk"))
       .select(col(idCol),
-        array_distinct(
-          if (shingleWords <= 1) col("tk")
-          else TF.wordShinglesOfTokens(col("tk"), shingleWords)).as("sh"))
+        (if (shingleWords <= 1) array_distinct(col("tk"))
+         else graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords)).as("sh"))
       .filter(size(col("sh")) > 0) // shingle-less docs can't be near-dups
-    val spark = df.sparkSession
-    graft.expressions.HashFunctions.register(spark)
-    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
-      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
     val sig = shingled
       .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
       .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
       // sorted 64-bit shingle hashes: exact-Jaccard verification becomes a
       // codegen'd two-pointer merge instead of string-array intersection
-      .withColumn("hsh", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
       .withColumn("sz", size(col("sh")))
       .cache()
     val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol)
@@ -121,6 +121,40 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** Exact global top-k most-similar pairs by n-gram Jaccard within a
+    * blocking key — the blocked-all-pairs shape of
+    * [[graft.operators.Similarity.topPairsExactBlocked]] applied to set
+    * overlap. Input must carry a sorted-long-hash encoding of each doc's
+    * distinct shingle set (see [[graft.expressions.TextExprs.xx_sorted_hash]]).
+    * Per block pair a tight two-pointer kernel scores its rectangle and
+    * keeps a bounded heap, so the n²-row join row-copy never happens;
+    * jac = |∩| / (|A|+|B|−|∩|) is one double division of exact ints —
+    * bit-identical to the SQL formulation, ties and all. */
+  def jaccardTopPairsBlocked(df: DataFrame, keyCol: String, idCol: String,
+      sortedHashCol: String, k: Int, nBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df
+      .groupBy(col(keyCol).as("_key"), pmod(col(idCol), lit(nBlocks)).cast("int").as("bid"))
+      .agg(collect_list(struct(col(idCol).cast("long"), col(sortedHashCol))).as("items"))
+    val a = packed.select(col("_key"), col("bid").as("bid_a"), col("items").as("ia"))
+    val b = packed.select(col("_key").as("_kb"), col("bid").as("bid_b"), col("items").as("ib"))
+    val blockPairs = a.join(b, col("_key") === col("_kb") && col("bid_a") <= col("bid_b"))
+      .select(col("_key"), col("bid_a"), col("ia"), col("bid_b"), col("ib"))
+      .repartition(col("_key"), col("bid_a"), col("bid_b"))
+    val top = blockPairs
+      .as[(String, Int, Array[(Long, Array[Long])], Int, Array[(Long, Array[Long])])]
+      .mapPartitions { it =>
+        it.flatMap { case (key, ba, ia, bb, ib) =>
+          JaccardKernels.topPairs(ia, if (ba == bb) null else ib, k).map {
+            case (idA, idB, jac) => (key, idA, idB, jac)
+          }
+        }
+      }
+      .toDF(keyCol, "id_a", "id_b", "jac")
+    top.orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(k)
   }
 
   private val SimhashBits = 30 // fits in polyHash's mod-1e9+7 range
@@ -144,7 +178,8 @@ object Dedup {
 
   /** SimHash near-dup pair counts within a blocking key: pairs at Hamming
     * distance ≤ maxDist. (At scale, replace the blocked self-join with
-    * 4-chunk pigeonhole banding on the fingerprint.) */
+    * 4-chunk pigeonhole banding on the fingerprint.)
+    * See also [[JaccardKernels]] for the blocked top-k variant. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, fpCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
     val a = df.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col(fpCol).as("fp_a")): _*)
@@ -153,5 +188,62 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
       .filter(col("dist") <= maxDist)
+  }
+}
+
+/** JVM-side kernels for [[Dedup.jaccardTopPairsBlocked]]. */
+object JaccardKernels {
+
+  private final case class Entry(jac: Double, idA: Long, idB: Long)
+
+  /** Heap order: head = WORST kept entry under (jac desc, id_a, id_b). */
+  private val worstFirst: Ordering[Entry] = new Ordering[Entry] {
+    def compare(x: Entry, y: Entry): Int = {
+      val c = java.lang.Double.compare(x.jac, y.jac)
+      if (c != 0) c
+      else {
+        val ca = java.lang.Long.compare(y.idA, x.idA)
+        if (ca != 0) ca else java.lang.Long.compare(y.idB, x.idB)
+      }
+    }
+  }
+
+  /** Top-k Jaccard pairs of a block rectangle over sorted-hash sets;
+    * `ys == null` means the within-block triangular case. */
+  def topPairs(xsIn: Array[(Long, Array[Long])],
+      ysIn: Array[(Long, Array[Long])], k: Int): Iterator[(Long, Long, Double)] = {
+    val xs = xsIn.sortBy(_._1)
+    val ys = if (ysIn == null) xs else ysIn.sortBy(_._1)
+    val pq = new scala.collection.mutable.PriorityQueue[Entry]()(worstFirst.reverse)
+    var i = 0
+    while (i < xs.length) {
+      val (xid, xh) = xs(i)
+      var j = if (ysIn == null) i + 1 else 0
+      while (j < ys.length) {
+        val (yid, yh) = ys(j)
+        if (xid != yid) {
+          val inter = sortedIntersect(xh, yh)
+          val jac = inter.toDouble / (xh.length + yh.length - inter)
+          if (pq.size < k || jac >= pq.head.jac) {
+            val e = Entry(jac, math.min(xid, yid), math.max(xid, yid))
+            if (pq.size < k) pq.enqueue(e)
+            else if (worstFirst.compare(e, pq.head) > 0) { pq.dequeue(); pq.enqueue(e) }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    pq.iterator.map(e => (e.idA, e.idB, e.jac)).toArray.iterator
+  }
+
+  private def sortedIntersect(x: Array[Long], y: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    c
   }
 }
