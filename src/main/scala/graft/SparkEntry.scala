@@ -503,6 +503,208 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** F2/F3 validity split: first-match rule classification with the
+    * error taxonomy as rows, not exceptions (validator.py:171-342).
+    * At scale this is the one-pass variant of "filter valid + collect
+    * errors": a single scan feeds both consumers. */
+  def validationSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("rule",
+        when(col("l_quantity") <= 0, "bad_quantity")
+          .when(col("l_discount") > 0.08, "high_discount")
+          .when(col("l_tax") > 0.06, "high_tax")
+          .when(col("l_shipdate").isNull, "missing_shipdate")
+          .otherwise("valid"))
+      .groupBy("rule")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("rule")
+
+  /** A10 timestamp monotonicity: per-user interval regressions where the
+    * previous interval's end overruns the next start
+    * (integrity.py:26-151). */
+  def monotonicity(spark: SparkSession, dir: String): DataFrame = {
+    val iv = eventIntervals(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("s_us"), col("e_us"), col("event_id"))
+    iv.withColumn("prev_e", lag(col("e_us"), 1).over(w))
+      .withColumn("reg", when(col("prev_e") > col("s_us"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("reg")).as("n_regressions"),
+        round(lit(100.0) * sum(col("reg")) / count(lit(1)), 4).as("regression_pct"))
+      .filter(col("n_regressions") > 0)
+      .orderBy("user_id")
+  }
+
+  /** A5 length compliance: % of documents within [100,400] chars per
+    * language (distribution.py:111-215; we report 4-dp percentages
+    * instead of the reference's force-sum-to-100 rounding). */
+  def lengthCompliance(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = (100, 400)
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(lit(100.0) * sum(when(col("n_chars") >= lo && col("n_chars") <= hi, 1).otherwise(0))
+          / count(lit(1)), 4).as("pct_in_range"),
+        round(lit(100.0) * sum(when(col("n_chars") < lo, 1).otherwise(0))
+          / count(lit(1)), 4).as("pct_short"),
+        round(lit(100.0) * sum(when(col("n_chars") > hi, 1).otherwise(0))
+          / count(lit(1)), 4).as("pct_long"))
+      .orderBy("lang")
+  }
+
+  /** A18 punctuation ratio per language: punct chars / non-ws chars,
+    * decimal-exact mean of the per-doc ratios (text_quality.py:280-391). */
+  def punctRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pr", TF.punctRatio(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("pr").cast("decimal(20,12)")).cast("double") / count(lit(1))).as("avg_punct_ratio"),
+        round(min(col("pr")), 6).as("min_punct_ratio"),
+        round(max(col("pr")), 6).as("max_punct_ratio"))
+      .orderBy("lang")
+
+  /** C9-family date handling: orders rolled up by calendar year. */
+  def dateRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("total_price"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      .orderBy("order_year")
+
+  /** A20 weighted share: fraction of quantity contributed by returned
+    * lines per linestatus (speaker_roles.py:344-420's token-weighted
+    * expert coverage, re-keyed). */
+  def weightedShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("total_qty"),
+        sum(when(col("l_returnflag") === "R", dec2(col("l_quantity"))).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("returned_qty"))
+      .withColumn("returned_share", col("returned_qty") / col("total_qty"))
+      .orderBy("l_linestatus")
+
+  /** E4 order-preserving dedup: each user's distinct event types in
+    * first-occurrence order (speaker_roles.py:323-329's speakers_set). */
+  def typeSequence(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_types"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("first_ts"), col("event_type")))),
+          s => s.getField("event_type"))).as("type_seq"))
+      .orderBy("user_id")
+
+  /** As-of join (window formulation): each purchase matched to the most
+    * recent click at-or-before it, per user. The classic union+running-max
+    * shape — one sort, no join blowup, the scalable way to do as-of at
+    * 100 TB (beyond the reference, which has no as-of operator). */
+  def asofLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    // at equal ts, clicks sort before purchases so "at-or-before" holds
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_click", max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("last_click")).as("n_matched"),
+        sum(col("ts") - col("last_click")).as("total_lag_us"),
+        max(col("ts") - col("last_click")).as("max_lag_us"))
+      .orderBy("user_id")
+  }
+
+  /** CUBE aggregation: all grain combinations of (returnflag, linestatus)
+    * (engine capability beyond the reference's flat GROUP BYs). */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Relational pivot: per user-bucket counts of each event type as
+    * columns (Spark's groupBy.pivot with an explicit value list, so no
+    * extra distinct-values job runs). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)).cast("int"))
+      .groupBy("bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("bucket")
+  }
+
+  /** ntile quartiles of event values per type: the frame-free ranking
+    * window the reference never needed but an analytics engine must have. */
+  def valueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    e.withColumn("q", ntile(4).over(w))
+      .groupBy("event_type", "q")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        dsum(col("value")).as("sum_v"))
+      .orderBy("event_type", "q")
+  }
+
+  /** V8/V9 label leakage: % of each query's top-5 cosine neighbors that
+    * share the query's label, averaged per label (embedding.py:699-910).
+    * Fully SQL-expressible here because embeddings are data, not model
+    * output. */
+  def labelLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"), col("label"))
+    val q = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("label").as("nlabel"))
+    val knn = graft.operators.Similarity.topKExact(
+      q.select("query_id", "qv"), c.select("neighbor_id", "nv"), 5)
+    knn
+      .join(q.select("query_id", "qlabel"), "query_id")
+      .join(c.select("neighbor_id", "nlabel"), "neighbor_id")
+      .groupBy(col("qlabel").cast("long").as("label"))
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        round(lit(100.0) * sum(when(col("qlabel") === col("nlabel"), 1).otherwise(0))
+          / count(lit(1)), 4).as("same_label_pct"))
+      .orderBy("label")
+  }
+
+  /** JSON property extraction: stats over a JSON-string column (S2's
+    * schemaless-payload handling — metadata keys survive as JSON). */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+
   // ---- driver contract ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -541,6 +743,19 @@ object SparkEntry {
     "q33_running_aggs" -> runningAggregates _,
     "q34_embedding_stats" -> embeddingStats _,
     "q35_length_bias" -> lengthBias _,
+    "q36_validation_split" -> validationSplit _,
+    "q37_monotonicity" -> monotonicity _,
+    "q38_length_compliance" -> lengthCompliance _,
+    "q39_punct_ratio" -> punctRatio _,
+    "q40_date_rollup" -> dateRollup _,
+    "q41_weighted_share" -> weightedShare _,
+    "q42_type_sequence" -> typeSequence _,
+    "q43_asof_lag" -> asofLag _,
+    "q44_cube" -> cubeSummary _,
+    "q45_pivot_counts" -> pivotCounts _,
+    "q46_value_quartiles" -> valueQuartiles _,
+    "q47_label_leakage" -> labelLeakage _,
+    "q48_json_stats" -> jsonStats _,
   )
 
   private val stopwordsSqlList: String =
@@ -1033,5 +1248,155 @@ object SparkEntry {
         |  round(corr(CAST(n_chars AS DOUBLE), nrm), 6) AS len_norm_corr
         |FROM documents d JOIN e ON d.doc_id = e.vec_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q36_validation_split" ->
+      """WITH c AS (
+        |  SELECT *, CASE WHEN l_quantity <= 0 THEN 'bad_quantity'
+        |    WHEN l_discount > 0.08 THEN 'high_discount'
+        |    WHEN l_tax > 0.06 THEN 'high_tax'
+        |    WHEN l_shipdate IS NULL THEN 'missing_shipdate'
+        |    ELSE 'valid' END AS rule FROM lineitem
+        |)
+        |SELECT rule, count(*) AS n, min(l_orderkey) AS min_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM c GROUP BY rule ORDER BY rule""".stripMargin,
+
+    "q37_monotonicity" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id,
+        |    lag(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id) AS prev_e,
+        |    s_us
+        |  FROM iv
+        |), r AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN prev_e > s_us THEN 1 ELSE 0 END) AS BIGINT) AS n_regressions
+        |  FROM l GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, n_regressions,
+        |  round(100.0 * n_regressions / n_events, 4) AS regression_pct
+        |FROM r WHERE n_regressions > 0 ORDER BY user_id""".stripMargin,
+
+    "q38_length_compliance" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(100.0 * sum(CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END) / count(*), 4) AS pct_in_range,
+        |  round(100.0 * sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) / count(*), 4) AS pct_short,
+        |  round(100.0 * sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) / count(*), 4) AS pct_long
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q39_punct_ratio" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / length(regexp_replace(text, '\s', '', 'g')) END AS pr
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(pr AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS avg_punct_ratio,
+        |  round(min(pr), 6) AS min_punct_ratio,
+        |  round(max(pr), 6) AS max_punct_ratio
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q40_date_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "q41_weighted_share" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS returned_share
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q42_type_sequence" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts
+        |  FROM events GROUP BY user_id, event_type
+        |)
+        |SELECT user_id, count(*) AS n_types,
+        |  string_agg(event_type, ',' ORDER BY first_ts, event_type) AS type_seq
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q43_asof_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS last_click
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  count(last_click) AS n_matched,
+        |  CAST(sum(ts - last_click) AS BIGINT) AS total_lag_us,
+        |  max(ts - last_click) AS max_lag_us
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q44_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q45_pivot_counts" ->
+      """SELECT CAST(user_id % 10 AS INTEGER) AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q46_value_quartiles" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INTEGER) AS q
+        |  FROM events
+        |)
+        |SELECT event_type, q, count(*) AS n,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM t GROUP BY event_type, q ORDER BY event_type, q""".stripMargin,
+
+    "q47_label_leakage" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |    c.vec_id AS neighbor_id, c.label AS nlabel,
+        |    round(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT CAST(qlabel AS BIGINT) AS label,
+        |  count(DISTINCT query_id) AS n_queries,
+        |  round(100.0 * sum(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) / count(*), 4) AS same_label_pct
+        |FROM r WHERE rnk <= 5 GROUP BY qlabel ORDER BY label""".stripMargin,
+
+    "q48_json_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
