@@ -285,25 +285,39 @@ object SparkEntry {
         "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** SimHash 30-bit fingerprints per document (near-dup sketching). */
-  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+  /** SimHash 30-bit fingerprints per document (near-dup sketching).
+    * One-pass codegen kernel ([[graft.expressions.HashKernels.simhashBits]])
+    * instead of the 30-aggregate HOF chain — same values. */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.{HashFunctions => HF}
     Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.simhash(TF.tokens(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        HF.simhash_bits(HF.poly_hash_array(TF.tokens(col("text"))), 30).as("fp"))
       .orderBy("doc_id")
+  }
 
-  /** SimHash near-dup summary per language block: pair count at
-    * Hamming ≤ 8 and the minimum pairwise distance. */
+  /** SimHash near-dup summary per language block: pair count at Hamming ≤ 8
+    * and the minimum candidate distance (NULL when a language has no pair
+    * within 8). Candidates come from pigeonhole banding
+    * ([[graft.operators.Dedup.simhashNearDupPairs]]): an equi-join on
+    * (lang, chunk_id, chunk_val) — exact for the ≤ 8 contract, and no
+    * n²-row self-join even when one language dominates the corpus. */
   def simhashPairStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.{HashFunctions => HF}
     val fps = Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), Dedup.simhash(TF.tokens(col("text"))).as("fp"))
-    val a = fps.select(col("lang"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
-    val b = fps.select(col("lang"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", Dedup.hamming(col("fp_a"), col("fp_b")))
-      .groupBy("lang")
-      .agg(
-        sum(when(col("dist") <= 8, 1L).otherwise(0L)).as("n_pairs_le8"),
-        min(col("dist")).cast("long").as("min_dist"))
+      .select(col("lang"), col("doc_id"),
+        HF.simhash_bits(HF.poly_hash_array(TF.tokens(col("text"))), 30).as("fp"))
+    val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "fp", Seq("lang"), maxDist = 8)
+    val perLang = pairs.groupBy("lang").agg(
+      count(lit(1)).as("n_pairs_le8"),
+      min(col("dist")).cast("long").as("min_dist"))
+    Tables.documents(spark, dir).select("lang").distinct()
+      .join(perLang, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("n_pairs_le8"), lit(0L)).as("n_pairs_le8"),
+        col("min_dist"))
       .orderBy("lang")
   }
 
@@ -1047,12 +1061,18 @@ object SparkEntry {
         |SELECT doc_id, fp FROM fps ORDER BY doc_id""".stripMargin,
 
     "q21_simhash_pairs" ->
-      s"""WITH $simhashFpCte
-        |SELECT a.lang AS lang,
-        |  CAST(sum(CASE WHEN bit_count(xor(a.fp, b.fp)) <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_le8,
-        |  CAST(min(bit_count(xor(a.fp, b.fp))) AS BIGINT) AS min_dist
-        |FROM fps a JOIN fps b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |GROUP BY a.lang ORDER BY lang""".stripMargin,
+      s"""WITH $simhashFpCte,
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |cand AS (
+        |  SELECT a.lang AS lang, bit_count(xor(a.fp, b.fp)) AS dist
+        |  FROM fps a JOIN fps b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 8
+        |)
+        |SELECT l.lang AS lang,
+        |  CAST(count(c.dist) AS BIGINT) AS n_pairs_le8,
+        |  CAST(min(c.dist) AS BIGINT) AS min_dist
+        |FROM langs l LEFT JOIN cand c ON l.lang = c.lang
+        |GROUP BY l.lang ORDER BY lang""".stripMargin,
 
     "q22_jaccard_topk" ->
       s"""WITH t0 AS (

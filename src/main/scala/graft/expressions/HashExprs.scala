@@ -59,6 +59,28 @@ object HashKernels {
     else new GenericArrayData(out.map(Long.box(_): Any))
   }
 
+  /** SimHash fold over an array<long> of base hashes: bit i of the result
+    * is set iff Σ_h (bit i of h ? +1 : −1) > 0. One pass over the hashes —
+    * the HOF formulation interprets `bits` aggregate lambdas per row. */
+  def simhashBits(hs: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < bits) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
   /** |A ∩ B| for two ASCENDING-sorted long arrays (two-pointer merge). */
   def sortedIntersectCount(x: ArrayData, y: ArrayData): Long = {
     var i = 0; var j = 0; var c = 0L
@@ -108,6 +130,16 @@ case class MinhashSlotsExpr(child: Expression, a: Array[Long], b: Array[Long])
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** One-pass SimHash fingerprint over an array<long> of base hashes. */
+case class SimhashBitsExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhashBits(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhashBits($c, $bits)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Intersection size of two sorted array<long> columns — the fast exact
   * set-overlap primitive behind n-gram Jaccard at scale. */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
@@ -122,6 +154,26 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared helpers for temp-function builders. */
+object ExprArgs {
+  /** Evaluate a plan-time-constant integer argument. Accepts any foldable
+    * integral expression (SQL callers may pass BIGINT literals, DuckDB
+    * style); rejects non-foldable args with a clear error instead of
+    * evaluating against a null input row. */
+  def litInt(e: Expression, fn: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: argument must be a constant integer, got ${e.sql}")
+    e.eval() match {
+      case i: Int   => i
+      case l: Long  => l.toInt
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$fn: argument must be an integer, got $other")
+    }
+  }
+}
+
 object HashFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -129,6 +181,8 @@ object HashFunctions {
     reg.createOrReplaceTempFunction("graft_poly_hash_array", e => PolyHashArrayExpr(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       e => SortedIntersectCountExpr(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_bits",
+      e => SimhashBitsExpr(e(0), ExprArgs.litInt(e(1), "graft_simhash_bits")), "built-in")
   }
 
   def registerMinhash(spark: SparkSession, name: String, a: Array[Long], b: Array[Long]): Unit =
@@ -139,4 +193,6 @@ object HashFunctions {
   def poly_hash_array(c: Column): Column = call_function("graft_poly_hash_array", c)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_count", a, b)
+  def simhash_bits(hs: Column, bits: Int): Column =
+    call_function("graft_simhash_bits", hs, org.apache.spark.sql.functions.lit(bits))
 }

@@ -134,10 +134,12 @@ object TextExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_distinct_char_ngrams",
-      es => DistinctCharNgramsExpr(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+      es => DistinctCharNgramsExpr(es(0), ExprArgs.litInt(es(1), "graft_distinct_char_ngrams")),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "graft_distinct_word_ngrams",
-      es => DistinctWordNgramsExpr(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+      es => DistinctWordNgramsExpr(es(0), ExprArgs.litInt(es(1), "graft_distinct_word_ngrams")),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "graft_xx_sorted_hash", es => XxSortedHashExpr(es(0)), "built-in")
   }

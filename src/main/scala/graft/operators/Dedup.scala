@@ -106,10 +106,14 @@ object Dedup {
       .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
       .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
       // sorted 64-bit shingle hashes: exact-Jaccard verification becomes a
-      // codegen'd two-pointer merge instead of string-array intersection
+      // codegen'd two-pointer merge instead of string-array intersection.
+      // localCheckpoint (not cache) because the banding union and the two
+      // verification joins re-scan this subtree ~10x: same reuse, but the
+      // blocks are freed by the ContextCleaner when the plan is dropped,
+      // instead of pinning executor storage for the session's lifetime
       .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
       .withColumn("sz", size(col("sh")))
-      .cache()
+      .localCheckpoint(false)
     val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol)
     val withSets = cand
       .join(sig.select(col(idCol).as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a")), "id_a")
@@ -133,11 +137,17 @@ object Dedup {
     * jac = |∩| / (|A|+|B|−|∩|) is one double division of exact ints —
     * bit-identical to the SQL formulation, ties and all. */
   def jaccardTopPairsBlocked(df: DataFrame, keyCol: String, idCol: String,
-      sortedHashCol: String, k: Int, nBlocks: Int = 8): DataFrame = {
+      sortedHashCol: String, k: Int, nBlocks: Int = 8,
+      maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
+    Guards.requireAtMost(df, maxRows, "jaccardTopPairsBlocked",
+      "switch to minhashNearDups (MinHash-LSH) for the approximate regime")
     val spark = df.sparkSession
     import spark.implicits._
     val packed = df
-      .groupBy(col(keyCol).as("_key"), pmod(col(idCol), lit(nBlocks)).cast("int").as("bid"))
+      // keyCol is carried through the typed kernel as a string; cast here
+      // so non-string blocking keys (int partition ids) work too
+      .groupBy(col(keyCol).cast("string").as("_key"),
+        pmod(col(idCol), lit(nBlocks)).cast("int").as("bid"))
       .agg(collect_list(struct(col(idCol).cast("long"), col(sortedHashCol))).as("items"))
     val a = packed.select(col("_key"), col("bid").as("bid_a"), col("items").as("ia"))
     val b = packed.select(col("_key").as("_kb"), col("bid").as("bid_b"), col("items").as("ib"))
@@ -173,21 +183,58 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** 64-bit SimHash over xxhash64(token) — the production-width variant.
+    * Wider fingerprints make pigeonhole banding selective (64 bits at
+    * maxDist ≤ 8 gives 7-bit chunks); the 30-bit [[simhash]] exists for
+    * cross-engine oracle replay, this one for scale. Requires
+    * [[graft.expressions.HashFunctions.register]] on the session. */
+  def simhash64(tokens: Column): Column =
+    graft.expressions.HashFunctions.simhash_bits(transform(tokens, t => xxhash64(t)), 64)
+
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pair counts within a blocking key: pairs at Hamming
-    * distance ≤ maxDist. (At scale, replace the blocked self-join with
-    * 4-chunk pigeonhole banding on the fingerprint.)
-    * See also [[JaccardKernels]] for the blocked top-k variant. */
+  /** SimHash near-dup pairs within a blocking key: all pairs at Hamming
+    * distance ≤ maxDist, by PIGEONHOLE BANDING instead of an all-pairs
+    * self-join. The fingerprint is split into maxDist+1 bit chunks; a pair
+    * within maxDist differs in ≤ maxDist bits, which can touch at most
+    * maxDist chunks, so the pair must agree on ≥ 1 whole chunk. Candidates
+    * are therefore recovered EXACTLY by an equi-join on
+    * (block…, chunk_id, chunk_val) and verified with one popcount.
+    *
+    * Scale story: the shuffle key gains (chunk_id, chunk_val), so a skewed
+    * block (one dominant language — the 100 TB norm) spreads over
+    * (maxDist+1)·2^w sub-keys instead of landing on one reducer, and no
+    * n²-row join ever appears in the plan. Banding selectivity is 2^w per
+    * chunk where w ≈ bits/(maxDist+1): at the 30-bit oracle-replayable
+    * width chunks are 3-4 bits (skew-free but dense candidates); prefer
+    * [[simhash64]] at scale, whose 7-bit chunks cut candidates ~10×. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, fpCol: String,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val a = df.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col(fpCol).as("fp_a")): _*)
-    val b = df.select((blockCols.map(col) :+ col(idCol).as("id_b") :+ col(fpCol).as("fp_b")): _*)
-    a.join(b, blockCols)
+      blockCols: Seq[String], maxDist: Int, bits: Int = SimhashBits): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, s"maxDist must be in [0, $bits)")
+    val nChunks = maxDist + 1
+    val bounds = (0 to nChunks).map(i => (i.toLong * bits) / nChunks)
+    val chunkStructs = (0 until nChunks).map { i =>
+      val lo = bounds(i).toInt
+      val w = (bounds(i + 1) - bounds(i)).toInt
+      struct(lit(i).as("chunk_id"),
+        shiftright(col(fpCol), lo).bitwiseAND(lit((1L << w) - 1L)).as("chunk_val"))
+    }
+    val chunked = df
+      .select((blockCols.map(col) :+ col(idCol) :+ col(fpCol) :+
+        explode(array(chunkStructs: _*)).as("_c")): _*)
+      .select((blockCols.map(col) :+ col(idCol) :+ col(fpCol) :+
+        col("_c.chunk_id").as("chunk_id") :+ col("_c.chunk_val").as("chunk_val")): _*)
+    val a = chunked.select((blockCols.map(col) ++ Seq(col("chunk_id"), col("chunk_val"),
+      col(idCol).as("id_a"), col(fpCol).as("fp_a"))): _*)
+    val b = chunked.select((blockCols.map(col) ++ Seq(col("chunk_id"), col("chunk_val"),
+      col(idCol).as("id_b"), col(fpCol).as("fp_b"))): _*)
+    a.join(b, blockCols ++ Seq("chunk_id", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
       .filter(col("dist") <= maxDist)
+      .select((blockCols.map(col) ++ Seq(col("id_a"), col("id_b"), col("dist"))): _*)
+      .distinct() // a pair may agree on several chunks
   }
 }
 
@@ -221,7 +268,10 @@ object JaccardKernels {
       var j = if (ysIn == null) i + 1 else 0
       while (j < ys.length) {
         val (yid, yh) = ys(j)
-        if (xid != yid) {
+        // union == 0 (two shingle-less docs) would give 0/0 = NaN, which
+        // sorts FIRST under desc — degenerate pairs would crowd out real
+        // ones. Such docs can't be near-dups; skip the pair.
+        if (xid != yid && xh.length + yh.length > 0) {
           val inter = sortedIntersect(xh, yh)
           val jac = inter.toDouble / (xh.length + yh.length - inter)
           if (pq.size < k || jac >= pq.head.jac) {

@@ -134,7 +134,10 @@ object Similarity {
     * exact including rounding ties.
     */
   def topPairsExactBlocked(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, nBlocks: Int = 8, roundDp: Int = 6): DataFrame = {
+      k: Int, nBlocks: Int = 8, roundDp: Int = 6,
+      maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
+    Guards.requireAtMost(df, maxRows, "topPairsExactBlocked",
+      "switch to the IVF path (trainIvfCentroids + topKIvf) for the approximate regime")
     val spark = df.sparkSession
     import spark.implicits._
     val packed = df
@@ -221,7 +224,10 @@ object SimilarityKernels {
       var j = if (ysIn == null) i + 1 else 0
       while (j < ys.length) {
         val (yid, yv) = ys(j)
-        if (xid != yid) {
+        // a zero-norm vector gives raw = 0/0 = NaN, which sorts FIRST under
+        // desc (Double.compare) — degenerate pairs would crowd out real
+        // ones. Cosine is undefined for the zero vector; skip the pair.
+        if (xid != yid && xn(i) > 0.0 && yn(j) > 0.0) {
           val raw = dot(xv, yv) / (xn(i) * yn(j))
           if (pq.size < k || raw >= pq.head.sim - eps) {
             val ida = math.min(xid, yid); val idb = math.max(xid, yid)

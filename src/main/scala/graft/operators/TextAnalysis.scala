@@ -53,13 +53,16 @@ object TextAnalysis {
       labelCol: String, profileSize: Int = 50): DataFrame = {
     graft.expressions.TextExprs.register(df.sparkSession)
     // single-pass codegen kernel for the distinct trigrams (the
-    // transform+array_distinct formulation interprets a lambda per char),
-    // CACHED because both the train and classify phases scan it — without
-    // the cache Catalyst recomputes the explode subtree twice
+    // transform+array_distinct formulation interprets a lambda per char).
+    // localCheckpoint (not cache) because both the train and classify
+    // phases scan it: same reuse, but the blocks are freed by the
+    // ContextCleaner once the plan is dropped instead of pinning executor
+    // storage for the session's lifetime. At 100 TB this becomes an
+    // explicit materialized table.
     val grams = df.withColumn("_norm", TF.normalizeWs(textCol))
       .select(col(idCol), col(labelCol),
         explode(graft.expressions.TextExprs.distinct_char_ngrams(col("_norm"), 3)).as("g"))
-      .cache()
+      .localCheckpoint(false)
     // train: per-label top trigrams
     val profile = grams.groupBy(col(labelCol).as("plabel"), col("g"))
       .agg(count(lit(1)).as("n"))

@@ -56,4 +56,74 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.hamming(col("a"), col("b"))).first().getInt(0)
     assert(d == java.lang.Long.bitCount(5L ^ 3L))
   }
+
+  test("simhash kernel expression matches the HOF formulation") {
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.{HashFunctions => HF}
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, ""))
+      .toDF("doc_id", "text")
+    val both = df.select(
+      Dedup.simhash(TF.tokens(col("text"))).as("hof"),
+      HF.simhash_bits(HF.poly_hash_array(TF.tokens(col("text"))), 30).as("kernel"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("banded simhash pairs == brute-force pairs on adversarial fingerprints") {
+    // fingerprints planted at distances straddling the threshold, plus a
+    // pseudo-random cloud; brute force is the ground truth
+    val rng = new scala.util.Random(7)
+    val planted = Seq(
+      0L, 1L << 3, (1L << 3) | (1L << 17) | (1L << 29), // dist 1 and 3 from 0
+      0x3FFFFFFFL, 0x3FFFFFFFL ^ 0xFFL)                 // far from 0, dist 8 apart
+    val fps = planted ++ Seq.fill(60)(rng.nextLong() & 0x3FFFFFFFL)
+    val df = fps.zipWithIndex.map { case (fp, i) => (i.toLong, fp, "blk") }
+      .toDF("id", "fp", "key")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (maxDist <- Seq(0, 1, 4, 8)) {
+      val banded = pairSet(
+        Dedup.simhashNearDupPairs(df, "id", "fp", Seq("key"), maxDist))
+      val brute = (for {
+        (a, i) <- fps.zipWithIndex; (b, j) <- fps.zipWithIndex
+        if i < j && java.lang.Long.bitCount(a ^ b) <= maxDist
+      } yield (i.toLong, j.toLong, java.lang.Long.bitCount(a ^ b))).toSet
+      assert(banded == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  test("banded simhash plan contains no all-pairs join (equi-join on chunk key)") {
+    val df = Seq((1L, 5L, "x"), (2L, 7L, "x")).toDF("id", "fp", "key")
+    val plan = Dedup.simhashNearDupPairs(df, "id", "fp", Seq("key"), maxDist = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("chunk_id") && plan.contains("chunk_val"))
+  }
+
+  test("jaccard kernel skips shingle-less docs instead of emitting NaN pairs") {
+    val a: Array[Long] = Array()
+    val items: Array[(Long, Array[Long])] =
+      Array((1L, a), (2L, a), (3L, Array(10L, 20L)), (4L, Array(10L, 20L, 30L)))
+    val top = JaccardKernels.topPairs(items, null, k = 10).toSeq
+    assert(top.forall(!_._3.isNaN))
+    assert(top.exists { case (x, y, _) => x == 3L && y == 4L })
+    // the empty-empty pair (1,2) must not appear
+    assert(!top.exists { case (x, y, _) => x == 1L && y == 2L })
+  }
+
+  test("jaccardTopPairsBlocked accepts a non-string blocking key") {
+    graft.expressions.TextExprs.register(spark)
+    val df = Seq((1L, 7, Array(1L, 2L, 3L)), (2L, 7, Array(2L, 3L, 4L)))
+      .toDF("doc_id", "blk", "hsh")
+    val out = Dedup.jaccardTopPairsBlocked(df, "blk", "doc_id", "hsh", k = 5)
+    assert(out.count() == 1)
+  }
+
+  test("size guard refuses oversized exact-pair inputs") {
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      lit(7).as("blk"), array(lit(1L)).as("hsh"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardTopPairsBlocked(df, "blk", "doc_id", "hsh", k = 5, maxRows = 50)
+    }
+    assert(e.getMessage.contains("guard"))
+  }
 }

@@ -89,6 +89,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
   }
 
+  test("zero-norm vectors are excluded from blocked top-pairs (no NaN)") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)), // zero vector: cosine undefined
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 2.0f, 3.0f)),
+      (4L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topPairsExactBlocked(df, "vec_id", "embedding", k = 3, nBlocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(!_._3.isNaN))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((3L, 4L)))
+  }
+
+  test("size guard refuses oversized exact-pair inputs") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topPairsExactBlocked(vectors, "vec_id", "embedding", k = 5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("IVF"))
+  }
+
   test("cosinePairsAbove finds planted identical pair") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)),
