@@ -719,6 +719,53 @@ object SparkEntry {
         (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
       .orderBy("event_type")
 
+  /** Validation check suite (F9/F10/F6): PK uniqueness, null keys, FK
+    * cardinality + orphan detection, NaN/Inf — every per-row counter
+    * fused into ONE aggregation job per table, plus one anti-join per FK
+    * ([[graft.validation.Validation]]; reference checks.py:401-607). */
+  def validationChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.validation.Validation
+    import graft.validation.Validation.TableSpec
+    val specs = Seq(
+      TableSpec("orders",
+        primaryKeys = Seq(Seq("o_orderkey")),
+        foreignKeys = Seq(("o_custkey", "customer", "c_custkey")),
+        idCols = Seq("o_orderkey", "o_custkey")),
+      TableSpec("lineitem",
+        primaryKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+        foreignKeys = Seq(("l_orderkey", "orders", "o_orderkey")),
+        idCols = Seq("l_orderkey")),
+      TableSpec("events", primaryKeys = Seq(Seq("event_id"))))
+    val tables = Map(
+      "orders" -> Tables.orders(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "events" -> Tables.events(spark, dir),
+      "customer" -> Tables.customer(spark, dir))
+    Validation.validateAll(tables, specs)
+  }
+
+  /** A15 series balance: per-series rollup + largest/smallest ratio
+    * (reference balance.py:211-367; `source` plays the series role). */
+  def seriesBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perSeries = docs.groupBy(col("source").as("series"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        countDistinct(col("lang")).as("lang_count"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+    val total = Window.partitionBy()
+    perSeries
+      .withColumn("doc_percent",
+        round(lit(100.0) * col("doc_count") / sum(col("doc_count")).over(total), 2))
+      .withColumn("balance_ratio",
+        round(max(col("doc_count")).over(total).cast("double")
+          / min(col("doc_count")).over(total), 2))
+      .select("series", "doc_count", "doc_percent", "lang_count",
+        "total_chars", "avg_chars", "balance_ratio")
+      .orderBy(col("doc_count").desc, col("series"))
+  }
+
   // ---- driver contract ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -770,6 +817,8 @@ object SparkEntry {
     "q46_value_quartiles" -> valueQuartiles _,
     "q47_label_leakage" -> labelLeakage _,
     "q48_json_stats" -> jsonStats _,
+    "q49_validation_checks" -> validationChecks _,
+    "q50_series_balance" -> seriesBalance _,
   )
 
   private val stopwordsSqlList: String =
@@ -1418,5 +1467,93 @@ object SparkEntry {
         |  min(k) AS min_k, max(k) AS max_k,
         |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q49_validation_checks" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS id_nulls_okey,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS id_nulls_ckey,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_okey,
+        |    count(DISTINCT o_custkey) AS fk_card_ckey,
+        |    sum(CASE WHEN isnan(o_totalprice) THEN 1 ELSE 0 END) AS nan_tp,
+        |    sum(CASE WHEN isinf(o_totalprice) THEN 1 ELSE 0 END) AS inf_tp
+        |  FROM orders
+        |), l AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS id_nulls_okey,
+        |    count(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL THEN 1 END)
+        |      - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk,
+        |    count(DISTINCT l_orderkey) AS fk_card_okey,
+        |    sum(CASE WHEN isnan(l_quantity) THEN 1 ELSE 0 END) AS nan_qty,
+        |    sum(CASE WHEN isinf(l_quantity) THEN 1 ELSE 0 END) AS inf_qty,
+        |    sum(CASE WHEN isnan(l_extendedprice) THEN 1 ELSE 0 END) AS nan_ep,
+        |    sum(CASE WHEN isinf(l_extendedprice) THEN 1 ELSE 0 END) AS inf_ep,
+        |    sum(CASE WHEN isnan(l_discount) THEN 1 ELSE 0 END) AS nan_disc,
+        |    sum(CASE WHEN isinf(l_discount) THEN 1 ELSE 0 END) AS inf_disc,
+        |    sum(CASE WHEN isnan(l_tax) THEN 1 ELSE 0 END) AS nan_tax,
+        |    sum(CASE WHEN isinf(l_tax) THEN 1 ELSE 0 END) AS inf_tax
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS id_nulls_eid,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS id_nulls_uid,
+        |    count(event_id) - count(DISTINCT event_id) AS dup_eid,
+        |    sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS nan_val,
+        |    sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS inf_val
+        |  FROM events
+        |), orph_o AS (
+        |  SELECT count(*) AS m FROM orders oo
+        |  WHERE oo.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = oo.o_custkey)
+        |), orph_l AS (
+        |  SELECT count(*) AS m FROM lineitem li
+        |  WHERE li.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)
+        |), checks AS (
+        |  SELECT 'orders' AS table_name, 'non_empty_table' AS check_name, 'error' AS severity, n_rows > 0 AS passed, n_rows AS metric FROM o
+        |  UNION ALL SELECT 'orders', 'id_nulls_o_orderkey', 'error', id_nulls_okey = 0, id_nulls_okey FROM o
+        |  UNION ALL SELECT 'orders', 'id_nulls_o_custkey', 'error', id_nulls_ckey = 0, id_nulls_ckey FROM o
+        |  UNION ALL SELECT 'orders', 'id_duplicates_o_orderkey', 'error', dup_okey = 0, dup_okey FROM o
+        |  UNION ALL SELECT 'orders', 'id_foreign_key_o_custkey', 'info', TRUE, fk_card_ckey FROM o
+        |  UNION ALL SELECT 'orders', 'numeric_nans_o_totalprice', 'error', nan_tp = 0, nan_tp FROM o
+        |  UNION ALL SELECT 'orders', 'numeric_inf_o_totalprice', 'error', inf_tp = 0, inf_tp FROM o
+        |  UNION ALL SELECT 'orders', 'referential_integrity_o_custkey', 'error', m = 0, m FROM orph_o
+        |  UNION ALL SELECT 'lineitem', 'non_empty_table', 'error', n_rows > 0, n_rows FROM l
+        |  UNION ALL SELECT 'lineitem', 'id_nulls_l_orderkey', 'error', id_nulls_okey = 0, id_nulls_okey FROM l
+        |  UNION ALL SELECT 'lineitem', 'id_duplicates_l_orderkey_l_linenumber', 'error', dup_pk = 0, dup_pk FROM l
+        |  UNION ALL SELECT 'lineitem', 'id_foreign_key_l_orderkey', 'info', TRUE, fk_card_okey FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_nans_l_quantity', 'error', nan_qty = 0, nan_qty FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_inf_l_quantity', 'error', inf_qty = 0, inf_qty FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_nans_l_extendedprice', 'error', nan_ep = 0, nan_ep FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_inf_l_extendedprice', 'error', inf_ep = 0, inf_ep FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_nans_l_discount', 'error', nan_disc = 0, nan_disc FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_inf_l_discount', 'error', inf_disc = 0, inf_disc FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_nans_l_tax', 'error', nan_tax = 0, nan_tax FROM l
+        |  UNION ALL SELECT 'lineitem', 'numeric_inf_l_tax', 'error', inf_tax = 0, inf_tax FROM l
+        |  UNION ALL SELECT 'lineitem', 'referential_integrity_l_orderkey', 'error', m = 0, m FROM orph_l
+        |  UNION ALL SELECT 'events', 'non_empty_table', 'error', n_rows > 0, n_rows FROM e
+        |  UNION ALL SELECT 'events', 'id_nulls_event_id', 'error', id_nulls_eid = 0, id_nulls_eid FROM e
+        |  UNION ALL SELECT 'events', 'id_nulls_user_id', 'error', id_nulls_uid = 0, id_nulls_uid FROM e
+        |  UNION ALL SELECT 'events', 'id_duplicates_event_id', 'error', dup_eid = 0, dup_eid FROM e
+        |  UNION ALL SELECT 'events', 'numeric_nans_value', 'error', nan_val = 0, nan_val FROM e
+        |  UNION ALL SELECT 'events', 'numeric_inf_value', 'error', inf_val = 0, inf_val FROM e
+        |)
+        |SELECT table_name, check_name, severity, passed, CAST(metric AS BIGINT) AS metric
+        |FROM checks ORDER BY table_name, check_name""".stripMargin,
+
+    "q50_series_balance" ->
+      """WITH s AS (
+        |  SELECT source AS series, count(*) AS doc_count,
+        |    count(DISTINCT lang) AS lang_count,
+        |    sum(n_chars) AS total_chars, round(avg(n_chars), 2) AS avg_chars
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT series, CAST(doc_count AS BIGINT) AS doc_count,
+        |  round(100.0 * doc_count / sum(doc_count) OVER (), 2) AS doc_percent,
+        |  CAST(lang_count AS BIGINT) AS lang_count,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  avg_chars,
+        |  round(CAST(max(doc_count) OVER () AS DOUBLE) / min(doc_count) OVER (), 2) AS balance_ratio
+        |FROM s ORDER BY doc_count DESC, series""".stripMargin,
   )
 }

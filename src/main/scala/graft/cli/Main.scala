@@ -70,6 +70,34 @@ object Main {
           spark.read.parquet(s"$base/beats"), episodes)
         println(Quality.renderMarkdown(a))
 
+      case "validate" =>
+        val Array(_, base) = args.take(2)
+        import graft.validation.Validation
+        import graft.core.Schemas
+        def maybe(p: String) =
+          if (new java.io.File(p).exists) Some(spark.read.parquet(p)) else None
+        val tables = Seq(
+          "utterances" -> s"$base/normalized",
+          "spans" -> s"$base/spans",
+          "beats" -> s"$base/beats",
+          "sections" -> s"$base/sections",
+          "embeddings" -> s"$base/span_embeddings/embeddings.parquet")
+          .flatMap { case (n, p) => maybe(p).map(n -> _) }.toMap
+        val specs = Validation.lakehouseSpecs.filter(s => tables.contains(s.name))
+        val schemas = Map(
+          "utterances" -> Schemas.utterance, "spans" -> Schemas.span,
+          "beats" -> Schemas.beat, "sections" -> Schemas.section,
+          "embeddings" -> Schemas.embedding)
+        val checks = Validation.validateAll(tables, specs, schemas).cache()
+        try {
+          val failed = checks.filter(!col("passed"))
+          if (!failed.isEmpty) failed.show(200, truncate = false)
+          val s = Validation.summarize(checks).first()
+          println(s"validation: ${s.getAs[Long]("passed_checks")}/${s.getAs[Long]("total_checks")} " +
+            s"checks passed (errors=${s.getAs[Long]("errors")}, warnings=${s.getAs[Long]("warnings")})")
+          if (s.getAs[Long]("errors") > 0) sys.exit(1)
+        } finally checks.unpersist()
+
       case "snapshot" =>
         val Array(_, base, out, version) = args.take(4)
         val m = Snapshot.create(spark, base, out, version,
@@ -86,6 +114,7 @@ object Main {
       |  ingest <inputDir> <lakeDir>
       |  materialize <lakeDir>
       |  catalog <lakeDir>
+      |  validate <lakeDir>
       |  quality <lakeDir>
       |  snapshot <lakeDir> <snapshotsDir> <version>""".stripMargin)
 }

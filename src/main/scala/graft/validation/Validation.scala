@@ -1,0 +1,256 @@
+package graft.validation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality validation check suite — the engine behind the
+  * `validate` CLI command (reference: src/lakehouse/validation/checks.py,
+  * cli/commands/validate.py:66).
+  *
+  * Check families (reference line refs):
+  *   - non-empty / required-fields / schema       (checks.py:122-228)
+  *   - timestamp nulls / monotonic / negative     (checks.py:231-322)
+  *   - text nulls / empties / length stats        (checks.py:325-398)
+  *   - ID nulls, PK uniqueness, FK cardinality    (checks.py:401-479)
+  *   - referential integrity, incl. DEEP child-ID (checks.py:482-551 —
+  *     the reference only null-checks the array column; here orphans are
+  *     found for real via explode + LEFT ANTI join against the child table)
+  *   - numeric NaN / Inf                          (checks.py:554-607)
+  *
+  * Scale design: the reference runs one pandas pass per check (~20 scans
+  * of each table). Here every per-row counter — null IDs, PK duplicate
+  * rows, FK cardinality, NaN/Inf, negative/inverted timestamps, empty
+  * text — folds into ONE aggregation job per table (duplicate rows via
+  * count − count_distinct, both distributed hash aggregates), and only
+  * the referential checks add joins, each an equi-shuffle or broadcast
+  * on the key being checked. Validating a 100 TB table costs one scan
+  * plus one join per FK/child-array constraint.
+  *
+  * Check rows come back as a DataFrame (table_name, check_name, severity,
+  * passed, metric) so downstream gating/reporting is itself relational.
+  */
+object Validation {
+
+  /** What to validate on one table. Column lists default to
+    * schema-driven auto-detection (same heuristics as the reference:
+    * `*_id` columns, float/double numerics, start/end time pairs). */
+  final case class TableSpec(
+      name: String,
+      /** Each entry is one primary key, possibly composite. */
+      primaryKeys: Seq[Seq[String]] = Nil,
+      /** (fkCol, parentName, parentKeyCol): every non-null fkCol value
+        * must exist in parent[parentKeyCol]. */
+      foreignKeys: Seq[(String, String, String)] = Nil,
+      /** (arrayCol, childName, childKeyCol): every element of arrayCol
+        * must exist in child[childKeyCol] — deep referential integrity. */
+      childArrays: Seq[(String, String, String)] = Nil,
+      /** Extra key columns to null-check beyond the `*_id` auto-detection
+        * (TPC-H-style names like `o_orderkey` need this). */
+      idCols: Seq[String] = Nil)
+
+  val CheckSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("check_name", StringType, nullable = false),
+    StructField("severity", StringType, nullable = false),
+    StructField("passed", BooleanType, nullable = false),
+    StructField("metric", LongType, nullable = true)))
+
+  private def idColumns(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filter(_.endsWith("_id"))
+
+  private def floatingColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq.collect {
+      case StructField(n, DoubleType | FloatType, _, _) => n
+    }
+
+  private def timeColumns(df: DataFrame): Seq[String] =
+    Seq("start_time", "end_time", "start", "end").filter(df.columns.contains)
+
+  private def timePair(df: DataFrame): Option[(String, String)] =
+    if (df.columns.contains("start_time") && df.columns.contains("end_time"))
+      Some(("start_time", "end_time"))
+    else if (df.columns.contains("start") && df.columns.contains("end"))
+      Some(("start", "end"))
+    else None
+
+  private def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+  /** All single-pass checks for a table: one aggregation job computing
+    * every counter, unpivoted to check rows. */
+  def counterChecks(df: DataFrame, spec: TableSpec): DataFrame = {
+    val ids = (idColumns(df) ++ spec.idCols.filter(df.columns.contains)).distinct
+    val pkCols = spec.primaryKeys.filter(_.forall(df.columns.contains))
+    val floats = floatingColumns(df)
+    val times = timeColumns(df)
+    val hasText = df.columns.contains("text")
+
+    // (aggName -> aggExpr) pairs, then checks reference agg outputs
+    val aggs = Seq.newBuilder[Column]
+    val checks = Seq.newBuilder[(String, String, Column)] // (name, severity, passedExpr) with metric col _m_<name>
+    def add(name: String, severity: String, agg: Column, passed: Column): Unit = {
+      aggs += agg.cast("long").as(s"_m_$name")
+      checks += ((name, severity, passed))
+    }
+    def m(name: String): Column = col(s"_m_$name")
+
+    add("non_empty_table", "error", count(lit(1)), m("non_empty_table") > 0)
+    ids.foreach { c =>
+      add(s"id_nulls_$c", "error", cnt(col(c).isNull), m(s"id_nulls_$c") === 0)
+    }
+    pkCols.foreach { pk =>
+      val name = s"id_duplicates_${pk.mkString("_")}"
+      // duplicate rows beyond the first of each group = non-null rows −
+      // distinct keys; both sides are one distributed hash aggregate
+      val nonNull = cnt(pk.map(col(_).isNotNull).reduce(_ && _))
+      val dup = nonNull - count_distinct(col(pk.head), pk.tail.map(col): _*)
+      add(name, "error", dup, m(name) === 0)
+    }
+    spec.foreignKeys.foreach { case (fk, _, _) =>
+      // FKs may repeat; report cardinality (reference checks.py:469-477)
+      add(s"id_foreign_key_$fk", "info", count_distinct(col(fk)), lit(true))
+    }
+    floats.foreach { c =>
+      add(s"numeric_nans_$c", "error", cnt(isnan(col(c))), m(s"numeric_nans_$c") === 0)
+      add(s"numeric_inf_$c", "error",
+        cnt(col(c) === Double.PositiveInfinity || col(c) === Double.NegativeInfinity),
+        m(s"numeric_inf_$c") === 0)
+    }
+    times.foreach { c =>
+      add(s"timestamp_nulls_$c", "error", cnt(col(c).isNull), m(s"timestamp_nulls_$c") === 0)
+      add(s"timestamp_negative_$c", "error", cnt(col(c) < 0), m(s"timestamp_negative_$c") === 0)
+    }
+    timePair(df).foreach { case (s, e) =>
+      add("timestamp_monotonic", "error", cnt(col(s) > col(e)), m("timestamp_monotonic") === 0)
+    }
+    if (hasText) {
+      add("text_nulls", "error", cnt(col("text").isNull), m("text_nulls") === 0)
+      add("text_empty", "warning", cnt(length(col("text")) === 0), m("text_empty") === 0)
+    }
+
+    val aggList = aggs.result()
+    val agged = df.agg(aggList.head, aggList.tail: _*)
+    val rows = checks.result().map { case (name, severity, passed) =>
+      struct(
+        lit(spec.name).as("table_name"),
+        lit(name).as("check_name"),
+        lit(severity).as("severity"),
+        coalesce(passed, lit(true)).as("passed"), // empty-table aggs → null counters
+        m(name).as("metric"))
+    }
+    agged.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+  }
+
+  /** Scalar-FK orphan check: non-null FK values missing from the parent
+    * key set (LEFT ANTI join on the FK — broadcast when the parent is a
+    * dimension, shuffle-on-key otherwise; Catalyst/AQE picks). */
+  def fkOrphanCheck(child: DataFrame, childName: String, fkCol: String,
+      parent: DataFrame, parentKeyCol: String): DataFrame = {
+    val orphans = child.select(col(fkCol)).filter(col(fkCol).isNotNull)
+      .join(parent.select(col(parentKeyCol).as(fkCol)), Seq(fkCol), "left_anti")
+    orphans.agg(count(lit(1)).cast("long").as("metric"))
+      .select(
+        lit(childName).as("table_name"),
+        lit(s"referential_integrity_$fkCol").as("check_name"),
+        lit("error").as("severity"),
+        (col("metric") === 0).as("passed"),
+        col("metric"))
+  }
+
+  /** DEEP referential integrity over a child-ID array column: explode the
+    * array and anti-join the child table's key (the check the reference
+    * stubs out with a null test — checks.py:496-498 "would need to be
+    * checked against the utterances table"). Also counts null arrays. */
+  def childArrayOrphanCheck(parent: DataFrame, parentName: String, arrayCol: String,
+      child: DataFrame, childKeyCol: String): DataFrame = {
+    val exploded = parent.select(explode(col(arrayCol)).as("_cid"))
+    val orphans = exploded
+      .join(child.select(col(childKeyCol).as("_cid")), Seq("_cid"), "left_anti")
+    val orphanRow = orphans.agg(count(lit(1)).cast("long").as("metric"))
+      .select(
+        lit(parentName).as("table_name"),
+        lit(s"referential_orphans_$arrayCol").as("check_name"),
+        lit("error").as("severity"),
+        (col("metric") === 0).as("passed"),
+        col("metric"))
+    val nullRow = parent.agg(cnt(col(arrayCol).isNull).cast("long").as("metric"))
+      .select(
+        lit(parentName).as("table_name"),
+        lit(s"referential_integrity_$arrayCol").as("check_name"),
+        lit("error").as("severity"),
+        (col("metric") === 0).as("passed"),
+        col("metric"))
+    orphanRow.unionByName(nullRow)
+  }
+
+  /** Schema compliance: required fields present with compatible types
+    * (checks.py:150-228). Driver-side — schemas are metadata. */
+  def schemaChecks(df: DataFrame, spec: TableSpec, expected: StructType): DataFrame = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = expected.fields.count(f => !actual.contains(f.name))
+    val mistyped = expected.fields.count(f =>
+      actual.get(f.name).exists(_ != f.dataType))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(
+      (spec.name, "required_fields", "error", missing == 0, missing.toLong),
+      (spec.name, "schema_compliance", "error", mistyped == 0, mistyped.toLong))
+      .toDF("table_name", "check_name", "severity", "passed", "metric")
+  }
+
+  /** Full check suite for one table (against its related tables). */
+  def validateTable(df: DataFrame, spec: TableSpec,
+      related: Map[String, DataFrame] = Map.empty,
+      expectedSchema: Option[StructType] = None): DataFrame = {
+    val parts = Seq.newBuilder[DataFrame]
+    parts += counterChecks(df, spec)
+    expectedSchema.foreach(s => parts += schemaChecks(df, spec, s))
+    spec.foreignKeys.foreach { case (fk, parentName, parentKey) =>
+      related.get(parentName).foreach { parent =>
+        parts += fkOrphanCheck(df, spec.name, fk, parent, parentKey)
+      }
+    }
+    spec.childArrays.foreach { case (arr, childName, childKey) =>
+      related.get(childName).foreach { child =>
+        parts += childArrayOrphanCheck(df, spec.name, arr, child, childKey)
+      }
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
+  /** Validate a set of tables against their specs; FK/child references
+    * resolve within the set. Returns all check rows, deterministically
+    * ordered. */
+  def validateAll(tables: Map[String, DataFrame], specs: Seq[TableSpec],
+      expectedSchemas: Map[String, StructType] = Map.empty): DataFrame =
+    specs.map { spec =>
+      validateTable(tables(spec.name), spec, tables - spec.name,
+        expectedSchemas.get(spec.name))
+    }.reduce(_.unionByName(_))
+      .orderBy("table_name", "check_name")
+
+  /** The lakehouse's own artifact tables wired with their PK/FK/child-array
+    * constraints (schemas.py:12-93; ids are C3's deterministic IDs). */
+  def lakehouseSpecs: Seq[TableSpec] = Seq(
+    TableSpec("utterances", primaryKeys = Seq(Seq("utterance_id"))),
+    TableSpec("spans",
+      primaryKeys = Seq(Seq("span_id")),
+      foreignKeys = Seq(("episode_id", "utterances", "episode_id")),
+      childArrays = Seq(("utterance_ids", "utterances", "utterance_id"))),
+    TableSpec("beats",
+      primaryKeys = Seq(Seq("beat_id")),
+      childArrays = Seq(("span_ids", "spans", "span_id"))),
+    TableSpec("sections",
+      primaryKeys = Seq(Seq("section_id")),
+      childArrays = Seq(("beat_ids", "beats", "beat_id"))),
+    TableSpec("embeddings", primaryKeys = Seq(Seq("artifact_id"))))
+
+  /** Summary counts (reference ValidationReport.summary, checks.py:98-119). */
+  def summarize(checks: DataFrame): DataFrame =
+    checks.agg(
+      count(lit(1)).as("total_checks"),
+      cnt(col("passed")).as("passed_checks"),
+      cnt(!col("passed")).as("failed_checks"),
+      cnt(!col("passed") && col("severity") === "error").as("errors"),
+      cnt(!col("passed") && col("severity") === "warning").as("warnings"))
+}

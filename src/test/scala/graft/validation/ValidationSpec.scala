@@ -1,0 +1,146 @@
+package graft.validation
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.validation.Validation.TableSpec
+
+/** Planted-violation tests for the validation check suite (reference
+  * pattern: tests/test_validation.py plants dups/nulls/orphans and
+  * asserts each check catches them). */
+class ValidationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def checkMap(df: org.apache.spark.sql.DataFrame): Map[String, (Boolean, Option[Long])] =
+    df.collect().map { r =>
+      r.getAs[String]("check_name") ->
+        ((r.getAs[Boolean]("passed"),
+          Option(r.getAs[java.lang.Long]("metric")).map(_.longValue())))
+    }.toMap
+
+  test("PK duplicates and null IDs are counted") {
+    val df = Seq(
+      Some("a"), Some("a"), Some("a"), Some("b"), None
+    ).toDF("span_id")
+    val checks = checkMap(Validation.counterChecks(df, TableSpec("t",
+      primaryKeys = Seq(Seq("span_id")))))
+    // 3 'a' rows → 2 duplicate rows beyond the first; 1 null id
+    assert(checks("id_duplicates_span_id") == ((false, Some(2L))))
+    assert(checks("id_nulls_span_id") == ((false, Some(1L))))
+    assert(checks("non_empty_table") == ((true, Some(5L))))
+  }
+
+  test("composite PK uniqueness") {
+    val df = Seq((1L, 1), (1L, 2), (1L, 1)).toDF("order_id", "line")
+    val checks = checkMap(Validation.counterChecks(df, TableSpec("t",
+      primaryKeys = Seq(Seq("order_id", "line")))))
+    assert(checks("id_duplicates_order_id_line") == ((false, Some(1L))))
+  }
+
+  test("NaN and Inf are counted separately; clean doubles pass") {
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 2.0).toDF("duration")
+    val checks = checkMap(Validation.counterChecks(df, TableSpec("t")))
+    assert(checks("numeric_nans_duration") == ((false, Some(1L))))
+    assert(checks("numeric_inf_duration") == ((false, Some(2L))))
+  }
+
+  test("timestamp checks: nulls, negatives, start > end") {
+    val df = Seq(
+      (Some(0.0), Some(10.0)),   // fine
+      (Some(20.0), Some(15.0)),  // inverted
+      (Some(-5.0), Some(1.0)),   // negative start
+      (None: Option[Double], Some(2.0))) // null start
+      .toDF("start_time", "end_time")
+    val checks = checkMap(Validation.counterChecks(df, TableSpec("t")))
+    assert(checks("timestamp_monotonic") == ((false, Some(1L))))
+    assert(checks("timestamp_negative_start_time") == ((false, Some(1L))))
+    assert(checks("timestamp_nulls_start_time") == ((false, Some(1L))))
+    assert(checks("timestamp_nulls_end_time") == ((true, Some(0L))))
+  }
+
+  test("text checks: nulls error, empties warn") {
+    val df = Seq(Some("hi"), Some(""), None).toDF("text")
+    val out = Validation.counterChecks(df, TableSpec("t"))
+    val bySeverity = out.collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[String]("severity")).toMap
+    val checks = checkMap(out)
+    assert(checks("text_nulls") == ((false, Some(1L))) && bySeverity("text_nulls") == "error")
+    assert(checks("text_empty") == ((false, Some(1L))) && bySeverity("text_empty") == "warning")
+  }
+
+  test("empty table fails non_empty_table and nothing else crashes") {
+    val df = Seq.empty[(String, Double)].toDF("span_id", "duration")
+    val checks = checkMap(Validation.counterChecks(df, TableSpec("t",
+      primaryKeys = Seq(Seq("span_id")))))
+    assert(checks("non_empty_table")._1 == false)
+  }
+
+  test("scalar FK orphans found via anti-join") {
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "parent_key")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val row = Validation.fkOrphanCheck(child, "child", "parent_key", parent, "pk").first()
+    assert(!row.getAs[Boolean]("passed") && row.getAs[Long]("metric") == 1L)
+  }
+
+  test("deep referential integrity: child-ID array orphans via explode + anti-join") {
+    val beats = Seq(
+      ("b1", Seq("s1", "s2")),
+      ("b2", Seq("s3", "sX", "sY"))) // 2 orphans
+      .toDF("beat_id", "span_ids")
+    val spans = Seq("s1", "s2", "s3").toDF("span_id")
+    val rows = Validation.childArrayOrphanCheck(beats, "beats", "span_ids", spans, "span_id")
+      .collect().map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Boolean]("passed"), r.getAs[Long]("metric")))).toMap
+    assert(rows("referential_orphans_span_ids") == ((false, 2L)))
+    assert(rows("referential_integrity_span_ids") == ((true, 0L)))
+  }
+
+  test("validateAll on a clean mini-lakehouse has zero failed error checks") {
+    val utterances = Seq(
+      ("u1", "ep1", 0.0, 5.0, "A", "hello there"),
+      ("u2", "ep1", 5.0, 9.0, "B", "general kenobi"))
+      .toDF("utterance_id", "episode_id", "start", "end", "speaker", "text")
+    val spans = Seq(
+      ("s1", "ep1", 0.0, 9.0, 9.0, "hello there general kenobi", Seq("u1", "u2")))
+      .toDF("span_id", "episode_id", "start_time", "end_time", "duration", "text", "utterance_ids")
+    val checks = Validation.validateAll(
+      Map("utterances" -> utterances, "spans" -> spans),
+      Seq(
+        TableSpec("utterances", primaryKeys = Seq(Seq("utterance_id"))),
+        TableSpec("spans", primaryKeys = Seq(Seq("span_id")),
+          foreignKeys = Seq(("episode_id", "utterances", "episode_id")),
+          childArrays = Seq(("utterance_ids", "utterances", "utterance_id")))))
+    val failedErrors = checks.filter(!col("passed") && col("severity") === "error").count()
+    assert(failedErrors == 0)
+    // deep integrity check actually ran
+    assert(checks.filter(col("check_name") === "referential_orphans_utterance_ids").count() == 1)
+  }
+
+  test("summarize counts passed/failed/errors/warnings") {
+    val df = Seq(
+      ("t", "a", "error", true, 0L),
+      ("t", "b", "error", false, 2L),
+      ("t", "c", "warning", false, 1L))
+      .toDF("table_name", "check_name", "severity", "passed", "metric")
+    val s = Validation.summarize(df).first()
+    assert(s.getAs[Long]("total_checks") == 3)
+    assert(s.getAs[Long]("passed_checks") == 1)
+    assert(s.getAs[Long]("failed_checks") == 2)
+    assert(s.getAs[Long]("errors") == 1)
+    assert(s.getAs[Long]("warnings") == 1)
+  }
+
+  test("schema checks flag missing and mistyped columns") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("id", StringType), StructField("v", DoubleType)))
+    val df = Seq((1, "x")).toDF("id", "extra") // id mistyped int, v missing
+    val rows = Validation.schemaChecks(df, TableSpec("t"), expected)
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Boolean]("passed")).toMap
+    assert(rows("required_fields") == false)
+    assert(rows("schema_compliance") == false)
+  }
+}
