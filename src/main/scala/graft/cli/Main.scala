@@ -65,9 +65,11 @@ object Main {
         val utts = spark.read.parquet(s"$base/normalized")
         val episodes = utts.groupBy("episode_id")
           .agg((max(col("end")) - min(col("start"))).as("episode_duration"))
+        val embPath = s"$base/span_embeddings/embeddings.parquet"
+        val emb = if (new java.io.File(embPath).exists) Some(spark.read.parquet(embPath)) else None
         val a = Quality.assess(
           spark.read.parquet(s"$base/spans"),
-          spark.read.parquet(s"$base/beats"), episodes)
+          spark.read.parquet(s"$base/beats"), episodes, Quality.Thresholds(), emb)
         println(Quality.renderMarkdown(a))
 
       case "validate" =>

@@ -98,10 +98,17 @@ object Ingest {
     (normalize(fresh), errors)
   }
 
-  /** Schema-enforced parquet sink (S7): stats/dictionary are Spark
-    * defaults; episode partitioning gives partition pruning downstream. */
-  def writeNormalized(df: DataFrame, outDir: String, overwrite: Boolean = true): Unit =
-    df.write
-      .mode(if (overwrite) "overwrite" else "errorifexists")
-      .parquet(outDir)
+  /** Schema-enforced parquet sink (S7/S8): stats/dictionary are Spark
+    * defaults. Partitioned by episode_id so every downstream per-episode
+    * job (spans, beats, quality drill-downs) prunes to its episode's
+    * files instead of scanning the corpus; `mode = "append"` is the S8
+    * incremental path (new episodes land as new partition directories —
+    * pair with [[ingestIncremental]] so an episode is never appended
+    * twice). Set `partitionByEpisode = false` for tiny corpora where
+    * per-episode files would be smaller than a parquet row group. */
+  def writeNormalized(df: DataFrame, outDir: String, mode: String = "overwrite",
+      partitionByEpisode: Boolean = true): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionByEpisode) w.partitionBy("episode_id") else w).parquet(outDir)
+  }
 }

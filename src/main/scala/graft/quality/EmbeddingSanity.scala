@@ -40,8 +40,12 @@ object EmbeddingSanity {
       .withColumn("hsh", array_sort(transform(array_distinct(col("tk")), t => xxhash64(t))))
       .withColumn("sz", size(col("hsh")))
       .select(col(idCol), col("v"), col("nrm"), col("hsh"), col("sz"))
+    // row_number over the hash order (not monotonically_increasing_id,
+    // which is only consecutive because limit() collapses to one
+    // partition today — row_number is deterministic on any layout)
     val a = sampleByHash(withSets, idCol, 2 * nPairs)
-      .withColumn("rn", monotonically_increasing_id())
+      .withColumn("rn",
+        row_number().over(Window.orderBy(xxhash64(col(idCol)), col(idCol))).cast("long") - 1)
     // deterministic disjoint pairs: consecutive rows in hash order
     val left = a.filter(col("rn") % 2 === 0)
       .select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"),
@@ -86,6 +90,31 @@ object EmbeddingSanity {
         col("q_episode_id") === col("n_episode_id") &&
         abs(col("q_start_time") - col("n_start_time")) <= toleranceS, 1).otherwise(0))
       / count(lit(1))).as("adjacency_bias_pct"))
+
+  /** V10: corr(query segment duration, mean neighbor similarity) — a
+    * strong correlation means the embedding encodes length, not meaning
+    * (FR-27; embedding.py length-bias check). */
+  def lengthBiasCorr(neigh: DataFrame): DataFrame =
+    neigh
+      .groupBy(col("query_id"), (col("q_end_time") - col("q_start_time")).as("dur"))
+      .agg(avg(col("sim")).as("mean_sim"))
+      // corr() spelled out so the zero-variance case (all sampled segments
+      // the same length) yields NULL instead of an ANSI divide-by-zero
+      .agg(
+        covar_samp(col("dur"), col("mean_sim")).as("cv"),
+        stddev_samp(col("dur")).as("sd_d"),
+        stddev_samp(col("mean_sim")).as("sd_s"))
+      .select(round(when(col("sd_d") > 0 && col("sd_s") > 0,
+        col("cv") / (col("sd_d") * col("sd_s"))), 6).as("length_bias_corr"))
+
+  /** V8/V9 from a precomputed neighbor frame: % of neighbors sharing the
+    * query's speaker / episode (leakage). */
+  def leakagePcts(neigh: DataFrame): DataFrame =
+    neigh.agg(
+      (lit(100.0) * sum(when(col("q_speaker") === col("n_speaker"), 1).otherwise(0))
+        / count(lit(1))).as("same_speaker_pct"),
+      (lit(100.0) * sum(when(col("q_episode_id") === col("n_episode_id"), 1).otherwise(0))
+        / count(lit(1))).as("same_episode_pct"))
 
   /** V14: neighbor coherence — per query, the share of its neighbors'
     * top term; corpus-level assessment by thresholds (embedding.py:475-696). */

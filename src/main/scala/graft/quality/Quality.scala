@@ -18,7 +18,9 @@ import graft.operators.{Dedup, Intervals, Stats}
   */
 object Quality {
 
-  /** Defaults mirror reference thresholds.py:29-90 (PRD-derived). */
+  /** Full threshold table, defaults mirroring reference
+    * thresholds.py:29-90 (PRD-derived) including the embedding-sanity
+    * thresholds (FR-25/27/31). */
   final case class Thresholds(
       coverageMin: Double = 95.0,
       gapMaxPercent: Double = 2.0,
@@ -32,10 +34,17 @@ object Quality {
       timestampRegressionsMax: Long = 0,
       negativeDurationMax: Long = 0,
       exactDuplicateMaxPercent: Double = 1.0,
+      nearDuplicateMaxPercent: Double = 3.0,
+      nearDuplicateThreshold: Double = 0.95,
       sameSpeakerNeighborMaxPercent: Double = 60.0,
       sameEpisodeNeighborMaxPercent: Double = 70.0,
+      lengthBiasCorrelationMax: Double = 0.3,
+      adjacencyBiasMaxPercent: Double = 40.0,
+      adjacencyToleranceSeconds: Double = 5.0,
       neighborK: Int = 10,
       neighborSampleSize: Int = 100,
+      randomPairsSampleSize: Int = 500,
+      neighborListSampleSize: Int = 30,
       outlierCount: Int = 20,
       topSpeakersCount: Int = 10)
 
@@ -225,54 +234,136 @@ object Quality {
 
   // ---- Assessment: thresholds + RAG (assessor.py:1040-1067) ---------
 
+  /** Full assessment over spans/beats (+ optional embeddings for the
+    * category-F checks).
+    *
+    * Scale shape: both inputs are CACHED for the duration (the reference
+    * loads each table once, assessor.py:260-385 — without this every one
+    * of the ~10 metric jobs would rescan the corpus from parquet), the
+    * single-row span metrics (compliance + integrity counters) are FUSED
+    * into one aggregation job, and all embedding checks share one sampled
+    * k-NN job. Unpersist happens before returning. */
   def assess(spans: DataFrame, beats: DataFrame, episodes: DataFrame,
-      t: Thresholds = Thresholds()): Assessment = {
+      t: Thresholds = Thresholds(),
+      embeddings: Option[DataFrame] = None): Assessment = {
     val m = scala.collection.mutable.Map[String, Double]()
+    val sp = spans.cache()
+    val bt = beats.cache()
+    try {
+      val cov = coverage(sp, episodes)
+        .agg(avg(col("coverage_pct"))).first().getDouble(0)
+      m("coverage_pct") = cov
 
-    val cov = coverage(spans, episodes)
-      .agg(avg(col("coverage_pct"))).first().getDouble(0)
-    m("coverage_pct") = cov
+      // corpus-level gap/overlap % of total episode time
+      val epDur = episodes.agg(coalesce(sum(col("episode_duration")), lit(0.0)))
+        .first().getDouble(0)
+      val gaps = gapMetrics(sp).agg(
+        coalesce(sum(col("total_gap_s")), lit(0.0)).as("gap_s"),
+        coalesce(sum(col("total_overlap_s")), lit(0.0)).as("overlap_s")).first()
+      val gapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("gap_s") / epDur else 0.0
+      val overlapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("overlap_s") / epDur else 0.0
+      m("gap_pct") = gapPct
+      m("overlap_pct") = overlapPct
 
-    val spanCompliance = lengthCompliance(spans, t.spanLengthMin, t.spanLengthMax)
-      .first().getAs[Double]("within_pct")
-    m("span_compliance_pct") = spanCompliance
-    val beatCompliance = lengthCompliance(beats, t.beatLengthMin, t.beatLengthMax)
-      .first().getAs[Double]("within_pct")
-    m("beat_compliance_pct") = beatCompliance
+      // one fused aggregation job for every single-row span metric
+      val spanRow = sp.agg(
+        count(lit(1)).as("n"),
+        round(lit(100.0) * sum(when(
+          col("duration") >= t.spanLengthMin && col("duration") <= t.spanLengthMax, 1)
+          .otherwise(0)) / count(lit(1)), 2).as("within_pct"),
+        sum(when(col("duration") <= 0, 1L).otherwise(0L)).as("nonpositive_durations"))
+        .first()
+      val nSpans = spanRow.getAs[Long]("n")
+      val spanCompliance = spanRow.getAs[Double]("within_pct")
+      val negDur = spanRow.getAs[Long]("nonpositive_durations")
+      m("span_compliance_pct") = spanCompliance
+      m("nonpositive_durations") = negDur.toDouble
 
-    // integrity per level, NOT concatenated (assessor.py:617-679 bug-fix note)
-    val spanRegr = timestampRegressions(spans.withColumn("speaker", col("speaker"))).count()
-    val beatRegr = timestampRegressions(beats.withColumn("speaker", lit(""))).count()
-    m("span_regressions") = spanRegr.toDouble
-    m("beat_regressions") = beatRegr.toDouble
-    val spanDup = exactDuplicates(spans).first().getAs[Double]("dup_pct")
-    m("span_dup_pct") = spanDup
-    val negDur = integrityCounters(spans).first().getAs[Long]("nonpositive_durations")
-    m("nonpositive_durations") = negDur.toDouble
+      val beatCompliance = lengthCompliance(bt, t.beatLengthMin, t.beatLengthMax)
+        .first().getAs[Double]("within_pct")
+      m("beat_compliance_pct") = beatCompliance
 
-    val violations = Seq.newBuilder[Violation]
-    def check(cond: Boolean, name: String, expected: String, actual: String,
-        severity: String = "error"): Unit =
-      if (!cond) violations += Violation(name, expected, actual, severity)
+      // integrity per level, NOT concatenated (assessor.py:617-679 bug-fix note)
+      val spanRegr = timestampRegressions(sp).count()
+      val beatRegr = timestampRegressions(bt).count()
+      m("span_regressions") = spanRegr.toDouble
+      m("beat_regressions") = beatRegr.toDouble
+      val spanDup = exactDuplicates(sp).first().getAs[Double]("dup_pct")
+      m("span_dup_pct") = spanDup
 
-    check(cov >= t.coverageMin, "coverage_min", s">= ${t.coverageMin}", f"$cov%.2f")
-    check(spanCompliance >= t.spanComplianceMin, "span_length_compliance",
-      s">= ${t.spanComplianceMin}", f"$spanCompliance%.2f", "warning")
-    check(beatCompliance >= t.beatComplianceMin, "beat_length_compliance",
-      s">= ${t.beatComplianceMin}", f"$beatCompliance%.2f", "warning")
-    check(spanRegr <= t.timestampRegressionsMax, "timestamp_regressions",
-      s"<= ${t.timestampRegressionsMax}", spanRegr.toString)
-    check(negDur <= t.negativeDurationMax, "negative_durations",
-      s"<= ${t.negativeDurationMax}", negDur.toString)
-    check(spanDup <= t.exactDuplicateMaxPercent, "exact_duplicate_pct",
-      s"<= ${t.exactDuplicateMaxPercent}", f"$spanDup%.2f")
+      // near-duplicates via MinHash-LSH at the reference's 0.95 bar;
+      // % of spans that appear in at least one near-dup pair
+      val nearDupIds = nearDuplicates(sp, "span_id", t.nearDuplicateThreshold)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().count()
+      val nearDupPct = if (nSpans > 0) 100.0 * nearDupIds / nSpans else 0.0
+      m("near_dup_pct") = nearDupPct
 
-    val vs = violations.result()
-    val rag =
-      if (vs.exists(_.severity == "error")) "RED"
-      else if (vs.exists(_.severity == "warning")) "AMBER"
-      else "GREEN"
-    Assessment(m.toMap, vs, rag)
+      // category F: all checks share ONE sampled k-NN job
+      val emb = embeddings.map { e =>
+        val neigh = EmbeddingSanity.sampledNeighbors(
+          sp, e, "span_id", t.neighborK, t.neighborSampleSize).cache()
+        try {
+          val leak = EmbeddingSanity.leakagePcts(neigh).first()
+          val adj = EmbeddingSanity.adjacencyBiasPct(neigh, t.adjacencyToleranceSeconds)
+            .first().getDouble(0)
+          val bias = Option(EmbeddingSanity.lengthBiasCorr(neigh)
+            .first().getAs[java.lang.Double]("length_bias_corr")).map(_.doubleValue())
+          m("same_speaker_pct") = leak.getAs[Double]("same_speaker_pct")
+          m("same_episode_pct") = leak.getAs[Double]("same_episode_pct")
+          m("adjacency_bias_pct") = adj
+          bias.foreach(b => m("length_bias_corr") = b)
+          (leak.getAs[Double]("same_speaker_pct"), leak.getAs[Double]("same_episode_pct"),
+            adj, bias)
+        } finally neigh.unpersist()
+      }
+
+      val violations = Seq.newBuilder[Violation]
+      def check(cond: Boolean, name: String, expected: String, actual: String,
+          severity: String = "error"): Unit =
+        if (!cond) violations += Violation(name, expected, actual, severity)
+
+      check(cov >= t.coverageMin, "coverage_min", s">= ${t.coverageMin}", f"$cov%.2f")
+      check(gapPct <= t.gapMaxPercent, "gap_max_percent",
+        s"<= ${t.gapMaxPercent}", f"$gapPct%.2f", "warning")
+      check(overlapPct <= t.overlapMaxPercent, "overlap_max_percent",
+        s"<= ${t.overlapMaxPercent}", f"$overlapPct%.2f", "warning")
+      check(spanCompliance >= t.spanComplianceMin, "span_length_compliance",
+        s">= ${t.spanComplianceMin}", f"$spanCompliance%.2f", "warning")
+      check(beatCompliance >= t.beatComplianceMin, "beat_length_compliance",
+        s">= ${t.beatComplianceMin}", f"$beatCompliance%.2f", "warning")
+      check(spanRegr <= t.timestampRegressionsMax, "timestamp_regressions",
+        s"<= ${t.timestampRegressionsMax}", spanRegr.toString)
+      check(beatRegr <= t.timestampRegressionsMax, "beat_timestamp_regressions",
+        s"<= ${t.timestampRegressionsMax}", beatRegr.toString)
+      check(negDur <= t.negativeDurationMax, "negative_durations",
+        s"<= ${t.negativeDurationMax}", negDur.toString)
+      check(spanDup <= t.exactDuplicateMaxPercent, "exact_duplicate_pct",
+        s"<= ${t.exactDuplicateMaxPercent}", f"$spanDup%.2f")
+      check(nearDupPct <= t.nearDuplicateMaxPercent, "near_duplicate_pct",
+        s"<= ${t.nearDuplicateMaxPercent}", f"$nearDupPct%.2f", "warning")
+      emb.foreach { case (spk, ep, adj, bias) =>
+        check(spk <= t.sameSpeakerNeighborMaxPercent, "same_speaker_neighbor_pct",
+          s"<= ${t.sameSpeakerNeighborMaxPercent}", f"$spk%.2f", "warning")
+        check(ep <= t.sameEpisodeNeighborMaxPercent, "same_episode_neighbor_pct",
+          s"<= ${t.sameEpisodeNeighborMaxPercent}", f"$ep%.2f", "warning")
+        check(adj <= t.adjacencyBiasMaxPercent, "adjacency_bias_pct",
+          s"<= ${t.adjacencyBiasMaxPercent}", f"$adj%.2f", "warning")
+        bias.foreach(b =>
+          check(math.abs(b) <= t.lengthBiasCorrelationMax, "length_bias_correlation",
+            s"|corr| <= ${t.lengthBiasCorrelationMax}", f"$b%.4f", "warning"))
+      }
+
+      val vs = violations.result()
+      val rag =
+        if (vs.exists(_.severity == "error")) "RED"
+        else if (vs.exists(_.severity == "warning")) "AMBER"
+        else "GREEN"
+      Assessment(m.toMap, vs, rag)
+    } finally {
+      sp.unpersist()
+      bt.unpersist()
+    }
   }
 
   /** Markdown report (reporter.py:113-160 shape). */

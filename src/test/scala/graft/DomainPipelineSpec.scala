@@ -117,11 +117,17 @@ class DomainPipelineSpec extends AnyFunSuite {
       .agg((max(col("end")) - min(col("start"))).as("episode_duration"))
     val a = Quality.assess(
       spark.read.parquet(s"$lakeDir/spans"),
-      spark.read.parquet(s"$lakeDir/beats"), episodes)
+      spark.read.parquet(s"$lakeDir/beats"), episodes, Quality.Thresholds(),
+      Some(spark.read.parquet(s"$lakeDir/span_embeddings/embeddings.parquet")))
     assert(Set("RED", "AMBER", "GREEN").contains(a.ragStatus))
     assert(a.metrics.contains("coverage_pct"))
     assert(a.metrics("coverage_pct") > 90.0) // continuous speech, small gaps
     assert(a.metrics("span_regressions") == 0.0)
+    // full threshold table wired: gap/overlap, near-dups, embedding sanity
+    assert(a.metrics.contains("gap_pct") && a.metrics.contains("overlap_pct"))
+    assert(a.metrics.contains("near_dup_pct"))
+    assert(a.metrics.contains("same_speaker_pct"))
+    assert(a.metrics.contains("adjacency_bias_pct"))
     val md = Quality.renderMarkdown(a)
     assert(md.contains("Status") && md.contains("coverage_pct"))
   }

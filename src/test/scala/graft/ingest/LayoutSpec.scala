@@ -1,0 +1,73 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("versioned writes never clobber: v1 then v2, loadLatest reads v2") {
+    val base = Files.createTempDirectory("graft_layout").toString
+    val d1 = Seq((1, "a")).toDF("id", "x")
+    val d2 = Seq((2, "b"), (3, "c")).toDF("id", "x")
+    val p1 = Layout.writeVersioned(d1, base, "normalized")
+    val p2 = Layout.writeVersioned(d2, base, "normalized")
+    assert(p1.endsWith("normalized/v1") && p2.endsWith("normalized/v2"))
+    assert(Layout.versions(spark, base, "normalized") == Seq(1, 2))
+    assert(Layout.loadLatest(spark, base, "normalized").count() == 2)
+    // v1 still intact
+    assert(spark.read.parquet(p1).count() == 1)
+  }
+
+  test("explicit version overwrites in place") {
+    val base = Files.createTempDirectory("graft_layout2").toString
+    Layout.writeVersioned(Seq((1, "a")).toDF("id", "x"), base, "spans", Some(3))
+    Layout.writeVersioned(Seq((9, "z")).toDF("id", "x"), base, "spans", Some(3))
+    assert(Layout.latestVersion(spark, base, "spans").contains(3))
+    assert(Layout.loadLatest(spark, base, "spans")
+      .select("id").as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("loadLatest on an empty layer fails with a clear error") {
+    val base = Files.createTempDirectory("graft_layout3").toString
+    val e = intercept[IllegalArgumentException] {
+      Layout.loadLatest(spark, base, "beats")
+    }
+    assert(e.getMessage.contains("no versions"))
+  }
+
+  test("archiveRaw copies sources renamed to episode ids (S16)") {
+    val base = Files.createTempDirectory("graft_layout4").toString
+    val srcDir = Files.createTempDirectory("graft_raw_src")
+    val f = srcDir.resolve("some file.jsonl")
+    Files.write(f, "{}".getBytes)
+    val out = Layout.archiveRaw(spark, Seq((f.toString, "EP1")), base)
+    assert(out.length == 1 && out.head.endsWith("raw/EP1.jsonl"))
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      new java.net.URI(out.head).getPath match { case "" => out.head; case p => p }
+    )).get(0) == "{}")
+  }
+
+  test("partitioned normalized sink prunes to one episode's files") {
+    val out = Files.createTempDirectory("graft_part").toString + "/normalized"
+    val df = Seq(
+      ("u1", "ep1", 0.0, 1.0, "A", "x", 1.0),
+      ("u2", "ep2", 0.0, 1.0, "B", "y", 1.0))
+      .toDF("utterance_id", "episode_id", "start", "end", "speaker", "text", "duration")
+    Ingest.writeNormalized(df, out)
+    val read = spark.read.parquet(out).filter(col("episode_id") === "ep1")
+    assert(read.count() == 1)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("episode_id"))
+    // append mode lands a new episode without rewriting existing ones
+    val more = Seq(("u3", "ep3", 0.0, 1.0, "C", "z", 1.0))
+      .toDF("utterance_id", "episode_id", "start", "end", "speaker", "text", "duration")
+    Ingest.writeNormalized(more, out, mode = "append")
+    assert(spark.read.parquet(out).count() == 3)
+  }
+}
