@@ -1,8 +1,45 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 /** Benchmark main: runs every query at SPARK_GRAFT_SF_DIR, prints one
-  * JSON line with per-query wall seconds. */
+  * JSON line with per-query wall seconds plus ingest-path throughput
+  * (rows/s, comparable to BASELINE.md's ~10k utterances/s normalization
+  * and ~5k rows/s parquet-write figures). */
 object Bench {
+
+  /** read → validate → normalize → partitioned-write over a synthetic
+    * JSONL corpus; returns (rows, seconds). */
+  def ingestThroughput(spark: SparkSession, nRows: Long, nEpisodes: Int): (Long, Double) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
+    val inDir = tmp.resolve("in").toString
+    val outDir = tmp.resolve("out").toString
+    val src = spark.range(nRows).select(
+      format_string("EP%03d", col("id") % nEpisodes).as("episode_id"),
+      (floor(col("id") / nEpisodes) * 2.0).as("start"),
+      (floor(col("id") / nEpisodes) * 2.0 + 1.9).as("end"),
+      format_string("Speaker %d", col("id") % 7).as("speaker"),
+      concat(lit("utterance text number "), col("id"),
+        lit(" with a handful of plausible words attached")).as("text"))
+    src.select(to_json(struct(col("episode_id"), col("start"), col("end"),
+        col("speaker"), col("text"))).as("value"))
+      .write.mode("overwrite").text(inDir)
+    // rename .txt part files to .jsonl for the glob
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(p, st.getPath.getName + ".jsonl"))
+    }
+    val t0 = System.nanoTime()
+    val (norm, errors) = graft.ingest.Ingest.ingestDirectory(spark, inDir)
+    graft.ingest.Ingest.writeNormalized(norm, outDir)
+    val nErr = errors.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    require(nErr == 0, s"bench corpus produced $nErr validation errors")
+    (nRows, dt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
@@ -21,7 +58,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (inRows, inSec) = try ingestThroughput(spark, 200000L, 50) catch {
+      case _: Throwable => (0L, -1.0)
+    }
+    val ingestJson =
+      if (inSec > 0) f""","ingest":{"rows":$inRows,"sec":$inSec%.3f,"rows_per_sec":${(inRows / inSec).toLong}}"""
+      else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson}""")
     spark.stop()
   }
 }

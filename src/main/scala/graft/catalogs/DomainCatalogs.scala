@@ -66,4 +66,29 @@ object DomainCatalogs {
         Window.orderBy(col(metric).desc, col("speaker"))))
       .filter(col("rank") <= n)
       .orderBy("rank")
+
+  /** S14 catalog sink: timestamped `{name}_{yyyyMMdd_HHmmss}` directory —
+    * lexically sortable, so load-latest is a directory listing + max
+    * (reference catalogs/episodes.py:176-203 save_catalog). */
+  def saveCatalog(df: DataFrame, dir: String, name: String, timestamp: String): String = {
+    val out = s"$dir/${name}_$timestamp"
+    df.write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** S14 load-latest counterpart (episodes.py:205-228): newest timestamped
+    * catalog by name order, via the Hadoop FS API (works on any store). */
+  def loadLatestCatalog(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): DataFrame = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest =
+      (if (fs.exists(d)) fs.listStatus(d).toSeq else Nil)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"${name}_"))
+        .sorted.lastOption
+        .getOrElse(throw new IllegalArgumentException(s"no $name catalogs under $dir"))
+    spark.read.parquet(s"$dir/$latest")
+  }
 }

@@ -54,11 +54,13 @@ object Main {
       case "catalog" =>
         val Array(_, base) = args.take(2)
         val utts = spark.read.parquet(s"$base/normalized")
-        DomainCatalogs.episodeCatalog(utts).write.mode("overwrite")
-          .parquet(s"$base/catalogs/episodes")
-        DomainCatalogs.speakerCatalog(utts).write.mode("overwrite")
-          .parquet(s"$base/catalogs/speakers")
-        println("catalogs written")
+        val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+          .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+        val p1 = DomainCatalogs.saveCatalog(
+          DomainCatalogs.episodeCatalog(utts), s"$base/catalogs", "episodes", ts)
+        val p2 = DomainCatalogs.saveCatalog(
+          DomainCatalogs.speakerCatalog(utts), s"$base/catalogs", "speakers", ts)
+        println(s"catalogs written: $p1, $p2")
 
       case "quality" =>
         val Array(_, base) = args.take(2)
@@ -67,10 +69,19 @@ object Main {
           .agg((max(col("end")) - min(col("start"))).as("episode_duration"))
         val embPath = s"$base/span_embeddings/embeddings.parquet"
         val emb = if (new java.io.File(embPath).exists) Some(spark.read.parquet(embPath)) else None
-        val a = Quality.assess(
-          spark.read.parquet(s"$base/spans"),
-          spark.read.parquet(s"$base/beats"), episodes, Quality.Thresholds(), emb)
+        val spans = spark.read.parquet(s"$base/spans")
+        val beats = spark.read.parquet(s"$base/beats")
+        val a = Quality.assess(spans, beats, episodes, Quality.Thresholds(), emb)
+        val counts = graft.quality.Reporter.DatasetCounts(
+          episodes.count(), spans.count(), beats.count(), emb.isDefined)
+        val written = graft.quality.Reporter.writeAll(
+          a, counts, java.time.Instant.now().toString, s"$base/quality_reports",
+          spanHist = Some(Quality.durationHistogram(spans, Quality.SpanHistEdges)),
+          beatHist = Some(Quality.durationHistogram(beats, Quality.BeatHistEdges)),
+          episodeFrame = Some(Quality.coverage(spans, episodes)
+            .select("episode_id", "episode_duration", "union_s", "coverage_pct")))
         println(Quality.renderMarkdown(a))
+        println(s"reports: ${written.mkString(", ")}")
 
       case "validate" =>
         val Array(_, base) = args.take(2)

@@ -38,6 +38,17 @@ object CanonicalJson {
       // integral doubles print as "<int>.0"
       val l = x.toLong
       if (l == 0 && (1.0 / x) < 0) "-0.0" else s"$l.0"
+    } else if ({
+      // fast path for exact short decimals (the ID pipeline rounds
+      // timestamps to 2 dp first, so nearly every non-integral input
+      // lands here): skip the %g search loop entirely
+      val cents = math.rint(x * 100)
+      math.abs(cents) < 1e15 &&
+        JBigDecimal.valueOf(cents.toLong, 2).doubleValue() == x
+    }) {
+      val bd = JBigDecimal.valueOf(math.rint(x * 100).toLong, 2).stripTrailingZeros()
+      val s = bd.toPlainString
+      if (s.indexOf('.') >= 0) s else s + ".0"
     } else {
       var s: String = null
       var p = 1
@@ -75,17 +86,31 @@ object CanonicalJson {
   }
 
   def escape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"'  => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case '\b' => sb.append("\\b")
-      case '\f' => sb.append("\\f")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
+    // fast path: nothing to escape (virtually all transcript text)
+    var i = 0
+    val n = s.length
+    var clean = true
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') clean = false
+      i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(n + 8)
+    i = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
     }
     sb.toString
   }

@@ -15,18 +15,57 @@ import CanonicalJson._
   */
 object Ids {
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  // MessageDigest.getInstance walks the provider registry — reuse one
+  // instance per thread (IDs are computed per row in executor loops)
+  private val digestTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    d.map(b => f"$b%02x").mkString
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   def contentHash(content: String): String = sha256Hex(content)
 
   def dictHash(obj: JObj): String = sha256Hex(render(obj))
 
+  // 1-entry memo for the episode-hash prefix: rows arrive clustered by
+  // episode (normalize sorts per episode), so this turns one of the two
+  // sha256s per ID into a string compare for all but the first row of
+  // each run
+  private val lastEpisode: ThreadLocal[Array[String]] =
+    ThreadLocal.withInitial(() => new Array[String](2))
+
+  private def episodeHash12(episodeId: String): String = {
+    val memo = lastEpisode.get()
+    if (episodeId == memo(0)) memo(1)
+    else {
+      val h = sha256Hex(episodeId).substring(0, 12)
+      memo(0) = episodeId
+      memo(1) = h
+      h
+    }
+  }
+
+  private def pad6(position: Int): String = {
+    val p = Integer.toString(position)
+    if (p.length >= 6) p
+    else "000000".substring(p.length) + p
+  }
+
   private def format(prefix: String, episodeId: String, position: Int, contentHash8: String): String =
-    f"${prefix}_${sha256Hex(episodeId).take(12)}_$position%06d_$contentHash8"
+    prefix + "_" + episodeHash12(episodeId) + "_" + pad6(position) + "_" + contentHash8
 
   def utteranceId(episodeId: String, position: Int, text: String,
       speaker: String, start: Double, end: Double): String = {

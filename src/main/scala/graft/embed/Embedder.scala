@@ -72,6 +72,35 @@ object Embedder {
       .select("artifact_id", "artifact_type", "embedding", "model_name", "model_version")
   }
 
+  /** Parsed metadata sidecar entry (one per artifact_type/model pair). */
+  final case class StoreMeta(artifactType: String, modelName: String,
+      modelVersion: Option[String], count: Long, dim: Int)
+
+  /** S12 load path: embeddings parquet + parsed metadata sidecar — the
+    * round-trip counterpart of [[store]] (reference
+    * embeddings/storage.py:138-196). `artifactType` filters to one type
+    * (pushed down to the parquet scan). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      artifactType: Option[String] = None): (DataFrame, Seq[StoreMeta]) = {
+    val df0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = artifactType.fold(df0)(t => df0.filter(col("artifact_type") === t))
+    val path = new org.apache.hadoop.fs.Path(s"$dir/metadata.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta =
+      if (!fs.exists(path)) Nil
+      else {
+        val in = fs.open(path)
+        val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val entry = ("""\{"artifact_type": "([^"]*)", "model_name": "([^"]*)", """ +
+          """"model_version": (?:"([^"]*)"|null), "count": (\d+), "dim": (\d+)\}""").r
+        entry.findAllMatchIn(raw).map { m =>
+          StoreMeta(m.group(1), m.group(2), Option(m.group(3)), m.group(4).toLong,
+            m.group(5).toInt)
+        }.toSeq
+      }
+    (df, meta)
+  }
+
   /** S12 storage layout: parquet per artifact type + a small JSON
     * metadata sidecar (model, dim, counts). */
   def store(embeddings: DataFrame, outDir: String): Unit = {

@@ -355,9 +355,12 @@ object Quality {
       }
 
       val vs = violations.result()
+      // reporter.py:217-260: any error → RED; >2 warnings → RED;
+      // 1-2 warnings → AMBER; else GREEN
+      val nWarnings = vs.count(_.severity == "warning")
       val rag =
-        if (vs.exists(_.severity == "error")) "RED"
-        else if (vs.exists(_.severity == "warning")) "AMBER"
+        if (vs.exists(_.severity == "error") || nWarnings > 2) "RED"
+        else if (nWarnings > 0) "AMBER"
         else "GREEN"
       Assessment(m.toMap, vs, rag)
     } finally {

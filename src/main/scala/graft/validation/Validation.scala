@@ -76,8 +76,17 @@ object Validation {
 
   private def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
 
-  /** All single-pass checks for a table: one aggregation job computing
-    * every counter, unpivoted to check rows. */
+  /** All single-pass checks for a table: ONE plain aggregation job for
+    * every per-row counter, plus one per-key aggregate per PK/FK
+    * uniqueness check, unpivoted to check rows.
+    *
+    * The distinct-style counters deliberately avoid `count_distinct`:
+    * several distinct aggregates in one job make Catalyst plan an
+    * Expand(×k) that multiplies every input row before the first
+    * aggregate — at 100 TB that triples shuffle input. A groupBy(key)
+    * per check collapses duplicate keys map-side instead, and the
+    * resulting single-row frames are crossJoined (1×1 rows) back onto
+    * the main counter row. */
   def counterChecks(df: DataFrame, spec: TableSpec): DataFrame = {
     val ids = (idColumns(df) ++ spec.idCols.filter(df.columns.contains)).distinct
     val pkCols = spec.primaryKeys.filter(_.forall(df.columns.contains))
@@ -85,9 +94,8 @@ object Validation {
     val times = timeColumns(df)
     val hasText = df.columns.contains("text")
 
-    // (aggName -> aggExpr) pairs, then checks reference agg outputs
     val aggs = Seq.newBuilder[Column]
-    val checks = Seq.newBuilder[(String, String, Column)] // (name, severity, passedExpr) with metric col _m_<name>
+    val checks = Seq.newBuilder[(String, String, Column)] // (name, severity, passedExpr)
     def add(name: String, severity: String, agg: Column, passed: Column): Unit = {
       aggs += agg.cast("long").as(s"_m_$name")
       checks += ((name, severity, passed))
@@ -97,18 +105,6 @@ object Validation {
     add("non_empty_table", "error", count(lit(1)), m("non_empty_table") > 0)
     ids.foreach { c =>
       add(s"id_nulls_$c", "error", cnt(col(c).isNull), m(s"id_nulls_$c") === 0)
-    }
-    pkCols.foreach { pk =>
-      val name = s"id_duplicates_${pk.mkString("_")}"
-      // duplicate rows beyond the first of each group = non-null rows −
-      // distinct keys; both sides are one distributed hash aggregate
-      val nonNull = cnt(pk.map(col(_).isNotNull).reduce(_ && _))
-      val dup = nonNull - count_distinct(col(pk.head), pk.tail.map(col): _*)
-      add(name, "error", dup, m(name) === 0)
-    }
-    spec.foreignKeys.foreach { case (fk, _, _) =>
-      // FKs may repeat; report cardinality (reference checks.py:469-477)
-      add(s"id_foreign_key_$fk", "info", count_distinct(col(fk)), lit(true))
     }
     floats.foreach { c =>
       add(s"numeric_nans_$c", "error", cnt(isnan(col(c))), m(s"numeric_nans_$c") === 0)
@@ -129,7 +125,29 @@ object Validation {
     }
 
     val aggList = aggs.result()
-    val agged = df.agg(aggList.head, aggList.tail: _*)
+    var agged = df.agg(aggList.head, aggList.tail: _*)
+
+    // PK duplicate rows = Σ over key groups of (n − 1): a two-phase
+    // hash aggregate on the key, no Expand
+    pkCols.foreach { pk =>
+      val name = s"id_duplicates_${pk.mkString("_")}"
+      val dupRow = df
+        .filter(pk.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(pk.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .agg(coalesce(sum(col("_n") - 1), lit(0L)).cast("long").as(s"_m_$name"))
+      agged = agged.crossJoin(dupRow)
+      checks += ((name, "error", m(name) === 0))
+    }
+    // FK cardinality (info): count of distinct non-null values
+    spec.foreignKeys.foreach { case (fk, _, _) =>
+      val name = s"id_foreign_key_$fk"
+      val cardRow = df.filter(col(fk).isNotNull).select(col(fk)).distinct()
+        .agg(count(lit(1)).cast("long").as(s"_m_$name"))
+      agged = agged.crossJoin(cardRow)
+      checks += ((name, "info", lit(true)))
+    }
+
     val rows = checks.result().map { case (name, severity, passed) =>
       struct(
         lit(spec.name).as("table_name"),

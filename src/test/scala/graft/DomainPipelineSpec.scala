@@ -146,6 +146,35 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(a.violations.exists(_.name == "exact_duplicate_pct"))
   }
 
+  test("embedding store/load round-trip with parsed metadata sidecar (S12)") {
+    val (df, meta) = Embedder.load(spark, s"$lakeDir/span_embeddings")
+    assert(df.count() == spark.read.parquet(s"$lakeDir/spans").count())
+    assert(meta.nonEmpty)
+    assert(meta.head.artifactType == "span")
+    assert(meta.head.modelName == "graft-hash-encoder")
+    assert(meta.head.dim == 32)
+    assert(meta.head.count == df.count())
+    // artifact-type filter prunes
+    val (spanOnly, _) = Embedder.load(spark, s"$lakeDir/span_embeddings", Some("span"))
+    assert(spanOnly.count() == df.count())
+    val (none, _) = Embedder.load(spark, s"$lakeDir/span_embeddings", Some("beat"))
+    assert(none.count() == 0)
+  }
+
+  test("catalog save + load-latest round-trip (S14)") {
+    val norm = spark.read.parquet(s"$lakeDir/normalized")
+    val dir = s"$lakeDir/catalogs"
+    DomainCatalogs.saveCatalog(
+      DomainCatalogs.episodeCatalog(norm).limit(1), dir, "episodes", "20260101_000000")
+    DomainCatalogs.saveCatalog(
+      DomainCatalogs.episodeCatalog(norm), dir, "episodes", "20260102_000000")
+    val latest = DomainCatalogs.loadLatestCatalog(spark, dir, "episodes")
+    assert(latest.count() == 2) // the newer, full catalog
+    intercept[IllegalArgumentException] {
+      DomainCatalogs.loadLatestCatalog(spark, dir, "speakers")
+    }
+  }
+
   test("snapshot: checksums, semver bump, validation detects tampering") {
     val snapDir = Files.createTempDirectory("graft_snap").toString
     val m = Snapshot.create(spark, s"$lakeDir/spans", snapDir, "v1.0.0", "2026-08-12T00:00:00Z")
