@@ -766,6 +766,47 @@ object SparkEntry {
       .orderBy(col("doc_count").desc, col("series"))
   }
 
+  /** Gopher-style quality-filter signals per language (MassiveText
+    * rules): exact integer sums + one-division ratios, plus the count of
+    * documents passing the full filter battery
+    * ([[graft.operators.TextAnalysis.gopherSignals]]). */
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherSignals(Tables.documents(spark, dir), col("text"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("total_words"),
+        (sum(col("n_token_chars").cast("long")).cast("double")
+          / sum(col("n_words").cast("long"))).as("avg_word_len"),
+        (sum(col("n_alpha_words").cast("long")).cast("double")
+          / sum(col("n_words").cast("long"))).as("alpha_frac"),
+        sum(col("n_stopwords").cast("long")).as("total_stopwords"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("lang")
+
+  /** Repetition detection: top-10 documents by top-bigram mass — the
+    * share of all word bigrams taken by the most frequent one
+    * ([[graft.operators.TextAnalysis.topNgramMass]]). */
+  def repetitionTop(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramMass(Tables.documents(spark, dir), "doc_id", col("text"), 2)
+      .select(col("doc_id"), col("n_grams"), col("top_gram"), col("top_n"),
+        round(col("top_fraction"), 6).as("top_fraction"))
+      .orderBy(col("top_fraction").desc, col("doc_id")).limit(10)
+
+  /** PII-ish pattern counts over the events payloads (emails, phone-like
+    * runs, digit density) — training-data hygiene counters. */
+  def piiStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(TextAnalysis.emailCount(col("props")).cast("long")).as("email_matches"),
+        sum(TextAnalysis.phoneCount(col("props")).cast("long")).as("phone_matches"),
+        sum(TextAnalysis.digitCount(col("props")).cast("long")).as("digit_chars"),
+        (sum(TextAnalysis.digitCount(col("props")).cast("long")).cast("double")
+          / sum(length(col("props")).cast("long"))).as("digit_ratio"))
+      .orderBy("event_type")
+
   // ---- driver contract ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -819,6 +860,9 @@ object SparkEntry {
     "q48_json_stats" -> jsonStats _,
     "q49_validation_checks" -> validationChecks _,
     "q50_series_balance" -> seriesBalance _,
+    "q51_quality_signals" -> qualitySignals _,
+    "q52_repetition" -> repetitionTop _,
+    "q53_pii_stats" -> piiStats _,
   )
 
   private val stopwordsSqlList: String =
@@ -1555,5 +1599,61 @@ object SparkEntry {
         |  avg_chars,
         |  round(CAST(max(doc_count) OVER () AS DOUBLE) / min(doc_count) OVER (), 2) AS balance_ratio
         |FROM s ORDER BY doc_count DESC, series""".stripMargin,
+
+    "q51_quality_signals" ->
+      s"""WITH t AS (
+        |  SELECT lang, text, $toksSql AS tk FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    len(tk) AS n_words,
+        |    length(array_to_string(tk, '')) AS n_chars,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    len(tk) - len($contentToksSql) AS n_stop
+        |  FROM t
+        |)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(n_chars) AS DOUBLE) / sum(n_words) AS avg_word_len,
+        |  CAST(sum(n_alpha) AS DOUBLE) / sum(n_words) AS alpha_frac,
+        |  CAST(sum(n_stop) AS BIGINT) AS total_stopwords,
+        |  CAST(sum(CASE WHEN n_words >= 10 AND n_words <= 100000
+        |    AND n_words > 0
+        |    AND CAST(n_chars AS DOUBLE) / n_words >= 2.0
+        |    AND CAST(n_chars AS DOUBLE) / n_words <= 10.0
+        |    AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+        |    AND CAST(n_alpha AS DOUBLE) / n_words > 0.8
+        |    AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q52_repetition" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest($bigramsFromTkSql) AS gram FROM t WHERE len(tk) >= 2
+        |), c AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+        |), r AS (
+        |  SELECT doc_id, gram, cnt,
+        |    sum(cnt) OVER (PARTITION BY doc_id) AS total,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rnk
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(total AS BIGINT) AS n_grams, gram AS top_gram,
+        |  CAST(cnt AS BIGINT) AS top_n,
+        |  round(CAST(cnt AS DOUBLE) / total, 6) AS top_fraction
+        |FROM r WHERE rnk = 1
+        |ORDER BY top_fraction DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q53_pii_stats" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS email_matches,
+        |  CAST(sum(len(regexp_extract_all(props, '\+?[0-9][0-9() -]{6,}[0-9]'))) AS BIGINT) AS phone_matches,
+        |  CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) AS digit_chars,
+        |  CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS DOUBLE)
+        |    / sum(length(props)) AS digit_ratio
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

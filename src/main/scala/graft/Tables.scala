@@ -35,7 +35,11 @@ object Tables {
     * oracle — truncates ns to µs on read, so sub-µs digits can never be
     * compared. We standardize on truncated µs (`DIV 1000`) everywhere. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession sets this at build time; only touch session state for
+    // foreign sessions that would otherwise fail the read (a repeated
+    // conf.set would surprise concurrent users of a shared session)
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events").withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
   }
 }

@@ -41,6 +41,98 @@ object TextAnalysis {
     * shift-resistant chunk keys). SQL-replicable via polyHash. */
   def fingerprint(text: Column): Column = Hashes.polyHash(TF.normalizeWs(text))
 
+  // ---- Gopher-style quality filtering (public MassiveText rules:
+  // Rae et al. 2021, "Scaling Language Models", appendix A1.1) ---------
+
+  /** Total characters across tokens — `length(concat_ws("", tokens))`
+    * stays in codegen (no per-token lambda). */
+  def tokenChars(tokens: Column): Column = length(concat_ws("", tokens))
+
+  /** Count of "symbol" marks (#, ellipsis) in the raw text. */
+  def symbolCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+
+  /** Tokens containing at least one ASCII letter. */
+  def alphaWordCount(tokens: Column): Column =
+    size(filter(tokens, t => t.rlike("[A-Za-z]")))
+
+  /** Stopword occurrences = all tokens − content tokens. */
+  def stopwordCount(text: Column): Column =
+    TF.tokenCount(text) - TF.contentTokenCount(text)
+
+  /** Per-document Gopher filter verdict over precomputed integer signal
+    * columns (n_words, n_token_chars, n_symbols, n_alpha_words,
+    * n_stopwords). Bounds are the MassiveText defaults scaled to short
+    * documents; every comparison is exact-int or a single double
+    * division, so the verdict is bit-identical cross-engine. */
+  def gopherPass(nWords: Column, nTokenChars: Column, nSymbols: Column,
+      nAlphaWords: Column, nStopwords: Column,
+      minWords: Int = 10, maxWords: Int = 100000): Column = {
+    val w = nWords.cast("double")
+    // SQL && evaluates every operand (no short-circuit), so guard the
+    // ratios: a zero-word doc must fail the filter, not throw under ANSI
+    def ratio(num: Column): Column = when(w > 0, num.cast("double") / w).otherwise(lit(-1.0))
+    (nWords >= minWords) && (nWords <= maxWords) &&
+      (ratio(nTokenChars) >= 2.0) && (ratio(nTokenChars) <= 10.0) &&
+      (when(w > 0, nSymbols.cast("double") / w).otherwise(lit(1.0)) < 0.1) &&
+      (ratio(nAlphaWords) > 0.8) &&
+      (nStopwords >= 2)
+  }
+
+  /** All per-document quality signals in one map-only projection. */
+  def gopherSignals(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("_tk", TF.tokens(textCol))
+      .withColumn("n_words", size(col("_tk")))
+      .withColumn("n_token_chars", tokenChars(col("_tk")))
+      .withColumn("n_symbols", symbolCount(textCol))
+      .withColumn("n_alpha_words", alphaWordCount(col("_tk")))
+      .withColumn("n_stopwords", stopwordCount(textCol))
+      .withColumn("gopher_pass", gopherPass(col("n_words"), col("n_token_chars"),
+        col("n_symbols"), col("n_alpha_words"), col("n_stopwords")))
+      .drop("_tk")
+
+  // ---- Repetition detection (MassiveText A1.1 repetition rules) ------
+
+  /** Per-document top-n-gram mass: the share of all word n-grams taken by
+    * the single most frequent one — high values flag boilerplate/looping
+    * text. Shuffles on (id, gram) then (id): scales to any corpus since
+    * no per-document data exceeds its own n-gram count. Returns
+    * (idCol, n_grams, top_gram, top_n, top_fraction). */
+  def topNgramMass(df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol), TF.tokens(textCol).as("_tk"))
+      // ALL n-grams (repeats retained — mass, not membership); docs with
+      // fewer than n tokens have no n-grams and drop out here
+      .filter(size(col("_tk")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("_tk")) - n),
+          i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("gram"))
+    val counts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(idCol))
+    counts
+      .withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("rnk", row_number().over(w.orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rnk") === 1)
+      .select(col(idCol), col("total").as("n_grams"), col("gram").as("top_gram"),
+        col("cnt").as("top_n"),
+        (col("cnt").cast("double") / col("total")).as("top_fraction"))
+  }
+
+  // ---- PII-ish pattern counting (training-data hygiene) --------------
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Digit characters in the text (exact int — ratio is one division). */
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+
   /** Character-trigram profile language ID, self-trained:
     *  1. "train": top `profileSize` char trigrams per label from a labeled
     *     corpus (df with labelCol), ranked by frequency;

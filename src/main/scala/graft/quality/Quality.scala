@@ -124,13 +124,34 @@ object Quality {
       .filter(col("_prev_end").isNotNull && col("_prev_end") > col("start_time"))
   }
 
-  /** A11 violation counters as one row of conditional aggregates. */
-  def integrityCounters(segments: DataFrame): DataFrame =
-    segments.agg(
-      sum(when(col("duration") <= 0, 1L).otherwise(0L)).as("nonpositive_durations"),
-      sum(when(col("start_time") < 0 || col("end_time") < 0, 1L).otherwise(0L)).as("negative_timestamps"),
-      sum(when(col("episode_id").isNull || col("episode_id") === "", 1L).otherwise(0L)).as("missing_episode"),
-      sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L)).as("missing_text"))
+  /** A11 violation counters — the full reference counter set
+    * (integrity.py:173-260 + checks.py:554-607 NaN/Inf), one row of
+    * conditional aggregates in a single scan. Schema-aware: counters for
+    * absent columns (e.g. `speaker` on beats) are omitted. */
+  def integrityCounters(segments: DataFrame): DataFrame = {
+    val cols = segments.columns.toSet
+    val zero = sum(when(lit(false), 1L).otherwise(0L)) // typed 0 placeholder
+    def cnt(cond: org.apache.spark.sql.Column) = sum(when(cond, 1L).otherwise(0L))
+    val aggs = Seq(
+      count(lit(1)).as("total_segments"),
+      cnt(col("duration") < 0).as("negative_durations"),
+      cnt(col("duration") === 0).as("zero_durations"),
+      cnt(col("duration") <= 0).as("nonpositive_durations"),
+      cnt(isnan(col("duration"))).as("nan_durations"),
+      cnt(col("duration") === Double.PositiveInfinity ||
+        col("duration") === Double.NegativeInfinity).as("inf_durations"),
+      cnt(col("start_time").isNull || col("end_time").isNull).as("missing_timestamps"),
+      cnt(col("start_time") > col("end_time")).as("inverted_timestamps"),
+      cnt(col("start_time") < 0 || col("end_time") < 0).as("negative_timestamps"),
+      cnt(col("episode_id").isNull || col("episode_id") === "").as("missing_episode")) ++
+      (if (cols("speaker"))
+        Seq(cnt(col("speaker").isNull || trim(col("speaker")) === "").as("missing_speaker"))
+       else Seq(zero.as("missing_speaker"))) ++
+      (if (cols("text"))
+        Seq(cnt(col("text").isNull || col("text") === "").as("missing_text"))
+       else Seq(zero.as("missing_text")))
+    segments.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** A12 exact duplicates: normalized text + 5-min bin composite key
     * (integrity.py:379-549); returns (dup_groups, dup_rows, pct). */

@@ -33,6 +33,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(1) && r.getLong(0) != r.getLong(2))
   }
 
+  test("gopher signals: planted good/bad docs split correctly") {
+    val good = ("good",
+      "the quick brown fox jumps over a lazy dog while the rain keeps falling on town")
+    val tooShort = ("short", "tiny text here")
+    val symbolHeavy = ("symbols",
+      "the a " + Array.fill(20)("### ... #").mkString(" "))
+    val noStopwords = ("nostop",
+      Array.fill(15)("substantive wording examples").mkString(" "))
+    val df = Seq(good, tooShort, symbolHeavy, noStopwords).toDF("k", "text")
+    val out = TextAnalysis.gopherSignals(df, col("text")).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Boolean]("gopher_pass")).toMap
+    assert(out("good"))
+    assert(!out("short"))    // below word minimum
+    assert(!out("symbols"))  // symbol ratio + alpha fraction
+    assert(!out("nostop"))   // < 2 stopwords
+  }
+
+  test("top-ngram mass flags the repetitive document") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "each word differs from the next word mostly here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramMass(df, "doc_id", col("text"), 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("top_gram"), r.getAs[Double]("top_fraction")))).toMap
+    // doc 1: 9 bigrams, "buy now" appears 5 times
+    assert(out(1L)._1 == "buy now")
+    assert(math.abs(out(1L)._2 - 5.0 / 9.0) < 1e-12)
+    assert(out(1L)._2 > out(2L)._2)
+    // a doc with < 2 tokens has no bigrams and is absent
+    val single = Seq((9L, "one")).toDF("doc_id", "text")
+    assert(TextAnalysis.topNgramMass(single, "doc_id", col("text"), 2).count() == 0)
+  }
+
+  test("pii counters: emails, phone-like runs, digit chars") {
+    val df = Seq(
+      "contact me at jane.doe+spam@example.co.uk or +1 (555) 123-4567 room 42")
+      .toDF("text")
+    val r = df.select(
+      TextAnalysis.emailCount(col("text")).as("e"),
+      TextAnalysis.phoneCount(col("text")).as("p"),
+      TextAnalysis.digitCount(col("text")).as("d")).first()
+    assert(r.getAs[Int]("e") == 1)
+    assert(r.getAs[Int]("p") == 1)
+    assert(r.getAs[Int]("d") == 13) // 1 555 123 4567 42
+  }
+
   test("trigram langid separates two synthetic 'languages'") {
     val langA = (1 to 20).map(i => (i.toLong, "aaa bbb aab abb aba bab", "A"))
     val langB = (21 to 40).map(i => (i.toLong, "xxx yyy xxy xyy xyx yxy", "B"))
