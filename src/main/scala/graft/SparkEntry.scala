@@ -807,6 +807,19 @@ object SparkEntry {
           / sum(length(col("props")).cast("long"))).as("digit_ratio"))
       .orderBy("event_type")
 
+  /** Near-dup corpus dedup rollup: MinHash pairs → connected components
+    * (min-label propagation, [[graft.operators.Dedup.nearDupClusters]]) →
+    * per-cluster member counts. The oracle replays the component closure
+    * with a recursive CTE over the same pair pipeline. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
+    Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   // ---- driver contract ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -863,6 +876,7 @@ object SparkEntry {
     "q51_quality_signals" -> qualitySignals _,
     "q52_repetition" -> repetitionTop _,
     "q53_pii_stats" -> piiStats _,
+    "q54_dedup_clusters" -> dedupClusters _,
   )
 
   private val stopwordsSqlList: String =
@@ -877,7 +891,13 @@ object SparkEntry {
   /** q19 oracle: the full MinHash pipeline replayed in SQL (same affine
     * slot-hash family as [[Dedup.affineA]]/[[Dedup.affineB]], same k=12
     * in 3 bands of 4 as the Spark side). */
-  private def minhashOracleSql: String = {
+  private def minhashOracleSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** The minhash pipeline's CTE chain (ends with `verified(id_a,id_b,jac)`),
+    * shared by the q19 and q54 oracles. */
+  private def minhashCtesSql: String = {
     val (k, bands) = (12, 3)
     val r = k / bands
     val sigExprs = (0 until k)
@@ -886,7 +906,7 @@ object SparkEntry {
     val bandSelects = (0 until bands)
       .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', ${(0 until r).map(j => s"m${r * b + j}").mkString(", ")}) AS band_key FROM sig")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH t0 AS (
+    s"""t0 AS (
        |  SELECT doc_id, $toksSql AS tk FROM documents
        |), toks AS (
        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
@@ -909,8 +929,7 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN toks ta ON ta.doc_id = c.id_a
        |  JOIN toks tb ON tb.doc_id = c.id_b
-       |)
-       |SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+       |)""".stripMargin
   }
 
   /** Shared CTE computing per-doc 30-bit simhash fingerprints. */
@@ -1655,5 +1674,21 @@ object SparkEntry {
         |  CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS DOUBLE)
         |    / sum(length(props)) AS digit_ratio
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q54_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+        |pairs AS (SELECT id_a, id_b FROM verified WHERE jac >= 0.5),
+        |e AS (
+        |  SELECT id_a AS id, id_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT id_b AS id, id_a AS nbr FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT id, id AS r FROM e
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id
+        |)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |) GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
   )
 }

@@ -167,6 +167,56 @@ object Dedup {
     top.orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(k)
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation on the (undirected) pair graph, the step that turns
+    * pairwise candidates into dedup clusters ("keep one per component").
+    *
+    * Each round is two equi-joins + a groupBy on the node id — pure
+    * shuffle-on-key, no driver-side graph. Rounds needed = graph
+    * diameter; near-dup components from LSH verification are almost
+    * always cliques or short chains, so convergence is 1-3 rounds (the
+    * loop stops as soon as no label changes). Plans are truncated with
+    * localCheckpoint each round so the iteration doesn't accumulate an
+    * unbounded lineage. Returns (id, cluster_id), cluster_id = min id of
+    * the component; ids not in any pair are absent (their cluster is
+    * themselves). */
+  def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col(idACol).as("id"), col(idBCol).as("nbr"))
+      .unionByName(pairs.select(col(idBCol).as("id"), col(idACol).as("nbr")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .groupBy("id").agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Corpus dedup: keep one document per near-dup cluster (the minimum
+    * id — deterministic on any cluster layout). Documents absent from
+    * `pairs` are their own cluster and always kept. */
+  def dedupByCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   private val SimhashBits = 30 // fits in polyHash's mod-1e9+7 range
 
   /** 30-bit SimHash fingerprint of the token array: bit i of the result is

@@ -126,4 +126,36 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("guard"))
   }
+
+  test("near-dup clusters: chains collapse to min-id components") {
+    // component {1,2,3} as a chain (needs propagation), clique {10,11},
+    // and a long path {20..24} to exercise multiple rounds
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
+  test("dedupByCluster keeps one doc per cluster plus all unpaired docs") {
+    val docs = Seq((1L, base), (2L, base), (3L, base), (7L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByCluster(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L))
+  }
+
+  test("end-to-end dedup: minhash pairs -> clusters -> deduped corpus") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, base), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+      shingleWords = 2, k = 12, bands = 4, threshold = 0.5)
+    val kept = Dedup.dedupByCluster(docs, "doc_id", pairs.select("id_a", "id_b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 1/2/3 are one near-dup cluster
+  }
 }
