@@ -40,6 +40,31 @@ object Bench {
     (nRows, dt)
   }
 
+  /** IVF index build + bulk search over a synthesized vector corpus
+    * (50k × 64-dim — the sf embeddings table is too small to amortize
+    * fixed job overhead); comparable to BASELINE.md's ~10k vectors/s
+    * FAISS build and <10 ms top-10 search (ours is bulk-batch: report
+    * amortized queries/s). */
+  def annThroughput(spark: SparkSession, nVec: Long = 50000L,
+      dim: Int = 64): (Long, Double, Long, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString + "/ivf"
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id") * dim + i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+      .localCheckpoint(false) // synthesize once, not per Lloyd scan
+    val t0 = System.nanoTime()
+    graft.index.VectorIndex.build(emb, "vec_id", "embedding", nCells = 32, dir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val queries = emb.limit(200).select(col("vec_id").as("query_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
+    val t1 = System.nanoTime()
+    val got = graft.index.VectorIndex.search(spark, dir, queries, k = 10, nProbe = 4).count()
+    val searchSec = (System.nanoTime() - t1) / 1e9
+    require(got > 0, "ann search returned no rows")
+    (nVec, buildSec, 200L, searchSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
@@ -64,7 +89,11 @@ object Bench {
     val ingestJson =
       if (inSec > 0) f""","ingest":{"rows":$inRows,"sec":$inSec%.3f,"rows_per_sec":${(inRows / inSec).toLong}}"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson}""")
+    val annJson = try {
+      val (nVec, buildSec, nQ, searchSec) = annThroughput(spark)
+      f""","ann":{"vectors":$nVec,"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"search_queries":$nQ,"search_sec":$searchSec%.3f,"search_queries_per_sec":${(nQ / searchSec).toLong}}"""
+    } catch { case _: Throwable => "" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson$annJson}""")
     spark.stop()
   }
 }

@@ -64,6 +64,8 @@ object Main {
 
       case "quality" =>
         val Array(_, base) = args.take(2)
+        val thresholds = if (args.length > 2) Quality.loadThresholds(args(2))
+                         else Quality.Thresholds()
         val utts = spark.read.parquet(s"$base/normalized")
         val episodes = utts.groupBy("episode_id")
           .agg((max(col("end")) - min(col("start"))).as("episode_duration"))
@@ -71,7 +73,7 @@ object Main {
         val emb = if (new java.io.File(embPath).exists) Some(spark.read.parquet(embPath)) else None
         val spans = spark.read.parquet(s"$base/spans")
         val beats = spark.read.parquet(s"$base/beats")
-        val a = Quality.assess(spans, beats, episodes, Quality.Thresholds(), emb)
+        val a = Quality.assess(spans, beats, episodes, thresholds, emb)
         val counts = graft.quality.Reporter.DatasetCounts(
           episodes.count(), spans.count(), beats.count(), emb.isDefined)
         val written = graft.quality.Reporter.writeAll(
@@ -128,6 +130,6 @@ object Main {
       |  materialize <lakeDir>
       |  catalog <lakeDir>
       |  validate <lakeDir>
-      |  quality <lakeDir>
+      |  quality <lakeDir> [thresholdsConfig]
       |  snapshot <lakeDir> <snapshotsDir> <version>""".stripMargin)
 }

@@ -48,6 +48,48 @@ case class VecDotD(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** Kernel for [[NearestCellExpr]]: argmax over cells of
+  * dot(v, centroid)/‖centroid‖, ties to the LOWEST cell id (same order
+  * as (cosine desc, cell_id asc) — the vector's own norm is a positive
+  * constant across cells, so dividing by it cannot change the argmax). */
+object CellKernels {
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]], invNorms: Array[Double]): Int = {
+    val d = v.numElements()
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(d, cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * cent(i); i += 1 }
+      val score = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Map-only nearest-centroid assignment: the centroid table is a small
+  * model object (nCells rows), so it rides along as a codegen reference
+  * instead of a crossJoin that materializes nCells rows per vector. */
+case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
+    invNorms: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    CellKernels.nearestCell(v.asInstanceOf[ArrayData], cents, invNorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cells", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.CellKernels.nearestCell($v, $cRef, $nRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExprs {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -55,4 +97,18 @@ object VectorExprs {
 
   /** Requires [[register]] on the executing session. */
   def vec_dot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
+
+  /** Nearest-centroid cell of a double-array column. `cents(i)` is the
+    * centroid of cell i; dedicated per-call function name because the
+    * centroid payload is bound into the expression. */
+  def nearest_cell(spark: SparkSession, v: Column, cents: Array[Array[Double]]): Column = {
+    val invNorms = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) 1.0 / n else 0.0
+    }
+    val name = s"graft_nearest_cell_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => NearestCellExpr(exprs(0), cents, invNorms), "built-in")
+    call_function(name, v)
+  }
 }

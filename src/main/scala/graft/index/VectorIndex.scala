@@ -79,10 +79,15 @@ object VectorIndex {
     * Partition pruning on cell_id means only the probed cells are read. */
   def search(spark: SparkSession, outDir: String, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
+    graft.expressions.VectorExprs.register(spark)
+    import graft.expressions.VectorExprs.vec_dot
     val p = Paths(outDir)
     val cents = spark.read.parquet(p.centroids)
+    // norms BEFORE the join: one sqrt-dot per corpus/query row instead of
+    // one per (query, candidate) pair after the fan-out
     val corpus = spark.read.parquet(p.assigned)
       .select(col("_id").as("neighbor_id"), col("_v").as("nv"), col("cell_id"))
+      .withColumn("_nn", sqrt(vec_dot(col("nv"), col("nv"))))
     val qCells = {
       val j = broadcast(queries).crossJoin(broadcast(cents))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
@@ -90,14 +95,11 @@ object VectorIndex {
           col("cell_id"))
       j.withColumn("_r", row_number().over(w)).filter(col("_r") <= nProbe)
         .select(col("query_id"), col("qv"), col("cell_id"))
+        .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
     }
     val cands = broadcast(qCells).join(corpus, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-    graft.expressions.VectorExprs.register(spark)
-    import graft.expressions.VectorExprs.vec_dot
     val sims = cands
-      .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
-      .withColumn("_nn", sqrt(vec_dot(col("nv"), col("nv"))))
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))

@@ -44,37 +44,61 @@ object Similarity {
     * cluster layout). Returns (cell_id, centroid double[]). */
   def trainIvfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2): DataFrame = {
-    val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    // hash-based seeding: works for any id type, deterministic everywhere
-    var assigned = v.withColumn("cell_id", pmod(xxhash64(col("_id")), lit(nCells)).cast("int"))
-    var centroids: DataFrame = null
-    for (_ <- 0 to iters) {
-      centroids = averageByCell(assigned)
-      assigned = assignToNearest(v, centroids)
-    }
-    centroids
+    // cached: every Lloyd iteration re-scans the input twice; cast to
+    // double once so the codegen dot kernel applies throughout
+    val v = vectors.select(col(idCol).as("_id"), VF.vecAsDouble(col(vecCol)).as("_v")).cache()
+    try {
+      // hash-based seeding: works for any id type, deterministic everywhere
+      var assigned = v.withColumn("cell_id", pmod(xxhash64(col("_id")), lit(nCells)).cast("int"))
+      var centroids: DataFrame = null
+      for (_ <- 0 to iters) {
+        // eager-checkpoint the tiny centroid table each round: without it
+        // the lazily-chained plans re-execute every earlier iteration,
+        // making Lloyd O(iters²) instead of O(iters)
+        centroids = averageByCell(assigned).localCheckpoint(true)
+        assigned = assignToNearest(v, centroids)
+      }
+      centroids
+    } finally v.unpersist()
   }
 
-  /** Elementwise decimal-exact mean vector per cell (posexplode → agg →
-    * re-collect in position order). */
+  /** Elementwise mean vector per cell (posexplode → agg → re-collect in
+    * position order). Components are quantized to 1e-6 and summed as
+    * LONGs: exact integer addition is order-independent (so the result
+    * is reproducible on any cluster layout, like the previous
+    * DECIMAL(30,12) path) at a fraction of the per-element cost; 1e-6
+    * centroid precision is far below routing significance. Overflow
+    * headroom: ~9e12 in summed absolute value per (cell, dim). */
+  private val CentroidScale = 1e6
+
   private def averageByCell(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cell_id"), posexplode(col("_v")).as(Seq("pos", "x")))
       .groupBy("cell_id", "pos")
-      .agg((sum(col("x").cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))
+      .agg((sum((col("x") * CentroidScale).cast("long")).cast("double")
+        / (count(lit(1)) * CentroidScale)).as("m"))
       .groupBy("cell_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
-  /** Assign each vector to its nearest centroid (broadcast centroids —
-    * nCells is small by construction, so this is a map-only stage). */
+  /** Assign each vector to its nearest centroid — MAP-ONLY. The centroid
+    * table is a model object (nCells rows by construction), so it is
+    * collected once and bound into a codegen expression
+    * ([[graft.expressions.NearestCellExpr]]): one tight cells×dims loop
+    * per vector, no crossJoin materializing nCells rows per vector and
+    * no argmin shuffle. Ties break toward the lowest cell_id (same order
+    * as cosine desc, cell_id asc); a zero centroid can never win. */
   def assignToNearest(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = vectors.crossJoin(broadcast(centroids))
-    val w = Window.partitionBy(col("_id"))
-      .orderBy(VF.cosine(col("_v"), col("centroid")).desc, col("cell_id"))
-    joined.withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1)
-      .select(col("_id"), col("_v"), col("cell_id"))
+    val spark = vectors.sparkSession
+    val rows = centroids.select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cellIds: Seq[Int] = rows.map(_._1).toSeq
+    val idx = VectorExprs.nearest_cell(spark, col("_v"), rows.map(_._2))
+    vectors.select(col("_id"), col("_v"),
+      // the expression returns a position into the sorted cell list;
+      // translate back to the (possibly sparse) cell_id
+      get(typedlit(cellIds), idx).as("cell_id"))
   }
 
   /** IVF search: route each query to its nProbe nearest cells, join only

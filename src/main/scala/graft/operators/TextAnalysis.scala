@@ -145,16 +145,15 @@ object TextAnalysis {
       labelCol: String, profileSize: Int = 50): DataFrame = {
     graft.expressions.TextExprs.register(df.sparkSession)
     // single-pass codegen kernel for the distinct trigrams (the
-    // transform+array_distinct formulation interprets a lambda per char).
-    // localCheckpoint (not cache) because both the train and classify
-    // phases scan it: same reuse, but the blocks are freed by the
-    // ContextCleaner once the plan is dropped instead of pinning executor
-    // storage for the session's lifetime. At 100 TB this becomes an
-    // explicit materialized table.
+    // transform+array_distinct formulation interprets a lambda per char),
+    // CACHED because both the train and classify phases scan it — and
+    // explicitly unpersisted below once the (small) per-doc result is
+    // materialized, so the big exploded frame never outlives the call.
+    // At 100 TB this becomes an explicit materialized table.
     val grams = df.withColumn("_norm", TF.normalizeWs(textCol))
       .select(col(idCol), col(labelCol),
         explode(graft.expressions.TextExprs.distinct_char_ngrams(col("_norm"), 3)).as("g"))
-      .localCheckpoint(false)
+      .cache()
     // train: per-label top trigrams
     val profile = grams.groupBy(col(labelCol).as("plabel"), col("g"))
       .agg(count(lit(1)).as("n"))
@@ -168,7 +167,12 @@ object TextAnalysis {
       .groupBy(col(idCol), col("plabel"))
       .agg(count(lit(1)).as("score"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("plabel"))
-    scores.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    val result = scores.withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col(idCol), col("plabel").as("predicted"))
+      // eager checkpoint of the SMALL per-doc result (one row per doc)
+      // lets us free the big grams cache before returning
+      .localCheckpoint(true)
+    grams.unpersist()
+    result
   }
 }

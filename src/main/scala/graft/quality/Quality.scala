@@ -48,6 +48,54 @@ object Quality {
       outlierCount: Int = 20,
       topSpeakersCount: Int = 10)
 
+  /** thresholds.py:120-188 `from_dict`/`apply_overrides`: snake_case keys
+    * (the reference's field names), unknown keys ignored. */
+  def thresholdsFrom(overrides: Map[String, String],
+      base: Thresholds = Thresholds()): Thresholds =
+    overrides.foldLeft(base) { case (t, (k, v)) =>
+      k.trim match {
+        case "coverage_min"                      => t.copy(coverageMin = v.trim.toDouble)
+        case "gap_max_percent"                   => t.copy(gapMaxPercent = v.trim.toDouble)
+        case "overlap_max_percent"               => t.copy(overlapMaxPercent = v.trim.toDouble)
+        case "span_length_min"                   => t.copy(spanLengthMin = v.trim.toDouble)
+        case "span_length_max"                   => t.copy(spanLengthMax = v.trim.toDouble)
+        case "span_length_compliance_min"        => t.copy(spanComplianceMin = v.trim.toDouble)
+        case "beat_length_min"                   => t.copy(beatLengthMin = v.trim.toDouble)
+        case "beat_length_max"                   => t.copy(beatLengthMax = v.trim.toDouble)
+        case "beat_length_compliance_min"        => t.copy(beatComplianceMin = v.trim.toDouble)
+        case "timestamp_regressions_max"         => t.copy(timestampRegressionsMax = v.trim.toLong)
+        case "negative_duration_max"             => t.copy(negativeDurationMax = v.trim.toLong)
+        case "exact_duplicate_max_percent"       => t.copy(exactDuplicateMaxPercent = v.trim.toDouble)
+        case "near_duplicate_max_percent"        => t.copy(nearDuplicateMaxPercent = v.trim.toDouble)
+        case "near_duplicate_threshold"          => t.copy(nearDuplicateThreshold = v.trim.toDouble)
+        case "same_speaker_neighbor_max_percent" => t.copy(sameSpeakerNeighborMaxPercent = v.trim.toDouble)
+        case "same_episode_neighbor_max_percent" => t.copy(sameEpisodeNeighborMaxPercent = v.trim.toDouble)
+        case "length_bias_correlation_max"       => t.copy(lengthBiasCorrelationMax = v.trim.toDouble)
+        case "adjacency_bias_max_percent"        => t.copy(adjacencyBiasMaxPercent = v.trim.toDouble)
+        case "adjacency_tolerance_seconds"       => t.copy(adjacencyToleranceSeconds = v.trim.toDouble)
+        case "neighbor_k"                        => t.copy(neighborK = v.trim.toInt)
+        case "neighbor_sample_size"              => t.copy(neighborSampleSize = v.trim.toInt)
+        case "random_pairs_sample_size"          => t.copy(randomPairsSampleSize = v.trim.toInt)
+        case "neighbor_list_sample_size"         => t.copy(neighborListSampleSize = v.trim.toInt)
+        case "outlier_count"                     => t.copy(outlierCount = v.trim.toInt)
+        case "top_speakers_count"                => t.copy(topSpeakersCount = v.trim.toInt)
+        case _                                   => t
+      }
+    }
+
+  /** Load `key = value` threshold overrides from a config file, with C18
+    * `${VAR}` env interpolation; '#' starts a comment. */
+  def loadThresholds(path: String, base: Thresholds = Thresholds()): Thresholds = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    val kv = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
+      .map(l => graft.core.Config.interpolateEnv(l))
+      .map(_.takeWhile(_ != '#').trim)
+      .filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }
+      .toMap
+    thresholdsFrom(kv, base)
+  }
+
   final case class Violation(name: String, expected: String, actual: String, severity: String)
 
   final case class Assessment(
