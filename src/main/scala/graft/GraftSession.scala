@@ -13,6 +13,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.parquet carries ns-precision timestamps; read them as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketed layouts) land in tmp, not the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def create(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

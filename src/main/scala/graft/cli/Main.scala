@@ -23,7 +23,13 @@ object Main {
         val (norm, errors) = Ingest.ingestDirectory(spark, in)
         Ingest.writeNormalized(norm, s"$out/normalized")
         errors.write.mode("overwrite").parquet(s"$out/errors")
-        println(s"ingested: ${spark.read.parquet(s"$out/normalized").count()} utterances")
+        // S16: archive raw sources under {lake}/raw, named by episode stem
+        val rawFiles = Option(new java.io.File(in).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".jsonl"))
+          .map(f => (f.getPath, f.getName.stripSuffix(".jsonl")))
+        val archived = graft.ingest.Layout.archiveRaw(spark, rawFiles.toSeq, out)
+        println(s"ingested: ${spark.read.parquet(s"$out/normalized").count()} utterances; " +
+          s"archived ${archived.length} raw files")
 
       case "materialize" =>
         val Array(_, base) = args.take(2)
