@@ -87,4 +87,46 @@ object Intervals {
       .groupBy(partitionCols.map(c => col(s"a.$c").as(c)): _*)
       .agg(count(lit(1)).as("n_overlap_pairs"))
   }
+
+  /** [[overlapPairCounts]] at scale: BANDED range join. Each interval
+    * explodes to the fixed-width time bands it touches, candidates come
+    * from an equi-join on (key…, band), and the exact range predicate
+    * verifies. A pair is counted exactly once by attributing it to the
+    * band containing max(a.start, b.start) — the first band both touch
+    * (strict overlap ⇒ max(start) < min(end), so that band lies in both
+    * intervals' band ranges).
+    *
+    * Scale story: the shuffle key gains the band, so one hot partition
+    * key (an episode with 10^6 segments) spreads over its time axis
+    * instead of sending every pair to one reducer; candidates per band
+    * are bounded by band occupancy, not by the key's total row count.
+    * Choose `bandWidth` near the p95 interval length: shorter bands cut
+    * candidate pairs, longer bands cut the per-interval fan-out
+    * (len/width + 1 copies). */
+  def overlapPairCountsBanded(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      idCol: String,
+      bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val banded = df.withColumn("_band",
+      explode(sequence(
+        floor(col(startCol) / bandWidth).cast("long"),
+        floor(col(endCol) / bandWidth).cast("long"))))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val keyEq = (partitionCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a._band") === col("b._band"))).reduce(_ && _)
+    val cond = keyEq &&
+      col(s"a.$idCol") < col(s"b.$idCol") &&
+      col(s"a.$startCol") < col(s"b.$endCol") &&
+      col(s"b.$startCol") < col(s"a.$endCol") &&
+      col("a._band") ===
+        floor(greatest(col(s"a.$startCol"), col(s"b.$startCol")) / bandWidth).cast("long")
+    a.join(b, cond)
+      .groupBy(partitionCols.map(c => col(s"a.$c").as(c)): _*)
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+  }
 }

@@ -43,4 +43,28 @@ class IntervalsSpec extends AnyFunSuite {
     val out = Intervals.overlapPairCounts(df, Seq("k"), "s", "e", "id").collect().head
     assert(out.getAs[Long]("n_overlap_pairs") == 2L)
   }
+
+  test("banded overlap counting matches the quadratic join on random data") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val k = s"ep${i % 3}"
+      val st = rng.nextInt(500).toDouble
+      (k, i.toLong, st, st + 1 + rng.nextInt(80))
+    }
+    val df = rows.toDF("k", "id", "s", "e")
+    val exact = Intervals.overlapPairCounts(df, Seq("k"), "s", "e", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (width <- Seq(5.0, 40.0, 1000.0)) {
+      val banded = Intervals.overlapPairCountsBanded(df, Seq("k"), "s", "e", "id", width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(banded == exact, s"width=$width")
+    }
+  }
+
+  test("banded overlap join plan is an equi-join on (key, band)") {
+    val df = Seq(("u", 1L, 0.0, 10.0), ("u", 2L, 5.0, 15.0)).toDF("k", "id", "s", "e")
+    val plan = Intervals.overlapPairCountsBanded(df, Seq("k"), "s", "e", "id", 10.0)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_band"))
+  }
 }
