@@ -255,9 +255,14 @@ object SparkEntry {
   }
 
   /** J8 pairwise interval overlaps per user (coverage.py:374-427). */
+  /** J8 interval-overlap pair counts per user — BANDED range join
+    * ([[graft.operators.Intervals.overlapPairCountsBanded]]): candidates
+    * from an equi-join on (user, time band), so a hot user spreads over
+    * its time axis instead of one quadratic reducer. Band width ≈ the
+    * p95 interval length (150 s) keeps per-interval fan-out ≈ 2. */
   def overlapPairs(spark: SparkSession, dir: String): DataFrame =
-    Intervals.overlapPairCounts(eventIntervals(spark, dir),
-        Seq("user_id"), "s_us", "e_us", "event_id")
+    Intervals.overlapPairCountsBanded(eventIntervals(spark, dir),
+        Seq("user_id"), "s_us", "e_us", "event_id", bandWidth = 150e6)
       .orderBy("user_id")
 
   /** V3 exact top-k cosine neighbors for a query set (embedding.py:408-472).
