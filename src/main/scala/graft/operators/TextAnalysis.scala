@@ -108,14 +108,18 @@ object TextAnalysis {
         transform(sequence(lit(0), size(col("_tk")) - n),
           i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("gram"))
     val counts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col(idCol))
+    // aggregate argmax instead of a row_number window: same per-doc
+    // shuffle key but no sort, and map-side partial combine applies.
+    // min_by over (−cnt, gram) = highest count, ties to the FIRST gram —
+    // identical to the (cnt desc, gram asc) window order
     counts
-      .withColumn("total", sum(col("cnt")).over(w))
-      .withColumn("rnk", row_number().over(w.orderBy(col("cnt").desc, col("gram"))))
-      .filter(col("rnk") === 1)
-      .select(col(idCol), col("total").as("n_grams"), col("gram").as("top_gram"),
-        col("cnt").as("top_n"),
-        (col("cnt").cast("double") / col("total")).as("top_fraction"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        min_by(struct(col("gram"), col("cnt")), struct(-col("cnt"), col("gram"))).as("top"))
+      .select(col(idCol), col("n_grams"), col("top.gram").as("top_gram"),
+        col("top.cnt").as("top_n"),
+        (col("top.cnt").cast("double") / col("n_grams")).as("top_fraction"))
   }
 
   // ---- PII-ish pattern counting (training-data hygiene) --------------
