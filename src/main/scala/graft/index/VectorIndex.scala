@@ -58,21 +58,23 @@ object VectorIndex {
     val existing = spark.read.parquet(p.assigned)
     val fresh = vectors.join(
       existing.select(col("_id").as(idCol)), Seq(idCol), "left_anti").cache()
-    val nNew = fresh.count()
-    if (nNew == 0) return "noop"
-    val nExisting = existing.count()
-    if (nExisting == 0 || nNew.toDouble / nExisting > RebuildRatio) {
-      build(vectors, idCol, vecCol, nCells, outDir)
-      "rebuild"
-    } else {
-      val assigned = Similarity.assignToNearest(
-        fresh.select(col(idCol).as("_id"),
-          graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
-        spark.read.parquet(p.centroids))
-      assigned.write.mode("append").partitionBy("cell_id").parquet(p.assigned)
-      writeMetadata(spark, p, nCells)
-      "append"
-    }
+    try {
+      val nNew = fresh.count()
+      if (nNew == 0) return "noop"
+      val nExisting = existing.count()
+      if (nExisting == 0 || nNew.toDouble / nExisting > RebuildRatio) {
+        build(vectors, idCol, vecCol, nCells, outDir)
+        "rebuild"
+      } else {
+        val assigned = Similarity.assignToNearest(
+          fresh.select(col(idCol).as("_id"),
+            graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
+          spark.read.parquet(p.centroids))
+        assigned.write.mode("append").partitionBy("cell_id").parquet(p.assigned)
+        writeMetadata(spark, p, nCells)
+        "append"
+      }
+    } finally fresh.unpersist()
   }
 
   /** Search the persisted index: nProbe-cell pruned top-k per query.

@@ -56,9 +56,13 @@ object Ingest {
   }
 
   /** Split into (valid, errors): errors one row per violation
-    * (validator.py:305-342 `ValidationError{type, ...}` as a DataFrame). */
+    * (validator.py:305-342 `ValidationError{type, ...}` as a DataFrame).
+    * The checked frame is localCheckpoint'd (not cached): both outputs
+    * read the one materialization, and the blocks are freed by the
+    * ContextCleaner when the plans are dropped instead of pinning
+    * executor storage until someone remembers to unpersist. */
   def validate(df: DataFrame): (DataFrame, DataFrame) = {
-    val checked = withValidationErrors(df).cache()
+    val checked = withValidationErrors(df).localCheckpoint(false)
     val valid = checked.filter(size(col("errors")) === 0).drop("errors", "_corrupt_record")
     val errors = checked.filter(size(col("errors")) > 0)
       .select(col("source_file"), col("episode_id"),

@@ -62,21 +62,27 @@ object EmbeddingSanity {
   }
 
   /** k-NN for a deterministic query sample, annotated with both sides'
-    * metadata — the shared substrate for V8/V9/V12/V13/V14. */
+    * metadata — the shared substrate for V8/V9/V12/V13/V14. The joined
+    * base is cached only for the duration of the call: the (small,
+    * sampleSize×k-row) result is materialized eagerly so the cache can
+    * be released before returning. */
   def sampledNeighbors(segments: DataFrame, embeddings: DataFrame, idCol: String,
       k: Int, sampleSize: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val base = joined(segments, embeddings, idCol).cache()
-    val metaCols = Seq("episode_id", "speaker", "start_time", "end_time") ++ extraCols
-    val queries = sampleByHash(base, idCol, sampleSize)
-      .select((col(idCol).as("query_id") +: col("v").as("qv") +:
-        metaCols.map(c => col(c).as(s"q_$c"))): _*)
-    val corpus = base
-      .select((col(idCol).as("neighbor_id") +: col("v").as("nv") +:
-        metaCols.map(c => col(c).as(s"n_$c"))): _*)
-    Similarity.topKExact(
-        queries.select("query_id", "qv"), corpus.select("neighbor_id", "nv"), k)
-      .join(queries.drop("qv"), "query_id")
-      .join(corpus.drop("nv"), "neighbor_id")
+    try {
+      val metaCols = Seq("episode_id", "speaker", "start_time", "end_time") ++ extraCols
+      val queries = sampleByHash(base, idCol, sampleSize)
+        .select((col(idCol).as("query_id") +: col("v").as("qv") +:
+          metaCols.map(c => col(c).as(s"q_$c"))): _*)
+      val corpus = base
+        .select((col(idCol).as("neighbor_id") +: col("v").as("nv") +:
+          metaCols.map(c => col(c).as(s"n_$c"))): _*)
+      Similarity.topKExact(
+          queries.select("query_id", "qv"), corpus.select("neighbor_id", "nv"), k)
+        .join(queries.drop("qv"), "query_id")
+        .join(corpus.drop("nv"), "neighbor_id")
+        .localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   /** V12: % of neighbors from a different series (diversity). */

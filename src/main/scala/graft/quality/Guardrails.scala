@@ -21,11 +21,13 @@ object Guardrails {
   final case class GuardrailResult(kept: DataFrame, dropped: DataFrame, topOffenders: Seq[(String, Double)])
 
   /** Split at the ceiling; capture the top-5 dropped by duration
-    * (materialize.py logs exactly these). */
+    * (materialize.py logs exactly these). No caching: the split is a
+    * pushed-down filter, so `kept`/`dropped` each cost one pruned scan —
+    * cheaper than pinning the whole table in executor storage for the
+    * session's lifetime. */
   def apply(segments: DataFrame, idCol: String, maxDuration: Double): GuardrailResult = {
-    val flagged = segments.withColumn("_over", col("duration") > maxDuration).cache()
-    val kept = flagged.filter(!col("_over")).drop("_over")
-    val dropped = flagged.filter(col("_over")).drop("_over")
+    val kept = segments.filter(col("duration") <= maxDuration)
+    val dropped = segments.filter(col("duration") > maxDuration)
     val top = dropped.select(col(idCol), col("duration"))
       .orderBy(col("duration").desc, col(idCol)).limit(5)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq

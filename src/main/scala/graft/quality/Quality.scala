@@ -272,21 +272,25 @@ object Quality {
       .select(col("span_id"), col("episode_id"), col("speaker"),
         VF.vecAsDouble(col("embedding")).as("v"))
       .cache()
-    val queries = joined
-      .withColumn("_h", xxhash64(col("span_id")))
-      .orderBy("_h").limit(sampleSize)
-      .select(col("span_id").as("query_id"), col("episode_id").as("q_ep"),
-        col("speaker").as("q_spk"), col("v").as("qv"))
-    val corpus = joined.select(col("span_id").as("neighbor_id"),
-      col("episode_id").as("n_ep"), col("speaker").as("n_spk"), col("v").as("nv"))
-    val knn = graft.operators.Similarity.topKExact(
-      queries.select("query_id", "qv"), corpus.select("neighbor_id", "nv"), k)
-    knn.join(queries, "query_id").join(corpus, "neighbor_id")
-      .agg(
-        (lit(100.0) * sum(when(col("q_spk") === col("n_spk"), 1).otherwise(0)) / count(lit(1)))
-          .as("same_speaker_pct"),
-        (lit(100.0) * sum(when(col("q_ep") === col("n_ep"), 1).otherwise(0)) / count(lit(1)))
-          .as("same_episode_pct"))
+    try {
+      val queries = joined
+        .withColumn("_h", xxhash64(col("span_id")))
+        .orderBy("_h").limit(sampleSize)
+        .select(col("span_id").as("query_id"), col("episode_id").as("q_ep"),
+          col("speaker").as("q_spk"), col("v").as("qv"))
+      val corpus = joined.select(col("span_id").as("neighbor_id"),
+        col("episode_id").as("n_ep"), col("speaker").as("n_spk"), col("v").as("nv"))
+      val knn = graft.operators.Similarity.topKExact(
+        queries.select("query_id", "qv"), corpus.select("neighbor_id", "nv"), k)
+      knn.join(queries, "query_id").join(corpus, "neighbor_id")
+        .agg(
+          (lit(100.0) * sum(when(col("q_spk") === col("n_spk"), 1).otherwise(0)) / count(lit(1)))
+            .as("same_speaker_pct"),
+          (lit(100.0) * sum(when(col("q_ep") === col("n_ep"), 1).otherwise(0)) / count(lit(1)))
+            .as("same_episode_pct"))
+        // 1-row result materialized eagerly so the cache can be released
+        .localCheckpoint(true)
+    } finally joined.unpersist()
   }
 
   // ---- Category G: diagnostics (diagnostics.py:20-156) --------------
