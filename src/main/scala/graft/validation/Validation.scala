@@ -201,13 +201,25 @@ object Validation {
     orphanRow.unionByName(nullRow)
   }
 
+  /** Strip nullability (and array/map containsNull) recursively: parquet
+    * round-trips everything back nullable, and the reference's schema
+    * check tolerates that (schemas.py:158-163) — only SHAPE mismatches
+    * are violations. */
+  private def shapeOf(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(shapeOf(e), containsNull = true)
+    case MapType(k, v, _) => MapType(shapeOf(k), shapeOf(v), valueContainsNull = true)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = shapeOf(f.dataType), nullable = true)))
+    case other => other
+  }
+
   /** Schema compliance: required fields present with compatible types
     * (checks.py:150-228). Driver-side — schemas are metadata. */
   def schemaChecks(df: DataFrame, spec: TableSpec, expected: StructType): DataFrame = {
-    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val actual = df.schema.fields.map(f => f.name -> shapeOf(f.dataType)).toMap
     val missing = expected.fields.count(f => !actual.contains(f.name))
     val mistyped = expected.fields.count(f =>
-      actual.get(f.name).exists(_ != f.dataType))
+      actual.get(f.name).exists(_ != shapeOf(f.dataType)))
     val spark = df.sparkSession
     import spark.implicits._
     Seq(

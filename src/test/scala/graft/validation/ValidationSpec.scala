@@ -143,4 +143,22 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows("required_fields") == false)
     assert(rows("schema_compliance") == false)
   }
+
+  test("schema checks tolerate nullability drift from parquet round-trips") {
+    import org.apache.spark.sql.types._
+    // declared non-null fields + non-null array elements...
+    val expected = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("ids", ArrayType(StringType, containsNull = false), nullable = false)))
+    // ...come back nullable from parquet; only SHAPE mismatches count
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("a", Seq("x")))),
+      StructType(Seq(
+        StructField("id", StringType, nullable = true),
+        StructField("ids", ArrayType(StringType, containsNull = true), nullable = true))))
+    val rows = Validation.schemaChecks(df, TableSpec("t"), expected)
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Boolean]("passed")).toMap
+    assert(rows("required_fields") == true)
+    assert(rows("schema_compliance") == true)
+  }
 }
