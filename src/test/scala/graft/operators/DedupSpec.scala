@@ -127,6 +127,20 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("guard"))
   }
 
+  test("64-bit simhash + banding: near-dups pair up, unrelated don't") {
+    graft.expressions.HashFunctions.register(spark)
+    val df = Seq((1L, base), (2L, nearDup), (3L, base), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("all").as("blk"),
+        Dedup.simhash64(TF.tokens(col("text"))).as("fp"))
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "fp", Seq("blk"),
+        maxDist = 12, bits = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // identical texts: distance 0
+    assert(pairs.contains((1L, 2L)) == pairs.contains((2L, 3L))) // symmetry
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated stays out
+  }
+
   test("near-dup clusters: chains collapse to min-id components") {
     // component {1,2,3} as a chain (needs propagation), clique {10,11},
     // and a long path {20..24} to exercise multiple rounds
