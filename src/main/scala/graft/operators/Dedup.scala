@@ -181,7 +181,43 @@ object Dedup {
     * the component; ids not in any pair are absent (their cluster is
     * themselves). */
   def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 15): DataFrame = {
+      idBCol: String = "id_b", maxIter: Int = 15,
+      driverThreshold: Int = 100000): DataFrame = {
+    // scale-adaptive: near-dup pair sets are usually a sliver of the
+    // corpus. Below the threshold a driver-side union-find answers in one
+    // collect instead of paying a distributed join round per graph
+    // diameter; above it, the label-propagation loop below scales out.
+    // (Driver path only for integral ids; other id types go distributed.)
+    val integralIds = Seq(idACol, idBCol).forall { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    }
+    if (integralIds) {
+      val smallSample = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+        .limit(driverThreshold + 1).collect()
+      if (smallSample.length <= driverThreshold) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = { // iterative: no stack risk on long chains
+          var root = x
+          while (parent.getOrElse(root, root) != root) root = parent(root)
+          var cur = x
+          while (cur != root) { val nxt = parent.getOrElse(cur, cur); parent(cur) = root; cur = nxt }
+          root
+        }
+        smallSample.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          // union by min id so the representative IS the cluster id
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val ids = smallSample.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return ids.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
+      }
+    }
     val edges = pairs.select(col(idACol).as("id"), col(idBCol).as("nbr"))
       .unionByName(pairs.select(col(idBCol).as("id"), col(idACol).as("nbr")))
       .distinct()

@@ -141,17 +141,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated stays out
   }
 
-  test("near-dup clusters: chains collapse to min-id components") {
+  test("near-dup clusters: chains collapse to min-id components (both paths)") {
     // component {1,2,3} as a chain (needs propagation), clique {10,11},
     // and a long path {20..24} to exercise multiple rounds
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
       .toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L)
+    // driver-side union-find (default) and distributed label propagation
+    // (forced by a zero threshold) must agree
+    for (threshold <- Seq(100000, 0)) {
+      val got = Dedup.nearDupClusters(pairs, driverThreshold = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"driverThreshold=$threshold")
+    }
   }
 
   test("dedupByCluster keeps one doc per cluster plus all unpaired docs") {
