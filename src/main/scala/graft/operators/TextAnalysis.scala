@@ -143,40 +143,43 @@ object TextAnalysis {
     *  2. classify: each document scores every label by the count of its
     *     distinct trigrams that appear in the label's profile; argmax wins
     *     (ties broken by label order).
-    * Returns (idCol, predicted). Both phases are joins + window ranks —
-    * no driver-side model object, so it scales to any corpus size. */
+    * Returns (idCol, predicted).
+    *
+    * Shape: ONE exploded-trigram aggregation trains the profiles (a few
+    * hundred rows — a model object, collected like IVF centroids); the
+    * classify phase is then a map-side broadcast join scoring each doc's
+    * sorted trigram-hash array against each profile with a codegen
+    * two-pointer intersect — no cached multi-million-row exploded frame,
+    * no per-trigram join. Scales as one pass + one map-only pass. */
   def langIdByTrigramProfile(df: DataFrame, idCol: String, textCol: Column,
       labelCol: String, profileSize: Int = 50): DataFrame = {
-    graft.expressions.TextExprs.register(df.sparkSession)
-    // single-pass codegen kernel for the distinct trigrams (the
-    // transform+array_distinct formulation interprets a lambda per char),
-    // CACHED because both the train and classify phases scan it — and
-    // explicitly unpersisted below once the (small) per-doc result is
-    // materialized, so the big exploded frame never outlives the call.
-    // At 100 TB this becomes an explicit materialized table.
-    val grams = df.withColumn("_norm", TF.normalizeWs(textCol))
-      .select(col(idCol), col(labelCol),
-        explode(graft.expressions.TextExprs.distinct_char_ngrams(col("_norm"), 3)).as("g"))
-      .cache()
-    // train: per-label top trigrams
-    val profile = grams.groupBy(col(labelCol).as("plabel"), col("g"))
+    val spark = df.sparkSession
+    graft.expressions.TextExprs.register(spark)
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.{HashFunctions => HF, TextExprs => TE}
+    val gramsOf = TE.distinct_char_ngrams(TF.normalizeWs(textCol), 3)
+    // train: per-label top trigrams (one exploded pass, nothing cached)
+    val profile = df
+      .select(col(labelCol), explode(gramsOf).as("g"))
+      .groupBy(col(labelCol).as("plabel"), col("g"))
       .agg(count(lit(1)).as("n"))
       .withColumn("r", row_number().over(
         Window.partitionBy("plabel").orderBy(col("n").desc, col("g"))))
       .filter(col("r") <= profileSize)
-      .select("plabel", "g")
-    // classify: score = |doc trigrams ∩ label profile|
-    val scores = grams.select(col(idCol), col("g"))
-      .join(broadcast(profile), "g")
-      .groupBy(col(idCol), col("plabel"))
-      .agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("plabel"))
-    val result = scores.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col(idCol), col("plabel").as("predicted"))
-      // eager checkpoint of the SMALL per-doc result (one row per doc)
-      // lets us free the big grams cache before returning
-      .localCheckpoint(true)
-    grams.unpersist()
-    result
+      .groupBy("plabel")
+      // same hash+sort encoding as the doc side → exact set intersection
+      .agg(TE.xx_sorted_hash(collect_list(col("g"))).as("parr"))
+    // classify: |doc trigrams ∩ profile| via codegen sorted intersect
+    val docs = df.select(col(idCol), TE.xx_sorted_hash(gramsOf).as("gh"))
+    docs.crossJoin(broadcast(profile))
+      .withColumn("score", HF.sorted_intersect_count(col("gh"), col("parr")))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("plabel"), struct(-col("score"), col("plabel"))).as("predicted"),
+        max(col("score")).as("_best"))
+      // a doc sharing no trigram with ANY profile is unclassifiable —
+      // absent from the output, like the join-based formulation
+      .filter(col("_best") > 0)
+      .select(col(idCol), col("predicted"))
   }
 }
