@@ -28,31 +28,47 @@ object Multimodal {
   final case class MediaFeature(asset_id: String, media_type: String,
       feature: Seq[Float], decoder: String)
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * A real implementation would decode via an image/audio library here;
-    * the surrounding batching/partitioning is production-shaped. */
-  private def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val v = new Array[Float](dim)
-    var i = 0
-    while (i < dim) {
-      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i + 1)
-      v(i) = (h.toDouble / Int.MaxValue).toFloat
-      i += 1
-    }
-    v
+  /** Pluggable batch decoder — same shape as
+    * [[graft.embed.TextBatchEncoder]]: a real codec (JNI image decoder,
+    * audio resampler, ONNX vision encoder) implements this trait; the
+    * Spark-side plumbing doesn't change. */
+  trait MediaDecoder extends Serializable {
+    def name: String
+    /** Decode a batch of (mediaType, payload) into dim-sized features. */
+    def decodeBatch(batch: Seq[(String, Array[Byte])], dim: Int): Seq[Array[Float]]
+  }
+
+  /** STUB decoder: deterministic pseudo-features from the payload bytes
+    * (no image/audio codecs in this environment). Hermetic and stable —
+    * the same role as the reference's mock embedding models in tests. */
+  final case class StubDecoder() extends MediaDecoder {
+    def name = "stub-v1"
+    def decodeBatch(batch: Seq[(String, Array[Byte])], dim: Int): Seq[Array[Float]] =
+      batch.map { case (_, bytes) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i + 1)
+          v(i) = (h.toDouble / Int.MaxValue).toFloat
+          i += 1
+        }
+        v
+      }
   }
 
   /** Batch feature extraction over the binary column. Batches bound peak
     * memory per task; repartition first if assets are few but huge. */
-  def extractFeatures(media: DataFrame, dim: Int = 64, batchSize: Int = 8): Dataset[MediaFeature] = {
+  def extractFeatures(media: DataFrame, dim: Int = 64, batchSize: Int = 8,
+      decoder: MediaDecoder = StubDecoder()): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("asset_id", "media_type", "content")
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, mt, bytes) =>
-            MediaFeature(id, mt, stubDecode(bytes, dim).toSeq, "stub-v1")
+          val feats = decoder.decodeBatch(batch.map(t => (t._2, t._3)), dim)
+          batch.zip(feats).map { case ((id, mt, _), f) =>
+            MediaFeature(id, mt, f.toSeq, decoder.name)
           }
         }
       }
@@ -67,4 +83,17 @@ object Multimodal {
           greatest(lit(0), (coalesce(col("duration_s"), lit(0.0)) * fps).cast("int") - 1))))
       .withColumn("frame_ts_s", col("frame_idx") / fps)
       .select("asset_id", "frame_idx", "frame_ts_s", "content")
+
+  /** Audio windowing plumbing: one row per (windowLenS, hopS) analysis
+    * window — the offsets a spectrogram/ASR front-end consumes. */
+  def audioWindows(media: DataFrame, windowLenS: Double, hopS: Double): DataFrame = {
+    require(windowLenS > 0 && hopS > 0, "window and hop must be positive")
+    media.filter(col("media_type") === "audio")
+      .withColumn("window_idx",
+        explode(sequence(lit(0), greatest(lit(0),
+          floor((coalesce(col("duration_s"), lit(0.0)) - windowLenS) / hopS).cast("int")))))
+      .withColumn("window_start_s", col("window_idx") * hopS)
+      .withColumn("window_end_s", col("window_idx") * hopS + windowLenS)
+      .select("asset_id", "window_idx", "window_start_s", "window_end_s", "content")
+  }
 }

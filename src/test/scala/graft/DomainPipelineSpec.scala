@@ -223,4 +223,24 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(frames.columns.toSeq ==
       Seq("asset_id", "frame_idx", "frame_ts_s", "content"))
   }
+
+  test("multimodal: custom decoder plugs in; audio windows cover the duration") {
+    val media = Seq(
+      ("aud1", "audio", Array[Byte](1, 2), None: Option[Int], None: Option[Int],
+        Some(3.5), Some("audio/wav")))
+      .toDF("asset_id", "media_type", "content", "width", "height", "duration_s", "mime")
+    // constant custom decoder proves the trait is honored end to end
+    val ones = new Multimodal.MediaDecoder {
+      def name = "const-v1"
+      def decodeBatch(batch: Seq[(String, Array[Byte])], dim: Int): Seq[Array[Float]] =
+        batch.map(_ => Array.fill(dim)(1.0f))
+    }
+    val f = Multimodal.extractFeatures(media, dim = 4, decoder = ones).collect()
+    assert(f.head.decoder == "const-v1" && f.head.feature == Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    // 3.5s audio, 1s windows, 0.5s hop → windows start at 0.0 .. 2.5
+    val w = Multimodal.audioWindows(media, windowLenS = 1.0, hopS = 0.5)
+    assert(w.count() == 6)
+    val last = w.orderBy(col("window_idx").desc).first()
+    assert(last.getAs[Double]("window_end_s") <= 3.5 + 1e-9)
+  }
 }
