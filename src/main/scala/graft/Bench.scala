@@ -65,6 +65,44 @@ object Bench {
     (nVec, buildSec, 200L, searchSec)
   }
 
+  /** Full seven-category quality assessment (incl. embeddings and the
+    * MinHash near-dup pass the reference SKIPS above 10k segments) over a
+    * synthesized corpus at the baseline's published scale — directly
+    * comparable to BASELINE.md's 200-216 s for 81,115 spans / 63,374
+    * beats. */
+  def qualityAssessThroughput(spark: SparkSession,
+      nSpans: Long = 81115L, nBeats: Long = 63374L): (Long, Long, Double) = {
+    def segments(n: Long, prefix: String, idName: String): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(
+        format_string(s"${prefix}_%08d", col("id")).as(idName),
+        format_string("EP%d", col("id") % 5).as("episode_id"),
+        format_string("Speaker %d", col("id") % 40).as("speaker"),
+        (floor(col("id") / 5) * 30.0).as("start_time"),
+        (floor(col("id") / 5) * 30.0 + 20.0 + (col("id") % 21)).as("end_time"),
+        (lit(20.0) + (col("id") % 21)).as("duration"),
+        // mostly-unique word content (id-derived tokens dominate the
+        // shingle set): realistic near-dup sparsity, so the MinHash pass
+        // sees a plausible candidate load instead of an all-pairs wall
+        concat(
+          lit("w"), col("id") % 997, lit(" w"), (col("id") * 7) % 991,
+          lit(" w"), (col("id") * 13) % 983, lit(" w"), (col("id") * 29) % 977,
+          lit(" w"), (col("id") * 31) % 1009, lit(" w"), (col("id") * 37) % 1013,
+          lit(" seg "), col("id"), lit(" spoken words")).as("text"))
+    val spans = segments(nSpans, "spn", "span_id").localCheckpoint(false)
+    val beats = segments(nBeats, "bet", "beat_id")
+    val episodes = spans.groupBy("episode_id")
+      .agg((max(col("end_time")) - min(col("start_time"))).as("episode_duration"))
+    val emb = graft.embed.Embedder.embed(
+      spans, "span_id", "text", "span", graft.embed.HashEncoder(dim = 16))
+    val t0 = System.nanoTime()
+    val a = graft.quality.Quality.assess(
+      spans, beats, episodes, graft.quality.Quality.Thresholds(), Some(emb))
+    val dt = (System.nanoTime() - t0) / 1e9
+    require(a.metrics.contains("coverage_pct") && a.metrics.contains("near_dup_pct"),
+      "assessment did not produce the full metric set")
+    (nSpans, nBeats, dt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
@@ -98,7 +136,11 @@ object Bench {
       val (nVec, buildSec, nQ, searchSec) = annThroughput(spark)
       f""","ann":{"vectors":$nVec,"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"search_queries":$nQ,"search_sec":$searchSec%.3f,"search_queries_per_sec":${(nQ / searchSec).toLong}}"""
     } catch { case _: Throwable => "" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson$annJson}""")
+    val qaJson = try {
+      val (nS, nB, sec) = qualityAssessThroughput(spark)
+      f""","quality_assess":{"spans":$nS,"beats":$nB,"sec":$sec%.3f,"baseline_sec":200.46}"""
+    } catch { case _: Throwable => "" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson$annJson$qaJson}""")
     spark.stop()
   }
 }
