@@ -99,16 +99,18 @@ object VectorExprs {
   def vec_dot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
 
   /** Nearest-centroid cell of a double-array column. `cents(i)` is the
-    * centroid of cell i; dedicated per-call function name because the
-    * centroid payload is bound into the expression. */
+    * centroid of cell i. One STABLE function name, replaced per call:
+    * the returned Column resolves the expression (with its centroid
+    * payload) immediately, so later re-registrations don't disturb it,
+    * and the registry doesn't accumulate one UUID entry (pinning a full
+    * centroid array) per training iteration for the session's lifetime. */
   def nearest_cell(spark: SparkSession, v: Column, cents: Array[Array[Double]]): Column = {
     val invNorms = cents.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n > 0) 1.0 / n else 0.0
     }
-    val name = s"graft_nearest_cell_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => NearestCellExpr(exprs(0), cents, invNorms), "built-in")
-    call_function(name, v)
+      "graft_nearest_cell", exprs => NearestCellExpr(exprs(0), cents, invNorms), "built-in")
+    call_function("graft_nearest_cell", v)
   }
 }

@@ -60,7 +60,11 @@ object Ingest {
     * The checked frame is localCheckpoint'd (not cached): both outputs
     * read the one materialization, and the blocks are freed by the
     * ContextCleaner when the plans are dropped instead of pinning
-    * executor storage until someone remembers to unpersist. */
+    * executor storage until someone remembers to unpersist. Trade-off:
+    * truncated lineage means a lost executor aborts the job instead of
+    * recomputing its partitions — acceptable for this short read-split
+    * window; on preemptible clusters prefer reliable `checkpoint()` or
+    * re-running the (idempotent, deterministic-ID) ingest. */
   def validate(df: DataFrame): (DataFrame, DataFrame) = {
     val checked = withValidationErrors(df).localCheckpoint(false)
     val valid = checked.filter(size(col("errors")) === 0).drop("errors", "_corrupt_record")

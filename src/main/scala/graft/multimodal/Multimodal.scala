@@ -89,6 +89,10 @@ object Multimodal {
   def audioWindows(media: DataFrame, windowLenS: Double, hopS: Double): DataFrame = {
     require(windowLenS > 0 && hopS > 0, "window and hop must be positive")
     media.filter(col("media_type") === "audio")
+      // assets shorter than one window (or with missing duration) can't
+      // fill any analysis window — emitting a phantom [0, windowLen]
+      // frame would read past the payload
+      .filter(coalesce(col("duration_s"), lit(0.0)) >= windowLenS)
       .withColumn("window_idx",
         explode(sequence(lit(0), greatest(lit(0),
           floor((coalesce(col("duration_s"), lit(0.0)) - windowLenS) / hopS).cast("int")))))

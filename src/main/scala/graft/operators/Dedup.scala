@@ -110,7 +110,10 @@ object Dedup {
       // localCheckpoint (not cache) because the banding union and the two
       // verification joins re-scan this subtree ~10x: same reuse, but the
       // blocks are freed by the ContextCleaner when the plan is dropped,
-      // instead of pinning executor storage for the session's lifetime
+      // instead of pinning executor storage for the session's lifetime.
+      // (Lineage is truncated: on preemptible clusters, prefer reliable
+      // checkpoint() — losing an executor mid-query aborts instead of
+      // recomputing.)
       .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
       .withColumn("sz", size(col("sh")))
       .localCheckpoint(false)
@@ -231,9 +234,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .groupBy("id").agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping: also take the label OF the label, so label
+      // distance doubles per round — convergence in O(log diameter)
+      // rounds instead of O(diameter), which is what makes maxIter=15
+      // (diameter 2^15) a safe default rather than a silent truncation
+      val next = hop.alias("l")
+        .join(hop.select(col("id").as("label"), col("label").as("ll")).alias("r"),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
@@ -241,6 +252,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds (component deeper than " +
+          s"2^$maxIter hops?); raise maxIter — returning partial labels would merge clusters wrongly")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -303,8 +318,12 @@ object Dedup {
     val chunkStructs = (0 until nChunks).map { i =>
       val lo = bounds(i).toInt
       val w = (bounds(i + 1) - bounds(i)).toInt
+      // Scala shifts are mod 64: (1L << 64) - 1 would be 0, collapsing a
+      // full-width chunk (bits=64, maxDist=0) to a constant key — i.e.
+      // the all-pairs join this operator exists to avoid
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
       struct(lit(i).as("chunk_id"),
-        shiftright(col(fpCol), lo).bitwiseAND(lit((1L << w) - 1L)).as("chunk_val"))
+        shiftright(col(fpCol), lo).bitwiseAND(lit(mask)).as("chunk_val"))
     }
     val chunked = df
       .select((blockCols.map(col) :+ col(idCol) :+ col(fpCol) :+

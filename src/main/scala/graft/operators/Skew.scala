@@ -19,9 +19,19 @@ object Skew {
   /** Equi-join `big ⨝ small` on `key`, salted: big rows get a
     * deterministic salt in [0, nSalts), small rows are replicated across
     * all salts. Result equals the unsalted inner join. */
+  private val SaltableJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+    "left_anti", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int,
       joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // right/full outer would emit one row PER SALT REPLICA for unmatched
+    // small-side keys — silently inflated output. Only join types that
+    // never preserve unmatched small-side rows are salt-safe.
+    require(SaltableJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin does not support '$joinType': unmatched small-side rows would " +
+        "be duplicated once per salt (use inner/left/left_semi/left_anti)")
     // deterministic salt (hash of the row's key + a spread column would
     // collapse same-key rows to one salt; use a stable per-row spread)
     val salted = big.withColumn("_salt",

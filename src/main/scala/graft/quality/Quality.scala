@@ -372,22 +372,28 @@ object Quality {
       val nearDupPct = if (nSpans > 0) 100.0 * nearDupIds / nSpans else 0.0
       m("near_dup_pct") = nearDupPct
 
-      // category F: all checks share ONE sampled k-NN job
-      val emb = embeddings.map { e =>
+      // category F: all checks share ONE sampled k-NN job. An empty
+      // neighbor frame (embeddings whose artifact_ids don't match the
+      // spans — stale file, wrong artifact type) must SKIP the embedding
+      // checks, not NPE on null aggregates or record bogus 0.0 metrics.
+      val emb = embeddings.flatMap { e =>
         val neigh = EmbeddingSanity.sampledNeighbors(
           sp, e, "span_id", t.neighborK, t.neighborSampleSize).cache()
         try {
-          val leak = EmbeddingSanity.leakagePcts(neigh).first()
-          val adj = EmbeddingSanity.adjacencyBiasPct(neigh, t.adjacencyToleranceSeconds)
-            .first().getDouble(0)
-          val bias = Option(EmbeddingSanity.lengthBiasCorr(neigh)
-            .first().getAs[java.lang.Double]("length_bias_corr")).map(_.doubleValue())
-          m("same_speaker_pct") = leak.getAs[Double]("same_speaker_pct")
-          m("same_episode_pct") = leak.getAs[Double]("same_episode_pct")
-          m("adjacency_bias_pct") = adj
-          bias.foreach(b => m("length_bias_corr") = b)
-          (leak.getAs[Double]("same_speaker_pct"), leak.getAs[Double]("same_episode_pct"),
-            adj, bias)
+          if (neigh.isEmpty) None
+          else {
+            val leak = EmbeddingSanity.leakagePcts(neigh).first()
+            val adj = EmbeddingSanity.adjacencyBiasPct(neigh, t.adjacencyToleranceSeconds)
+              .first().getDouble(0)
+            val bias = Option(EmbeddingSanity.lengthBiasCorr(neigh)
+              .first().getAs[java.lang.Double]("length_bias_corr")).map(_.doubleValue())
+            m("same_speaker_pct") = leak.getAs[Double]("same_speaker_pct")
+            m("same_episode_pct") = leak.getAs[Double]("same_episode_pct")
+            m("adjacency_bias_pct") = adj
+            bias.foreach(b => m("length_bias_corr") = b)
+            Some((leak.getAs[Double]("same_speaker_pct"), leak.getAs[Double]("same_episode_pct"),
+              adj, bias))
+          }
         } finally neigh.unpersist()
       }
 

@@ -38,7 +38,7 @@ object Reporter {
     sb.append(s"- Beats: ${counts.beats}\n")
     sb.append(s"- Embeddings Available: ${if (counts.embeddingsAvailable) "Yes" else "No"}\n\n")
     sb.append("**Quality Check Results:**\n")
-    sb.append(s"- Passed: ${a.metrics.size - a.violations.size} checks\n")
+    sb.append(s"- Metrics Recorded: ${a.metrics.size}\n")
     sb.append(s"- Warnings: ${warnings.size} issues\n")
     sb.append(s"- Errors: ${errors.size} critical failures\n")
     if (errors.nonEmpty) {

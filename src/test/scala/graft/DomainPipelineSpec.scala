@@ -242,5 +242,13 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(w.count() == 6)
     val last = w.orderBy(col("window_idx").desc).first()
     assert(last.getAs[Double]("window_end_s") <= 3.5 + 1e-9)
+    // audio shorter than one window (or missing duration) yields nothing
+    val short = Seq(
+      ("aud2", "audio", Array[Byte](3), None: Option[Int], None: Option[Int],
+        Some(0.3), Some("audio/wav")),
+      ("aud3", "audio", Array[Byte](4), None: Option[Int], None: Option[Int],
+        None: Option[Double], Some("audio/wav")))
+      .toDF("asset_id", "media_type", "content", "width", "height", "duration_s", "mime")
+    assert(Multimodal.audioWindows(short, windowLenS = 1.0, hopS = 0.5).count() == 0)
   }
 }

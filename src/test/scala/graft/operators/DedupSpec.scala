@@ -159,6 +159,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed clustering converges on a 40-hop chain (pointer jumping)") {
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs, driverThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
+
+  test("full-width simhash chunk (bits=64, maxDist=0) keeps a real banding key") {
+    val df = Seq((1L, 123456789L), (2L, 123456789L), (3L, -987654321L), (4L, 555L))
+      .toDF("id", "fp").withColumn("blk", lit("x"))
+    val pairs = Dedup.simhashNearDupPairs(df, "id", "fp", Seq("blk"),
+        maxDist = 0, bits = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // only the identical fingerprints
+    // the chunk value must be the fingerprint itself, not a constant
+    val chunked = Dedup.simhashNearDupPairs(df, "id", "fp", Seq("blk"),
+      maxDist = 0, bits = 64)
+    val plan = chunked.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("& 0)")) // a zero mask would constant-fold the key
+  }
+
   test("dedupByCluster keeps one doc per cluster plus all unpaired docs") {
     val docs = Seq((1L, base), (2L, base), (3L, base), (7L, unrelated))
       .toDF("doc_id", "text")

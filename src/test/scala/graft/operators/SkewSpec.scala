@@ -40,6 +40,17 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted join rejects join types that would duplicate small-side rows") {
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "key", nSalts = 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("per salt"))
+    // left_anti is salt-safe: big keys absent from small survive once
+    val anti = Skew.saltedJoin(big, small.filter(col("key") =!= "hot"), "key",
+      nSalts = 4, joinType = "left_anti")
+    assert(anti.count() == 900) // exactly the hot rows, no duplicates
+  }
+
   test("hotKeys surfaces the dominant key first") {
     val top = Skew.hotKeys(big, "key", 3).collect()
     assert(top.head.getString(0) == "hot" && top.head.getLong(1) == 900L)
