@@ -33,6 +33,15 @@ class LayoutSpec extends AnyFunSuite {
       .select("id").as[Int].collect().toSeq == Seq(9))
   }
 
+  test("version discovery ignores non-vN directories and files") {
+    val base = Files.createTempDirectory("graft_layout_nv").toString
+    Layout.writeVersioned(Seq((1, "a")).toDF("id", "x"), base, "spans", Some(2))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/spans/not-a-version"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/spans/v12abc"))
+    Files.writeString(java.nio.file.Paths.get(s"$base/spans/v9"), "a file, not a dir")
+    assert(Layout.versions(spark, base, "spans") == Seq(2))
+  }
+
   test("loadLatest on an empty layer fails with a clear error") {
     val base = Files.createTempDirectory("graft_layout3").toString
     val e = intercept[IllegalArgumentException] {

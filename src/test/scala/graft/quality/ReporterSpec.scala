@@ -88,6 +88,17 @@ class ReporterSpec extends AnyFunSuite {
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 
+  test("frameCsv escapes embedded delimiters and round-trips row counts") {
+    val df = Seq(("a,b", "say \"hi\"", 1.5), ("plain", "line\nbreak", -2.0))
+      .toDF("k", "msg", "v")
+    val csv = Reporter.frameCsv(df)
+    assert(csv.startsWith("k,msg,v"))
+    assert(csv.contains("\"a,b\"") && csv.contains("\"say \"\"hi\"\"\""))
+    // RFC-4180: quoted newline stays inside one logical record
+    val logicalRows = csv.split("\n", -1).count(_.nonEmpty) - 1 // minus header
+    assert(logicalRows == 3) // 2 records, one containing a line break
+  }
+
   test("writeAll emits md + json + csv and they read back") {
     val dir = Files.createTempDirectory("graft_reports").toString
     val hist = Seq((0, 5L, 100.0)).toDF("bin_id", "n", "pct")

@@ -78,6 +78,23 @@ class ValidationSpec extends AnyFunSuite {
     assert(checks("non_empty_table")._1 == false)
   }
 
+  test("null FK values are not orphans (anti-join excludes them)") {
+    val child = Seq((1L, Some(10L)), (2L, None: Option[Long])).toDF("id", "parent_key")
+    val parent = Seq(10L).toDF("pk")
+    val row = Validation.fkOrphanCheck(child, "child", "parent_key", parent, "pk").first()
+    assert(row.getAs[Boolean]("passed") && row.getAs[Long]("metric") == 0L)
+  }
+
+  test("composite PK dup count ignores rows with a null key part") {
+    val df = Seq(
+      (Some(1L), Some(1)), (Some(1L), Some(1)), // dup pair
+      (None: Option[Long], Some(1)), (None: Option[Long], Some(1))) // null keys: not counted
+      .toDF("order_id", "line")
+    val checks = checkMap(Validation.counterChecks(df, TableSpec("t",
+      primaryKeys = Seq(Seq("order_id", "line")))))
+    assert(checks("id_duplicates_order_id_line") == ((false, Some(1L))))
+  }
+
   test("scalar FK orphans found via anti-join") {
     val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "parent_key")
     val parent = Seq(10L, 11L).toDF("pk")
