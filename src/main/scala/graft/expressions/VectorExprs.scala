@@ -99,18 +99,18 @@ object VectorExprs {
   def vec_dot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
 
   /** Nearest-centroid cell of a double-array column. `cents(i)` is the
-    * centroid of cell i. One STABLE function name, replaced per call:
-    * the returned Column resolves the expression (with its centroid
-    * payload) immediately, so later re-registrations don't disturb it,
-    * and the registry doesn't accumulate one UUID entry (pinning a full
-    * centroid array) per training iteration for the session's lifetime. */
-  def nearest_cell(spark: SparkSession, v: Column, cents: Array[Array[Double]]): Column = {
+    * centroid of cell i. The expression is wrapped in a Column DIRECTLY
+    * (no function registry): `call_function` would defer resolution to
+    * analysis time, so two nearest_cell columns composed lazily would
+    * both resolve against the LAST registration's centroids. Eager
+    * construction binds each Column to its own centroid payload, and the
+    * registry never pins a centroid array for the session's lifetime. */
+  def nearest_cell(v: Column, cents: Array[Array[Double]]): Column = {
     val invNorms = cents.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n > 0) 1.0 / n else 0.0
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nearest_cell", exprs => NearestCellExpr(exprs(0), cents, invNorms), "built-in")
-    call_function("graft_nearest_cell", v)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(NearestCellExpr(ColumnShim.expression(v), cents, invNorms))
   }
 }

@@ -24,23 +24,43 @@ object VectorIndex {
     def metadata: String = s"$dir/metadata.json"
   }
 
-  /** Build and persist: train centroids, assign every vector to a cell. */
+  /** Build and persist: train centroids (on a sample), assign every
+    * vector to a cell in ONE map-only pass. The assignment is
+    * repartitioned on cell_id before the partitioned write so each cell
+    * lands in exactly one file — a plain `partitionBy` from a T-task
+    * frame writes T files *per cell* (T² tiny files total), and every
+    * later search pays their listing/open cost. */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
       nCells: Int, outDir: String): Unit = {
     val p = Paths(outDir)
+    val spark = vectors.sparkSession
+    val n = vectors.count()
     val cents = Similarity.trainIvfCentroids(vectors, idCol, vecCol, nCells)
     cents.write.mode("overwrite").parquet(p.centroids)
-    val spark = vectors.sparkSession
-    val assigned = Similarity.assignToNearest(
+    // assign against the in-memory (checkpointed) centroids — the parquet
+    // copy above is the persistence artifact, not a dependency
+    val assigned = withNorm(Similarity.assignToNearest(
       vectors.select(col(idCol).as("_id"),
         graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
-      spark.read.parquet(p.centroids))
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(p.assigned)
-    writeMetadata(spark, p, nCells)
+      cents))
+    assigned.repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(p.assigned)
+    writeMetadata(spark, p, n, nCells)
   }
 
-  private def writeMetadata(spark: SparkSession, p: Paths, nCells: Int): Unit = {
-    val n = spark.read.parquet(p.assigned).count()
+  /** Precompute each indexed vector's L2 norm at WRITE time — searches
+    * are many and builds are one, so the sqrt-dot belongs in the build
+    * (FAISS likewise preprocesses vectors into the index). */
+  private def withNorm(assigned: DataFrame): DataFrame = {
+    graft.expressions.VectorExprs.register(assigned.sparkSession)
+    assigned.withColumn("_nn",
+      sqrt(graft.expressions.VectorExprs.vec_dot(col("_v"), col("_v"))))
+  }
+
+  /** The caller always knows the row count it just wrote (input count or
+    * existing+appended) — re-reading the whole index to count it would be
+    * a full extra scan per build/update. */
+  private def writeMetadata(spark: SparkSession, p: Paths, n: Long, nCells: Int): Unit = {
     val path = new org.apache.hadoop.fs.Path(p.metadata)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -66,12 +86,13 @@ object VectorIndex {
         build(vectors, idCol, vecCol, nCells, outDir)
         "rebuild"
       } else {
-        val assigned = Similarity.assignToNearest(
+        val assigned = withNorm(Similarity.assignToNearest(
           fresh.select(col(idCol).as("_id"),
             graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
-          spark.read.parquet(p.centroids))
-        assigned.write.mode("append").partitionBy("cell_id").parquet(p.assigned)
-        writeMetadata(spark, p, nCells)
+          spark.read.parquet(p.centroids)))
+        assigned.repartition(col("cell_id"))
+          .write.mode("append").partitionBy("cell_id").parquet(p.assigned)
+        writeMetadata(spark, p, nExisting + nNew, nCells)
         "append"
       }
     } finally fresh.unpersist()
@@ -85,11 +106,11 @@ object VectorIndex {
     import graft.expressions.VectorExprs.vec_dot
     val p = Paths(outDir)
     val cents = spark.read.parquet(p.centroids)
-    // norms BEFORE the join: one sqrt-dot per corpus/query row instead of
-    // one per (query, candidate) pair after the fan-out
+    // corpus norms were precomputed at build time; query norms are 200
+    // sqrt-dots — both stay one-per-vector instead of one per
+    // (query, candidate) pair after the fan-out
     val corpus = spark.read.parquet(p.assigned)
-      .select(col("_id").as("neighbor_id"), col("_v").as("nv"), col("cell_id"))
-      .withColumn("_nn", sqrt(vec_dot(col("nv"), col("nv"))))
+      .select(col("_id").as("neighbor_id"), col("_v").as("nv"), col("cell_id"), col("_nn"))
     val qCells = {
       val j = broadcast(queries).crossJoin(broadcast(cents))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))

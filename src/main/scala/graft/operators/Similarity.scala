@@ -41,12 +41,29 @@ object Similarity {
   /** Deterministic IVF training: cells seeded by `id % nCells`, then
     * `iters` Lloyd steps. Centroid components are DECIMAL-averaged so the
     * result is independent of row order (and hence reproducible on any
-    * cluster layout). Returns (cell_id, centroid double[]). */
+    * cluster layout). Returns (cell_id, centroid double[]).
+    *
+    * Lloyd runs on a deterministic hash SAMPLE of ~`samplePerCell` rows
+    * per cell, never the full corpus: coarse-quantizer routing only needs
+    * the density shape, which a few hundred points per centroid capture
+    * (FAISS trains IVF on ~256/centroid — faiss_builder.py:60-147's
+    * effective cost). The full corpus is touched exactly once afterwards,
+    * by the caller's single map-only [[assignToNearest]] pass. */
   def trainIvfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 2): DataFrame = {
-    // cached: every Lloyd iteration re-scans the input twice; cast to
-    // double once so the codegen dot kernel applies throughout
-    val v = vectors.select(col(idCol).as("_id"), VF.vecAsDouble(col(vecCol)).as("_v")).cache()
+      nCells: Int, iters: Int = 2, samplePerCell: Int = 256): DataFrame = {
+    val all = vectors.select(col(idCol).as("_id"), VF.vecAsDouble(col(vecCol)).as("_v"))
+    val n = all.count()
+    val target = math.min(nCells.toLong * samplePerCell, n)
+    val keepOneIn = math.max(1L, n / math.max(1L, target))
+    // hash-gated sample (salted so it is independent of the cell seeding
+    // hash below): deterministic on any cluster layout, no sort, no RNG
+    val sampled =
+      if (keepOneIn > 1L)
+        all.filter(pmod(xxhash64(col("_id"), lit(0x5eedL)), lit(keepOneIn)) === 0)
+      else all
+    // cached: every Lloyd iteration re-scans the sample twice; it is
+    // nCells·samplePerCell rows — a model-sized table, safe to pin
+    val v = sampled.cache()
     try {
       // hash-based seeding: works for any id type, deterministic everywhere
       var assigned = v.withColumn("cell_id", pmod(xxhash64(col("_id")), lit(nCells)).cast("int"))
@@ -89,12 +106,11 @@ object Similarity {
     * no argmin shuffle. Ties break toward the lowest cell_id (same order
     * as cosine desc, cell_id asc); a zero centroid can never win. */
   def assignToNearest(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val spark = vectors.sparkSession
     val rows = centroids.select(col("cell_id"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val cellIds: Seq[Int] = rows.map(_._1).toSeq
-    val idx = VectorExprs.nearest_cell(spark, col("_v"), rows.map(_._2))
+    val idx = VectorExprs.nearest_cell(col("_v"), rows.map(_._2))
     vectors.select(col("_id"), col("_v"),
       // the expression returns a position into the sorted cell list;
       // translate back to the (possibly sparse) cell_id
