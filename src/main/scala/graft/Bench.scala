@@ -63,7 +63,9 @@ object Bench {
       transform(sequence(lit(0), lit(dim - 1)),
         i => (pmod(xxhash64(col("id") * dim + i), lit(1000)).cast("double") / 500.0 - 1.0)
           .cast("float")).as("embedding"))
-      .localCheckpoint(false) // synthesize once, not per Lloyd scan
+      // eager: the corpus must EXIST before the build is timed (the
+      // baseline's FAISS number doesn't include generating the vectors)
+      .localCheckpoint(true)
     val t0 = System.nanoTime()
     graft.index.VectorIndex.build(emb, "vec_id", "embedding", nCells = 32, dir)
     val buildSec = (System.nanoTime() - t0) / 1e9

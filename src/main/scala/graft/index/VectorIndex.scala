@@ -35,7 +35,7 @@ object VectorIndex {
     val p = Paths(outDir)
     val spark = vectors.sparkSession
     val n = vectors.count()
-    val cents = Similarity.trainIvfCentroids(vectors, idCol, vecCol, nCells)
+    val cents = Similarity.trainIvfCentroids(vectors, idCol, vecCol, nCells, knownN = Some(n))
     cents.write.mode("overwrite").parquet(p.centroids)
     // assign against the in-memory (checkpointed) centroids — the parquet
     // copy above is the persistence artifact, not a dependency

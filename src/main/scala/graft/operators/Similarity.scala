@@ -38,65 +38,84 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Deterministic IVF training: cells seeded by `id % nCells`, then
-    * `iters` Lloyd steps. Centroid components are DECIMAL-averaged so the
-    * result is independent of row order (and hence reproducible on any
-    * cluster layout). Returns (cell_id, centroid double[]).
+  /** Deterministic IVF training: cells seeded by `hash(id) % nCells`,
+    * then `iters` Lloyd steps. Returns (cell_id, centroid double[]).
     *
     * Lloyd runs on a deterministic hash SAMPLE of ~`samplePerCell` rows
     * per cell, never the full corpus: coarse-quantizer routing only needs
     * the density shape, which a few hundred points per centroid capture
     * (FAISS trains IVF on ~256/centroid — faiss_builder.py:60-147's
-    * effective cost). The full corpus is touched exactly once afterwards,
-    * by the caller's single map-only [[assignToNearest]] pass. */
+    * effective cost). The sample is a bounded model object
+    * (nCells·samplePerCell rows regardless of corpus size), so it is
+    * collected ONCE and Lloyd iterates on the driver — exactly how FAISS
+    * trains its coarse quantizer. Running the iterations as Spark jobs
+    * costs 3 job launches + 3 shuffles to average a few-MB table; on the
+    * driver the same arithmetic is microseconds. The full corpus is
+    * touched exactly once afterwards, by the caller's single map-only
+    * [[assignToNearest]] pass.
+    *
+    * Determinism: rows are keyed by xxhash64(id) and sorted by that key
+    * after collect, so seeding, accumulation order, and therefore the
+    * centroids are independent of cluster layout.
+    *
+    * `knownN` lets a caller that already counted the corpus (e.g.
+    * [[graft.index.VectorIndex.build]]) skip the sampling-rate count. */
   def trainIvfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 2, samplePerCell: Int = 256): DataFrame = {
-    val all = vectors.select(col(idCol).as("_id"), VF.vecAsDouble(col(vecCol)).as("_v"))
-    val n = all.count()
+      nCells: Int, iters: Int = 2, samplePerCell: Int = 256,
+      knownN: Option[Long] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val all = vectors.select(xxhash64(col(idCol)).as("_h"),
+      // salted gate hash, independent of the seeding hash above
+      xxhash64(col(idCol), lit(0x5eedL)).as("_g"),
+      VF.vecAsDouble(col(vecCol)).as("_v"))
+    val n = knownN.getOrElse(vectors.count())
     val target = math.min(nCells.toLong * samplePerCell, n)
     val keepOneIn = math.max(1L, n / math.max(1L, target))
-    // hash-gated sample (salted so it is independent of the cell seeding
-    // hash below): deterministic on any cluster layout, no sort, no RNG
-    val sampled =
-      if (keepOneIn > 1L)
-        all.filter(pmod(xxhash64(col("_id"), lit(0x5eedL)), lit(keepOneIn)) === 0)
-      else all
-    // cached: every Lloyd iteration re-scans the sample twice; it is
-    // nCells·samplePerCell rows — a model-sized table, safe to pin
-    val v = sampled.cache()
-    try {
-      // hash-based seeding: works for any id type, deterministic everywhere
-      var assigned = v.withColumn("cell_id", pmod(xxhash64(col("_id")), lit(nCells)).cast("int"))
-      var centroids: DataFrame = null
-      for (_ <- 0 to iters) {
-        // eager-checkpoint the tiny centroid table each round: without it
-        // the lazily-chained plans re-execute every earlier iteration,
-        // making Lloyd O(iters²) instead of O(iters)
-        centroids = averageByCell(assigned).localCheckpoint(true)
-        assigned = assignToNearest(v, centroids)
-      }
-      centroids
-    } finally v.unpersist()
+    val sampled = if (keepOneIn > 1L) all.filter(pmod(col("_g"), lit(keepOneIn)) === 0) else all
+    val rows = sampled.select(col("_h"), col("_v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    var cells = meanByCell(rows.map { case (h, v) =>
+      (java.lang.Math.floorMod(h, nCells.toLong).toInt, v)
+    })
+    for (_ <- 1 to iters)
+      cells = meanByCell(rows.map { case (_, v) => (nearestOf(cells, v), v) })
+    cells.toSeq.map { case (c, cent) => (c, cent.toSeq) }.toDF("cell_id", "centroid")
   }
 
-  /** Elementwise mean vector per cell (posexplode → agg → re-collect in
-    * position order). Components are quantized to 1e-6 and summed as
-    * LONGs: exact integer addition is order-independent (so the result
-    * is reproducible on any cluster layout, like the previous
-    * DECIMAL(30,12) path) at a fraction of the per-element cost; 1e-6
-    * centroid precision is far below routing significance. Overflow
-    * headroom: ~9e12 in summed absolute value per (cell, dim). */
-  private val CentroidScale = 1e6
+  /** Elementwise mean per cell, accumulated in input (hash-sorted) order;
+    * empty cells are dropped, output sorted by cell_id. */
+  private def meanByCell(assigned: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    val acc = scala.collection.mutable.TreeMap.empty[Int, (Array[Double], Array[Long])]
+    assigned.foreach { case (c, v) =>
+      val (s, cnt) = acc.getOrElseUpdate(c, (new Array[Double](v.length), new Array[Long](1)))
+      var i = 0
+      while (i < math.min(s.length, v.length)) { s(i) += v(i); i += 1 }
+      cnt(0) += 1
+    }
+    acc.iterator.map { case (c, (s, cnt)) => (c, s.map(_ / cnt(0))) }.toArray
+  }
 
-  private def averageByCell(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell_id"), posexplode(col("_v")).as(Seq("pos", "x")))
-      .groupBy("cell_id", "pos")
-      .agg((sum((col("x") * CentroidScale).cast("long")).cast("double")
-        / (count(lit(1)) * CentroidScale)).as("m"))
-      .groupBy("cell_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+  /** Driver twin of [[graft.expressions.CellKernels.nearestCell]]: argmax
+    * of dot(v, cent)/‖cent‖ over cells (cell_id-sorted), strict `>` so
+    * ties go to the lowest cell_id; a zero centroid can never win. */
+  private def nearestOf(cells: Array[(Int, Array[Double])], v: Array[Double]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cells.length) {
+      val cent = cells(c)._2
+      var accD = 0.0; var nrm = 0.0; var i = 0
+      val n = math.min(cent.length, v.length)
+      while (i < n) { accD += v(i) * cent(i); i += 1 }
+      i = 0
+      while (i < cent.length) { nrm += cent(i) * cent(i); i += 1 }
+      val score = if (nrm > 0) accD / math.sqrt(nrm) else -2.0
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    cells(best)._1
+  }
 
   /** Assign each vector to its nearest centroid — MAP-ONLY. The centroid
     * table is a model object (nCells rows by construction), so it is
