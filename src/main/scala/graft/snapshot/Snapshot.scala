@@ -13,18 +13,108 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  final case class FileEntry(path: String, bytes: Long, sha256: String)
-  final case class Manifest(version: String, createdUtc: String, files: Seq[FileEntry])
+  /** `rows` is the parquet-footer record count; None for non-parquet
+    * files (artifacts.py:290-385 embeds the same per-file metadata). */
+  final case class FileEntry(path: String, bytes: Long, sha256: String,
+      rows: Option[Long] = None)
 
-  /** sha256 + size for every file under a directory (distributed). */
-  def checksumDirectory(spark: SparkSession, dir: String): Seq[FileEntry] =
+  /** QA release gate parsed from the latest quality report
+    * (manifest.py:139-238): GREEN → PASS, AMBER/RED → FAIL (AMBER is not
+    * releasable), no report → UNKNOWN. `provisional` is always true at
+    * snapshot time, matching the reference's provisional-snapshot flow. */
+  final case class QaStatus(state: String, summary: String,
+      invariants: Map[String, Double], provisional: Boolean = true)
+
+  val UnknownQa: QaStatus = QaStatus("UNKNOWN", "No QA report available", Map.empty)
+
+  final case class Manifest(version: String, createdUtc: String,
+      files: Seq[FileEntry], qa: QaStatus = UnknownQa)
+
+  /** sha256 + size for every file under a directory (distributed), plus
+    * footer row counts for parquet parts. */
+  def checksumDirectory(spark: SparkSession, dir: String): Seq[FileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(dir)
       .select(col("path"), col("length"), sha2(col("content"), 256).as("sha256"))
       .collect()
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2)))
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2),
+        parquetRowCount(conf, r.getString(0))))
       .sortBy(_.path).toSeq
+  }
+
+  /** Footer-only record count of one parquet file — a metadata read, no
+    * data pages touched (artifacts.py:281-307's pq.ParquetFile analog).
+    * None for non-parquet files or unreadable footers. */
+  def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[Long] =
+    if (!path.endsWith(".parquet")) None
+    else try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(reader.getRecordCount) finally reader.close()
+    } catch { case _: Exception => None }
+
+  /** Parse a quality report (Reporter.renderFull / the reference's
+    * quality_assessment.md) into the manifest's qa_status block
+    * (manifest.py:139-238). Unlike the reference's `🟢|GREEN` regex —
+    * whose unparenthesized alternation matches GREEN anywhere in the
+    * document — the status must follow an "Overall Status" label. */
+  def parseQaReport(content: String): QaStatus = {
+    // [^\w\r\n]* skips markdown bold markers and RAG emoji but stays on
+    // the status line, so a GREEN elsewhere in the document can't match
+    val statusRe = "(?i)Overall Status:?[^\\w\\r\\n]*(GREEN|AMBER|RED|PASS|FAIL)".r
+    val state = statusRe.findFirstMatchIn(content).map(_.group(1).toUpperCase) match {
+      case Some("GREEN") | Some("PASS") => "PASS"
+      case Some(_)                      => "FAIL" // AMBER is treated as FAIL
+      case None                         => "UNKNOWN"
+    }
+    val summary = "(?is)## (?:Executive )?(?:Summary|Assessment Summary|Overview)(.*?)(?=##|\\z)".r
+      .findFirstMatchIn(content).map(_.group(1).trim) match {
+      case Some(text) =>
+        val s = text.split("\\s+").take(30).mkString(" ")
+        if (text.length > 200) s.take(200) + "..." else s
+      case None => s"QA assessment completed with status: $state"
+    }
+    val metricPatterns = Seq(
+      "(?i)(?:Total |- )?Episodes:?[*\\s]*([\\d,]+)" -> "episode_count",
+      "(?i)(?:Total |- )?Spans:?[*\\s]*([\\d,]+)" -> "span_count",
+      "(?i)(?:Total |- )?Beats:?[*\\s]*([\\d,]+)" -> "beat_count",
+      "(?i)Duplicate Rate:?[*\\s]*([\\d.]+)%?" -> "duplicate_rate",
+      "(?i)Coverage:?[*\\s]*([\\d.]+)%" -> "coverage_percentage")
+    val invariants = metricPatterns.flatMap { case (p, key) =>
+      p.r.findFirstMatchIn(content)
+        .flatMap(m => scala.util.Try(m.group(1).replace(",", "").toDouble).toOption)
+        .map(key -> _)
+    }.toMap
+    QaStatus(state, summary, invariants)
+  }
+
+  /** qa_status for the artifacts about to be snapshotted: parse the most
+    * recently modified quality report under `dir` (report.md /
+    * quality_assessment.md), or UNKNOWN when none exists. */
+  def qaStatusFor(spark: SparkSession, dir: String): QaStatus = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return UnknownQa
+    val it = fs.listFiles(p, true)
+    var latest: Option[org.apache.hadoop.fs.LocatedFileStatus] = None
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name == "report.md" || name == "quality_assessment.md")
+        if (latest.forall(_.getModificationTime < st.getModificationTime)) latest = Some(st)
+    }
+    latest.map { st =>
+      val in = fs.open(st.getPath)
+      val content = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      parseQaReport(content)
+    }.getOrElse(UnknownQa)
+  }
 
   /** Semver parse / auto-increment (config.py:148-303). */
   def parseSemver(v: String): Option[(Int, Int, Int)] =
@@ -45,10 +135,18 @@ object Snapshot {
       case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val files = m.files.map(f =>
-      s"""{"path": "${esc(f.path)}", "bytes": ${f.bytes}, "sha256": "${f.sha256}"}""")
-      .mkString("[", ", ", "]")
-    s"""{"version": "${esc(m.version)}", "created_utc": "${esc(m.createdUtc)}", "files": $files}"""
+    def num(d: Double): String =
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    val files = m.files.map { f =>
+      val rows = f.rows.map(_.toString).getOrElse("null")
+      s"""{"path": "${esc(f.path)}", "bytes": ${f.bytes}, "sha256": "${f.sha256}", "rows": $rows}"""
+    }.mkString("[", ", ", "]")
+    val inv = m.qa.invariants.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": ${num(v)}""" }.mkString("{", ", ", "}")
+    val qa = s"""{"state": "${esc(m.qa.state)}", "summary": "${esc(m.qa.summary)}", """ +
+      s""""invariants": $inv, "provisional": ${m.qa.provisional}}"""
+    s"""{"version": "${esc(m.version)}", "created_utc": "${esc(m.createdUtc)}", """ +
+      s""""qa_status": $qa, "files": $files}"""
   }
 
   /** Snapshot = copy artifacts dir + manifest with checksums + row counts.
@@ -60,7 +158,8 @@ object Snapshot {
     val dst = new org.apache.hadoop.fs.Path(s"$snapshotDir/$version")
     val fs = src.getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
-    val manifest = Manifest(version, nowUtc, checksumDirectory(spark, dst.toString))
+    val manifest = Manifest(version, nowUtc, checksumDirectory(spark, dst.toString),
+      qaStatusFor(spark, dst.toString))
     val out = fs.create(new org.apache.hadoop.fs.Path(dst, "manifest.json"), true)
     out.write(renderManifestJson(manifest).getBytes("UTF-8"))
     out.close()
