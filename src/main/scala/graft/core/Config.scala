@@ -13,6 +13,20 @@ object Config {
     })
   }
 
+  /** `key = value` config-file parsing with `${VAR}` interpolation;
+    * '#' starts a comment. The flat-config format shared by threshold
+    * overrides (Quality.loadThresholds) and validator routing
+    * (Guardrails.loadRouting). Later duplicate keys win. */
+  def loadKeyValues(path: String): Map[String, String] = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
+      .map(interpolateEnv(_))
+      .map(_.takeWhile(_ != '#').trim)
+      .filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }
+      .toMap
+  }
+
   /** C20: extract status and metric values from a rendered quality
     * report (reference: snapshot/manifest.py:139-238 regex extraction).
     * Works on graft.quality.Quality.renderMarkdown output. */

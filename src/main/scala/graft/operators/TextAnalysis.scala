@@ -107,19 +107,30 @@ object TextAnalysis {
       .select(col(idCol), explode(
         transform(sequence(lit(0), size(col("_tk")) - n),
           i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("gram"))
-    val counts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-    // aggregate argmax instead of a row_number window: same per-doc
-    // shuffle key but no sort, and map-side partial combine applies.
-    // min_by over (−cnt, gram) = highest count, ties to the FIRST gram —
-    // identical to the (cnt desc, gram asc) window order
-    counts
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("cnt")).as("n_grams"),
-        min_by(struct(col("gram"), col("cnt")), struct(-col("cnt"), col("gram"))).as("top"))
-      .select(col(idCol), col("n_grams"), col("top.gram").as("top_gram"),
-        col("top.cnt").as("top_n"),
-        (col("top.cnt").cast("double") / col("n_grams")).as("top_fraction"))
+    // Count by GRAM HASH, not gram string: the (id, gram) shuffle is the
+    // dominant byte mover and 8-byte hashes cut it ~3× vs short text
+    // n-grams. The winner's string is recovered afterwards by a narrow
+    // join on (id, winning hash) — at scale the tiny winner side drives a
+    // runtime bloom filter into the gram re-scan, so the second pass
+    // shuffles ~one row per document instead of the full gram set.
+    // (64-bit collisions within one document are ~2⁻⁶⁴·pairs — ignored.)
+    val hashed = grams.select(col(idCol), xxhash64(col("gram")).as("_h"))
+    val counts = hashed.groupBy(col(idCol), col("_h")).agg(count(lit(1)).as("cnt"))
+    // aggregate max instead of a row_number window: same per-doc shuffle
+    // key but no sort, and map-side partial combine applies
+    val tops = counts.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_n"))
+    // ALL max-count hashes per doc survive to the join-back, so count
+    // ties resolve by min(gram) — identical to the previous
+    // (cnt desc, gram asc) argmax over strings
+    val winners = counts.join(tops, Seq(idCol)).filter(col("cnt") === col("top_n"))
+      .select(col(idCol), col("_h"))
+    winners
+      .join(grams.withColumn("_h", xxhash64(col("gram"))), Seq(idCol, "_h"))
+      .groupBy(col(idCol)).agg(min(col("gram")).as("top_gram"))
+      .join(tops, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("top_gram"), col("top_n"),
+        (col("top_n").cast("double") / col("n_grams")).as("top_fraction"))
   }
 
   // ---- PII-ish pattern counting (training-data hygiene) --------------

@@ -36,12 +36,23 @@ object Guardrails {
 
   // ---- F12: check routing -------------------------------------------
 
-  /** Which checks apply to which artifact role (the yaml's semantics as a
-    * typed rule table; extend via `withRoute`). */
-  final case class Routing(routes: Map[String, Set[String]]) {
+  /** Which checks apply to which artifact role, plus which role each
+    * table plays (config/validator_routing.yaml semantics: the yaml's
+    * `tables.<name>.role` + per-role check lists). Extend via
+    * `withRoute`/`withTable`, or load from a config file. */
+  final case class Routing(routes: Map[String, Set[String]],
+      tables: Map[String, String] = Map.empty) {
     def checksFor(role: String): Set[String] = routes.getOrElse(role, Set.empty)
     def withRoute(role: String, checks: Set[String]): Routing =
-      Routing(routes + (role -> (checksFor(role) ++ checks)))
+      copy(routes = routes + (role -> (checksFor(role) ++ checks)))
+    def withTable(table: String, role: String): Routing =
+      copy(tables = tables + (table -> role))
+    def roleOf(table: String): String = tables.getOrElse(table, "unknown")
+    /** Checks enabled for a TABLE — None when the table is unrouted,
+      * which callers treat as "run everything" (the reference allows all
+      * checks on unknown tables — validator_router.py:148-160). */
+    def tableChecks(table: String): Option[Set[String]] =
+      tables.get(table).map(checksFor)
   }
 
   /** Defaults mirroring config/validator_routing.yaml's base-vs-embedding
@@ -49,6 +60,31 @@ object Guardrails {
   val defaultRouting: Routing = Routing(Map(
     "base" -> Set("timestamps", "text", "ids", "referential", "durations", "duplicates"),
     "embedding" -> Set("ids", "dim_consistency", "id_join_back")))
+
+  /** Load routing from a `key = value` config file (same format + C18
+    * `${VAR}` env interpolation as Quality.loadThresholds — the repo's
+    * flat-config analog of validator_routing.yaml):
+    *
+    * {{{
+    * role.base.checks = ids, timestamps, text, duplicates, referential
+    * role.embedding.checks = ids, dim_consistency, id_join_back
+    * table.spans.role = base
+    * table.span_embeddings.role = embedding
+    * }}}
+    */
+  def loadRouting(path: String, base: Routing = defaultRouting): Routing = {
+    val RoleRe = "^role\\.([\\w-]+)\\.checks$".r
+    val TableRe = "^table\\.([\\w-]+)\\.role$".r
+    graft.core.Config.loadKeyValues(path).foldLeft(base) { case (r, (k, v)) =>
+      k match {
+        case RoleRe(role) =>
+          r.copy(routes = r.routes +
+            (role -> v.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        case TableRe(table) => r.withTable(table, v.trim)
+        case _              => r
+      }
+    }
+  }
 
   /** J4/V16: embedding-side checks — dim consistency and id join-back
     * (every artifact_id must exist in the base table). */

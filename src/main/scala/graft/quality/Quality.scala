@@ -85,16 +85,8 @@ object Quality {
 
   /** Load `key = value` threshold overrides from a config file, with C18
     * `${VAR}` env interpolation; '#' starts a comment. */
-  def loadThresholds(path: String, base: Thresholds = Thresholds()): Thresholds = {
-    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-    val kv = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
-      .map(l => graft.core.Config.interpolateEnv(l))
-      .map(_.takeWhile(_ != '#').trim)
-      .filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }
-      .toMap
-    thresholdsFrom(kv, base)
-  }
+  def loadThresholds(path: String, base: Thresholds = Thresholds()): Thresholds =
+    thresholdsFrom(graft.core.Config.loadKeyValues(path), base)
 
   final case class Violation(name: String, expected: String, actual: String, severity: String)
 

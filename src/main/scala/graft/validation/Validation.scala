@@ -87,12 +87,17 @@ object Validation {
     * per check collapses duplicate keys map-side instead, and the
     * resulting single-row frames are crossJoined (1×1 rows) back onto
     * the main counter row. */
-  def counterChecks(df: DataFrame, spec: TableSpec): DataFrame = {
-    val ids = (idColumns(df) ++ spec.idCols.filter(df.columns.contains)).distinct
-    val pkCols = spec.primaryKeys.filter(_.forall(df.columns.contains))
-    val floats = floatingColumns(df)
-    val times = timeColumns(df)
-    val hasText = df.columns.contains("text")
+  def counterChecks(df: DataFrame, spec: TableSpec,
+      enabled: Option[Set[String]] = None): DataFrame = {
+    def on(family: String): Boolean = enabled.forall(_.contains(family))
+    val ids =
+      if (on("ids")) (idColumns(df) ++ spec.idCols.filter(df.columns.contains)).distinct
+      else Nil
+    val pkCols =
+      if (on("duplicates")) spec.primaryKeys.filter(_.forall(df.columns.contains)) else Nil
+    val floats = if (on("numerics")) floatingColumns(df) else Nil
+    val times = if (on("timestamps")) timeColumns(df) else Nil
+    val hasText = on("text") && df.columns.contains("text")
 
     val aggs = Seq.newBuilder[Column]
     val checks = Seq.newBuilder[(String, String, Column)] // (name, severity, passedExpr)
@@ -116,7 +121,7 @@ object Validation {
       add(s"timestamp_nulls_$c", "error", cnt(col(c).isNull), m(s"timestamp_nulls_$c") === 0)
       add(s"timestamp_negative_$c", "error", cnt(col(c) < 0), m(s"timestamp_negative_$c") === 0)
     }
-    timePair(df).foreach { case (s, e) =>
+    if (on("timestamps")) timePair(df).foreach { case (s, e) =>
       add("timestamp_monotonic", "error", cnt(col(s) > col(e)), m("timestamp_monotonic") === 0)
     }
     if (hasText) {
@@ -125,29 +130,7 @@ object Validation {
     }
 
     val aggList = aggs.result()
-    var agged = df.agg(aggList.head, aggList.tail: _*)
-
-    // PK duplicate rows = Σ over key groups of (n − 1): a two-phase
-    // hash aggregate on the key, no Expand
-    pkCols.foreach { pk =>
-      val name = s"id_duplicates_${pk.mkString("_")}"
-      val dupRow = df
-        .filter(pk.map(col(_).isNotNull).reduce(_ && _))
-        .groupBy(pk.map(col): _*)
-        .agg(count(lit(1)).as("_n"))
-        .agg(coalesce(sum(col("_n") - 1), lit(0L)).cast("long").as(s"_m_$name"))
-      agged = agged.crossJoin(dupRow)
-      checks += ((name, "error", m(name) === 0))
-    }
-    // FK cardinality (info): count of distinct non-null values
-    spec.foreignKeys.foreach { case (fk, _, _) =>
-      val name = s"id_foreign_key_$fk"
-      val cardRow = df.filter(col(fk).isNotNull).select(col(fk)).distinct()
-        .agg(count(lit(1)).cast("long").as(s"_m_$name"))
-      agged = agged.crossJoin(cardRow)
-      checks += ((name, "info", lit(true)))
-    }
-
+    val agged = df.agg(aggList.head, aggList.tail: _*)
     val rows = checks.result().map { case (name, severity, passed) =>
       struct(
         lit(spec.name).as("table_name"),
@@ -156,24 +139,75 @@ object Validation {
         coalesce(passed, lit(true)).as("passed"), // empty-table aggs → null counters
         m(name).as("metric"))
     }
-    agged.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+    val mainRows = agged.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+
+    // The per-key aggregates come back as UNIONED check rows, not
+    // crossJoined 1-row frames: each crossJoin side is a separate
+    // broadcast job, so k constraints cost k+1 driver actions; a union
+    // schedules all of them inside the one job that consumes the result.
+    val extra = Seq.newBuilder[DataFrame]
+    def checkRow(frame: DataFrame, name: String, severity: String,
+        passed: Column): DataFrame =
+      frame.select(
+        lit(spec.name).as("table_name"),
+        lit(name).as("check_name"),
+        lit(severity).as("severity"),
+        passed.as("passed"),
+        col("metric"))
+
+    // PK duplicate rows = Σ over key groups of (n − 1): a two-phase
+    // hash aggregate on the key, no Expand
+    pkCols.foreach { pk =>
+      val name = s"id_duplicates_${pk.mkString("_")}"
+      extra += checkRow(
+        df.filter(pk.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(pk.map(col): _*)
+          .agg(count(lit(1)).as("_n"))
+          .agg(coalesce(sum(col("_n") - 1), lit(0L)).cast("long").as("metric")),
+        name, "error", col("metric") === 0)
+    }
+    // FK cardinality (info): count of distinct non-null values
+    if (on("referential")) spec.foreignKeys.foreach { case (fk, _, _) =>
+      extra += checkRow(
+        df.filter(col(fk).isNotNull).select(col(fk)).distinct()
+          .agg(count(lit(1)).cast("long").as("metric")),
+        s"id_foreign_key_$fk", "info", lit(true))
+    }
+    (mainRows +: extra.result()).reduce(_.unionByName(_))
   }
 
   /** Scalar-FK orphan check: non-null FK values missing from the parent
     * key set (LEFT ANTI join on the FK — broadcast when the parent is a
-    * dimension, shuffle-on-key otherwise; Catalyst/AQE picks). */
+    * dimension, shuffle-on-key otherwise; Catalyst/AQE picks).
+    * `checkName` defaults to referential_integrity_<fk>; embedding-table
+    * routing reuses the same join as its id_join_back check. */
   def fkOrphanCheck(child: DataFrame, childName: String, fkCol: String,
-      parent: DataFrame, parentKeyCol: String): DataFrame = {
+      parent: DataFrame, parentKeyCol: String,
+      checkName: Option[String] = None): DataFrame = {
     val orphans = child.select(col(fkCol)).filter(col(fkCol).isNotNull)
       .join(parent.select(col(parentKeyCol).as(fkCol)), Seq(fkCol), "left_anti")
     orphans.agg(count(lit(1)).cast("long").as("metric"))
       .select(
         lit(childName).as("table_name"),
-        lit(s"referential_integrity_$fkCol").as("check_name"),
+        lit(checkName.getOrElse(s"referential_integrity_$fkCol")).as("check_name"),
         lit("error").as("severity"),
         (col("metric") === 0).as("passed"),
         col("metric"))
   }
+
+  /** V16 dimension consistency as a check row: metric = number of
+    * distinct embedding dimensions (groupBy(size) — no count_distinct
+    * Expand); passes when ≤ 1. */
+  def dimConsistencyCheck(df: DataFrame, tableName: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(size(col(vecCol)).as("_d")).groupBy("_d").agg(count(lit(1)))
+      .agg(count(lit(1)).cast("long").as("metric"))
+      .select(
+        lit(tableName).as("table_name"),
+        lit("dim_consistency").as("check_name"),
+        lit("error").as("severity"),
+        (col("metric") <= 1).as("passed"),
+        col("metric"))
 
   /** DEEP referential integrity over a child-ID array column: explode the
     * array and anti-join the child table's key (the check the reference
@@ -228,34 +262,51 @@ object Validation {
       .toDF("table_name", "check_name", "severity", "passed", "metric")
   }
 
-  /** Full check suite for one table (against its related tables). */
+  /** Full check suite for one table (against its related tables).
+    * `enabled` is the routed check-family set (None = run everything):
+    * families are ids/numerics/timestamps/text/duplicates/referential
+    * for base tables and dim_consistency/id_join_back for embedding
+    * tables (F12; config/validator_routing.yaml's per-role lists). */
   def validateTable(df: DataFrame, spec: TableSpec,
       related: Map[String, DataFrame] = Map.empty,
-      expectedSchema: Option[StructType] = None): DataFrame = {
+      expectedSchema: Option[StructType] = None,
+      enabled: Option[Set[String]] = None): DataFrame = {
+    def on(family: String): Boolean = enabled.forall(_.contains(family))
     val parts = Seq.newBuilder[DataFrame]
-    parts += counterChecks(df, spec)
+    parts += counterChecks(df, spec, enabled)
     expectedSchema.foreach(s => parts += schemaChecks(df, spec, s))
-    spec.foreignKeys.foreach { case (fk, parentName, parentKey) =>
-      related.get(parentName).foreach { parent =>
-        parts += fkOrphanCheck(df, spec.name, fk, parent, parentKey)
+    if (on("referential") || on("id_join_back"))
+      spec.foreignKeys.foreach { case (fk, parentName, parentKey) =>
+        related.get(parentName).foreach { parent =>
+          // embedding-role tables route this join as their id_join_back
+          val name = if (!on("referential")) Some(s"id_join_back_$fk") else None
+          parts += fkOrphanCheck(df, spec.name, fk, parent, parentKey, name)
+        }
       }
-    }
-    spec.childArrays.foreach { case (arr, childName, childKey) =>
-      related.get(childName).foreach { child =>
-        parts += childArrayOrphanCheck(df, spec.name, arr, child, childKey)
+    if (on("referential"))
+      spec.childArrays.foreach { case (arr, childName, childKey) =>
+        related.get(childName).foreach { child =>
+          parts += childArrayOrphanCheck(df, spec.name, arr, child, childKey)
+        }
       }
-    }
+    // only when explicitly routed: unrouted validateAll keeps its exact
+    // historical check set (q49's oracle contract)
+    if (enabled.exists(_.contains("dim_consistency")) && df.columns.contains("embedding"))
+      parts += dimConsistencyCheck(df, spec.name)
     parts.result().reduce(_.unionByName(_))
   }
 
   /** Validate a set of tables against their specs; FK/child references
     * resolve within the set. Returns all check rows, deterministically
-    * ordered. */
+    * ordered. With `routing`, each table runs only the checks its role
+    * enables (unrouted tables run everything, like the reference). */
   def validateAll(tables: Map[String, DataFrame], specs: Seq[TableSpec],
-      expectedSchemas: Map[String, StructType] = Map.empty): DataFrame =
+      expectedSchemas: Map[String, StructType] = Map.empty,
+      routing: Option[graft.quality.Guardrails.Routing] = None): DataFrame =
     specs.map { spec =>
       validateTable(tables(spec.name), spec, tables - spec.name,
-        expectedSchemas.get(spec.name))
+        expectedSchemas.get(spec.name),
+        routing.flatMap(_.tableChecks(spec.name)))
     }.reduce(_.unionByName(_))
       .orderBy("table_name", "check_name")
 

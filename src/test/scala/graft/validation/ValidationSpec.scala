@@ -178,4 +178,51 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows("required_fields") == true)
     assert(rows("schema_compliance") == true)
   }
+
+  test("F12 file-driven routing: embedding table gets dim/join-back only") {
+    import graft.quality.Guardrails
+    val cfg = java.nio.file.Files.createTempFile("graft_routing", ".conf")
+    java.nio.file.Files.writeString(cfg,
+      """# validator routing (flat-config analog of validator_routing.yaml)
+        |role.base.checks = ids, numerics, timestamps, text, duplicates, referential
+        |role.embedding.checks = ids, dim_consistency, id_join_back
+        |table.spans.role = ${GRAFT_MISSING_ROLE:-base}
+        |table.span_embeddings.role = embedding
+        |""".stripMargin)
+    val routing = Guardrails.loadRouting(cfg.toString)
+    assert(routing.roleOf("spans") == "base") // env default interpolated
+    assert(routing.roleOf("unrouted_table") == "unknown")
+
+    val spans = Seq(("s1", "EP1", 0.0, 1.0, "hello"), ("s2", "EP1", 1.0, 2.0, "world"))
+      .toDF("span_id", "episode_id", "start_time", "end_time", "text")
+    val emb = Seq(("s1", Seq(1.0f, 2.0f)), ("s2", Seq(3.0f, 4.0f)), ("sX", Seq(5.0f, 6.0f)))
+      .toDF("artifact_id", "embedding")
+    val checks = Validation.validateAll(
+      Map("spans" -> spans, "span_embeddings" -> emb),
+      Seq(
+        TableSpec("spans", primaryKeys = Seq(Seq("span_id"))),
+        TableSpec("span_embeddings", primaryKeys = Seq(Seq("artifact_id")),
+          foreignKeys = Seq(("artifact_id", "spans", "span_id")))),
+      routing = Some(routing)).collect()
+
+    val embChecks = checks.filter(_.getAs[String]("table_name") == "span_embeddings")
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Boolean]("passed")).toMap
+    // routed: ids + dim_consistency + id_join_back (plus the non-empty base counter)
+    assert(embChecks.keySet ==
+      Set("non_empty_table", "id_nulls_artifact_id", "dim_consistency",
+        "id_join_back_artifact_id"))
+    assert(embChecks("dim_consistency") == true)    // all dims = 2
+    assert(embChecks("id_join_back_artifact_id") == false) // sX is an orphan
+    // NOT routed for embeddings: text/duplicate/fk-cardinality checks
+    assert(!embChecks.contains("text_nulls"))
+    assert(!embChecks.contains("id_duplicates_artifact_id"))
+
+    val spanChecks = checks.filter(_.getAs[String]("table_name") == "spans")
+      .map(_.getAs[String]("check_name")).toSet
+    // base role keeps the counter suite
+    assert(spanChecks.contains("id_duplicates_span_id"))
+    assert(spanChecks.contains("timestamp_monotonic"))
+    assert(spanChecks.contains("text_nulls"))
+    assert(!spanChecks.contains("dim_consistency"))
+  }
 }
