@@ -176,6 +176,26 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** A19 corpus top-20 bigrams: ALL word pairs by occurrence (not
+    * distinct-per-doc), kept when at least one word is a content word —
+    * the reference's bigram counter (text_quality.py:446-480) beside
+    * q10's unigrams. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val stop = array(TF.stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(TF.tokens(col("text")).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_tk")) - 2),
+        i => struct(
+          element_at(col("_tk"), i + 1).as("w1"),
+          element_at(col("_tk"), i + 2).as("w2")))).as("bg"))
+      .filter(!array_contains(stop, col("bg.w1")) || !array_contains(stop, col("bg.w2")))
+      .select(concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** A14 per-user share + top-10 ranking (balance.py:18-208, W3). */
   def userShare(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
@@ -882,6 +902,7 @@ object SparkEntry {
     "q52_repetition" -> repetitionTop _,
     "q53_pii_stats" -> piiStats _,
     "q54_dedup_clusters" -> dedupClusters _,
+    "q55_top_bigrams" -> topBigrams _,
   )
 
   private val stopwordsSqlList: String =
@@ -1695,5 +1716,17 @@ object SparkEntry {
         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM (
         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |) GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q55_top_bigrams" ->
+      s"""WITH t AS (
+        |  SELECT $toksSql AS tk FROM documents
+        |), b AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, UNNEST(range(1, len(tk))) AS r(i)
+        |)
+        |SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM b
+        |WHERE w1 NOT IN $stopwordsSqlList OR w2 NOT IN $stopwordsSqlList
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
   )
 }
