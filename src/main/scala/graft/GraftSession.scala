@@ -13,6 +13,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.parquet carries ns-precision timestamps; read them as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // date-stem episode_ids (S6 fallback) are numeric-looking: type
+      // inference would read the partition column back as INT and break
+      // schema compliance + string joins downstream
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       // managed tables (bucketed layouts) land in tmp, not the repo cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -59,6 +59,9 @@ object Ids {
   }
 
   private def pad6(position: Int): String = {
+    // a negative position would render as "0000-5" (the old %06d gave
+    // "-00005") — either silently corrupts the deterministic-ID contract
+    require(position >= 0, s"position must be non-negative, got $position")
     val p = Integer.toString(position)
     if (p.length >= 6) p
     else "000000".substring(p.length) + p

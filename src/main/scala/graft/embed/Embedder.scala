@@ -89,14 +89,17 @@ object Embedder {
     val meta =
       if (!fs.exists(path)) Nil
       else {
-        val in = fs.open(path)
-        val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val entry = ("""\{"artifact_type": "([^"]*)", "model_name": "([^"]*)", """ +
-          """"model_version": (?:"([^"]*)"|null), "count": (\d+), "dim": (\d+)\}""").r
-        entry.findAllMatchIn(raw).map { m =>
-          StoreMeta(m.group(1), m.group(2), Option(m.group(3)), m.group(4).toLong,
-            m.group(5).toInt)
-        }.toSeq
+        // structural parse (spark.read.json), not a regex: the sidecar is
+        // real JSON, so key order / whitespace must not matter
+        val m = spark.read.option("multiLine", "true").json(path.toString)
+        val cols = m.columns.toSet
+        if (!cols.contains("artifact_type")) Nil
+        else m.collect().map { r =>
+          def strOpt(n: String): Option[String] =
+            if (cols(n)) Option(r.getAs[String](n)) else None
+          StoreMeta(r.getAs[String]("artifact_type"), r.getAs[String]("model_name"),
+            strOpt("model_version"), r.getAs[Long]("count"), r.getAs[Long]("dim").toInt)
+        }.toSeq.sortBy(e => (e.artifactType, e.modelName))
       }
     (df, meta)
   }

@@ -51,7 +51,10 @@ object Ingest {
       err(col("end") < 0, "negative_end"),
       err(col("end") <= col("start"), "end_not_after_start"),
       err(trim(col("speaker")) === "", "empty_speaker"),
-      err(trim(col("text")) === "", "empty_text"))
+      err(trim(col("text")) === "", "empty_text"),
+      // an empty episode_id would round-trip through the partitioned sink
+      // as __HIVE_DEFAULT_PARTITION__ and read back as NULL
+      err(trim(col("episode_id")) === "", "empty_episode_id"))
     df.withColumn("errors", filter(checks, e => e.isNotNull))
   }
 

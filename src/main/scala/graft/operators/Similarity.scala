@@ -20,9 +20,14 @@ object Similarity {
 
   /** Exact top-k by cosine: queries × corpus, windowed rank.
     * queries: (query_id, qv double[]); corpus: (neighbor_id, nv double[]).
-    * Broadcast the (small) query side so the corpus never shuffles. */
+    * Broadcast the (small) query side so the corpus never shuffles.
+    * The broadcast nested loop is O(|Q|·n) — guarded on the QUERY side
+    * like its blocked/LSH siblings; bulk query sets belong on the IVF
+    * path. */
   def topKExact(queries: DataFrame, corpus: DataFrame, k: Int,
-      roundDp: Int = 6): DataFrame = {
+      roundDp: Int = 6, maxQueries: Long = 10000L): DataFrame = {
+    Guards.requireAtMost(queries, maxQueries, "topKExact",
+      "switch to the IVF path (VectorIndex.build + VectorIndex.search) for bulk query sets")
     VectorExprs.register(queries.sparkSession)
     // norms once per vector (columns, so they survive the join), codegen
     // dot per pair: dot/(sqrt·sqrt) keeps oracle-bit-exact association

@@ -23,7 +23,13 @@ object Sections {
       strongBoundaryMultiplier: Double = 0.6,
       semanticCheckMultiplier: Double = 1.5,
       preferTimeBoundaries: Boolean = false,
-      timeGap: Double = 30.0) {
+      timeGap: Double = 30.0,
+      /** When true (with semantic mode preferred), refuse to run below
+        * `minEmbeddingCoveragePct` beat-embedding coverage instead of
+        * silently degrading per-pair (sections.py:455-463's 80% gate). */
+      requireEmbeddings: Boolean = false,
+      preferSemanticBoundaries: Boolean = true,
+      minEmbeddingCoveragePct: Double = 80.0) {
     def minDuration: Double = minDurationMin * 60.0
     def targetDuration: Double = targetDurationMin * 60.0
     def maxDuration: Double = maxDurationMin * 60.0
@@ -121,15 +127,40 @@ object Sections {
 
   /** DataFrame adapter with optional beat-embedding pre-join (the
     * reference loads beat embeddings from parquet inside the generator,
-    * sections.py:380-480; we pre-join — same data, one clean plan). */
+    * sections.py:380-480; we pre-join — same data, one clean plan).
+    *
+    * With `cfg.requireEmbeddings && cfg.preferSemanticBoundaries`, the
+    * reference's release gate applies (sections.py:411-463): no
+    * embeddings frame at all is an error, and joined coverage below
+    * `cfg.minEmbeddingCoveragePct` is an error naming the coverage —
+    * semantic sections silently computed from a half-embedded corpus
+    * would move boundaries without anyone noticing. */
   def generateFromDf(beats: DataFrame, embeddings: Option[DataFrame] = None,
       cfg: Config = Config()): Dataset[Section] = {
     val spark = beats.sparkSession
     import spark.implicits._
+    val gated = cfg.requireEmbeddings && cfg.preferSemanticBoundaries
+    if (gated && embeddings.isEmpty)
+      throw new IllegalArgumentException(
+        "beat embeddings required for semantic section generation but not provided; " +
+          "generate embeddings first or set requireEmbeddings=false")
     val withEmb = embeddings match {
       case Some(e) => beats.join(
         e.select(col("artifact_id").as("beat_id"), col("embedding")), Seq("beat_id"), "left")
       case None => beats.withColumn("embedding", lit(null).cast("array<float>"))
+    }
+    if (gated) {
+      val row = withEmb.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("embedding").isNotNull, 1L).otherwise(0L)).as("with_emb")).first()
+      val n = row.getAs[Long]("n")
+      val covered = Option(row.getAs[java.lang.Long]("with_emb")).map(_.longValue()).getOrElse(0L)
+      val pct = if (n > 0) 100.0 * covered / n else 0.0
+      if (pct < cfg.minEmbeddingCoveragePct)
+        throw new IllegalArgumentException(
+          f"insufficient embedding coverage for semantic sections: $pct%.1f%% < " +
+            f"${cfg.minEmbeddingCoveragePct}%.1f%% ($covered/$n beats); " +
+            "generate embeddings for all beats or set requireEmbeddings=false")
     }
     withEmb.select("beat_id", "episode_id", "start_time", "end_time",
         "duration", "text", "embedding")

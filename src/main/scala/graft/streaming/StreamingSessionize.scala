@@ -54,7 +54,10 @@ object StreamingSessionize {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(OpenSession(s.startMs, math.max(s.lastMs, t),
+                  // a late event inside the watermark can predate the open
+                  // session's start — fold BOTH endpoints so session_start
+                  // matches the batch sessionizer's global sort
+                  open = Some(OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t),
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += toSession(s)

@@ -161,6 +161,21 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("metadata sidecar parse is structural: reordered keys still load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar").toString
+    spark.read.parquet(s"$lakeDir/span_embeddings/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // keys deliberately in a different order than Embedder.store writes
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "metadata.json"),
+      """[{"dim": 32, "count": 7, "model_version": null,
+        |  "artifact_type": "span", "model_name": "reordered-writer"}]""".stripMargin)
+    val (_, meta) = Embedder.load(spark, dir)
+    assert(meta.length == 1)
+    assert(meta.head.modelName == "reordered-writer")
+    assert(meta.head.modelVersion.isEmpty)
+    assert(meta.head.dim == 32 && meta.head.count == 7)
+  }
+
   test("catalog save + load-latest round-trip (S14)") {
     val norm = spark.read.parquet(s"$lakeDir/normalized")
     val dir = s"$lakeDir/catalogs"

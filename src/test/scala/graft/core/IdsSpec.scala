@@ -62,6 +62,12 @@ class IdsSpec extends AnyFunSuite {
     assert(Ids.utteranceId("TEST-001", 0, "Stability test", "Alice", 0.0, 5.0).length == 32)
   }
 
+  test("negative positions are rejected, not silently mis-padded") {
+    intercept[IllegalArgumentException] {
+      Ids.utteranceId("TEST-001", -5, "x", "Alice", 0.0, 5.0)
+    }
+  }
+
   test("pyFloatRepr matches Python repr on representative values") {
     import CanonicalJson.pyFloatRepr
     assert(pyFloatRepr(5.0) == "5.0")

@@ -42,6 +42,13 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("topKExact guards its query side, naming the IVF path") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.topKExact(queries, corpus, k = 5, maxQueries = 2)
+    }
+    assert(err.getMessage.contains("IVF"))
+  }
+
   test("IVF with all cells probed equals exact search") {
     val cents = Similarity.trainIvfCentroids(vectors, "vec_id", "embedding", nCells = 4)
     val ivf = Similarity.topKIvf(spark, queries, corpus, cents, k = 5, nProbe = 4)

@@ -175,4 +175,46 @@ class SegmentSpec extends AnyFunSuite {
     assert(sections.zip(sections.tail).forall { case (x, y) => x.end_time <= y.start_time })
     assert(sections.map(_.title).toSeq == sections.indices.map(i => s"Section ${i + 1}"))
   }
+
+  test("beats degrade per-episode: mixed-coverage episode falls back to heuristic") {
+    val e = Some(Seq(1.0f, 0.0f))
+    // EP_FULL: all spans embedded, same speaker/no gaps — semantic mode
+    // keeps the identical embeddings in ONE beat (heuristic would split
+    // at 180s running duration). EP_HALF: 50% coverage — heuristic mode
+    // splits on the speaker change at i=1.
+    val full = (0 until 3).map(i => SpanForBeats(s"f$i", "EP_FULL", "A", false,
+      i * 100.0, i * 100.0 + 100.0, 100.0, s"text-f$i", e))
+    val half = IndexedSeq(
+      SpanForBeats("h0", "EP_HALF", "A", false, 0, 10, 10, "text-h0", e),
+      SpanForBeats("h1", "EP_HALF", "B", false, 10, 20, 10, "text-h1", None))
+    val beats = Beats.generate(spark.createDataset(full ++ half), Beats.Config())
+      .collect().groupBy(_.episode_id)
+    assert(beats("EP_FULL").length == 1)  // semantic: sim = 1.0, no break
+    assert(beats("EP_HALF").length == 2)  // heuristic fallback: speaker break
+  }
+
+  test("sections coverage gate: <80% embedded beats refuses semantic mode") {
+    val e = Some(Seq(1.0f, 0.0f))
+    val beats = (0 until 10).map(i => beat(s"b$i", i * 60.0, i * 60.0 + 55.0))
+    val beatsDf = spark.createDataset(beats).drop("embedding")
+    def embFor(n: Int) = spark.createDataset(
+      (0 until n).map(i => (s"b$i", Seq(1.0f, 0.0f)))).toDF("artifact_id", "embedding")
+    val gatedCfg = Sections.Config(requireEmbeddings = true)
+
+    // 50% coverage → refused, message names the coverage and the fix
+    val err = intercept[IllegalArgumentException] {
+      Sections.generateFromDf(beatsDf, Some(embFor(5)), gatedCfg)
+    }
+    assert(err.getMessage.contains("50.0%") && err.getMessage.contains("requireEmbeddings"))
+    // no embeddings at all → refused
+    intercept[IllegalArgumentException] {
+      Sections.generateFromDf(beatsDf, None, gatedCfg)
+    }
+    // full coverage → runs in semantic mode
+    val ok = Sections.generateFromDf(beatsDf, Some(embFor(10)), gatedCfg).collect()
+    assert(ok.flatMap(_.beat_ids).length == 10)
+    // ungated (default) still degrades silently at 50%
+    val degraded = Sections.generateFromDf(beatsDf, Some(embFor(5))).collect()
+    assert(degraded.flatMap(_.beat_ids).length == 10)
+  }
 }
