@@ -83,7 +83,18 @@ object VectorIndex {
       if (nNew == 0) return "noop"
       val nExisting = existing.count()
       if (nExisting == 0 || nNew.toDouble / nExisting > RebuildRatio) {
-        build(vectors, idCol, vecCol, nCells, outDir)
+        // rebuild from the indexed corpus ∪ the genuinely-new rows, NOT
+        // the passed frame: a streaming micro-batch carries only new
+        // files, and a batch caller's full-corpus frame reduces to the
+        // same union after the anti-join either way
+        val full = existing.select(col("_id").as(idCol), col("_v").as(vecCol))
+          .unionByName(fresh.select(col(idCol),
+            graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as(vecCol)))
+          // the build scans its input 2-3× (count, train-sample, assign);
+          // materialize the union once — it is about to be rewritten as
+          // the new index anyway, so it fits wherever the index fits
+          .localCheckpoint(false)
+        build(full, idCol, vecCol, nCells, outDir)
         "rebuild"
       } else {
         val assigned = withNorm(Similarity.assignToNearest(
