@@ -74,6 +74,49 @@ object Multimodal {
       }
   }
 
+  /** Pluggable binary→binary batch transform (resize, transcode,
+    * re-encode); same seam as [[MediaDecoder]] for ops that keep the
+    * payload opaque. */
+  trait MediaTransformer extends Serializable {
+    def name: String
+    def transformBatch(batch: Seq[(String, Array[Byte])],
+        width: Int, height: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB resize transform: passes bytes through (no codecs here) — the
+    * metadata contract is what the plumbing enforces. */
+  final case class StubResizer() extends MediaTransformer {
+    def name = "stub-resize-v1"
+    def transformBatch(batch: Seq[(String, Array[Byte])],
+        width: Int, height: Int): Seq[Array[Byte]] = batch.map(_._2)
+  }
+
+  final case class ResizedMedia(asset_id: String, media_type: String,
+      content: Array[Byte], width: Int, height: Int, transformer: String)
+
+  /** Image-resize plumbing: batched mapPartitions over the binary column,
+    * output rows carry the TARGET dimensions in the typed metadata. Only
+    * image rows are transformed; batching bounds peak decoded memory per
+    * task exactly as in [[extractFeatures]]. */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+      batchSize: Int = 8,
+      transformer: MediaTransformer = StubResizer()): Dataset[ResizedMedia] = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select("asset_id", "media_type", "content")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val outs = transformer.transformBatch(batch.map(t => (t._1, t._3)), width, height)
+          batch.zip(outs).map { case ((id, mt, _), bytes) =>
+            ResizedMedia(id, mt, bytes, width, height, transformer.name)
+          }
+        }
+      }
+  }
+
   /** Frame sampling plumbing for video assets: one row per sampled frame
     * offset (decode stubbed; offsets/shape real). */
   def sampleFrames(media: DataFrame, fps: Double): DataFrame =

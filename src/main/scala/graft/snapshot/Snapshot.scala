@@ -31,8 +31,10 @@ object Snapshot {
       files: Seq[FileEntry], qa: QaStatus = UnknownQa)
 
   /** sha256 + size for every file under a directory (distributed), plus
-    * footer row counts for parquet parts. */
-  def checksumDirectory(spark: SparkSession, dir: String): Seq[FileEntry] = {
+    * footer row counts for parquet parts. `withRowCounts = false` skips
+    * the footer reads — [[validate]] only compares hashes. */
+  def checksumDirectory(spark: SparkSession, dir: String,
+      withRowCounts: Boolean = true): Seq[FileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -40,7 +42,7 @@ object Snapshot {
       .select(col("path"), col("length"), sha2(col("content"), 256).as("sha256"))
       .collect()
       .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2),
-        parquetRowCount(conf, r.getString(0))))
+        if (withRowCounts) parquetRowCount(conf, r.getString(0)) else None))
       .sortBy(_.path).toSeq
   }
 
@@ -171,7 +173,7 @@ object Snapshot {
     * would otherwise be read with stale file sizes. */
   def validate(spark: SparkSession, snapshotVersionDir: String, m: Manifest): Seq[String] = {
     spark.catalog.refreshByPath(snapshotVersionDir)
-    val current = checksumDirectory(spark, snapshotVersionDir)
+    val current = checksumDirectory(spark, snapshotVersionDir, withRowCounts = false)
       .filterNot(_.path.endsWith("manifest.json"))
       .map(f => f.path -> f.sha256).toMap
     m.files.flatMap { f =>

@@ -266,4 +266,23 @@ class DomainPipelineSpec extends AnyFunSuite {
       .toDF("asset_id", "media_type", "content", "width", "height", "duration_s", "mime")
     assert(Multimodal.audioWindows(short, windowLenS = 1.0, hopS = 0.5).count() == 0)
   }
+
+  test("multimodal resize: image-only, target dims in metadata, custom transformer") {
+    val media = Seq(
+      ("img1", "image", Array[Byte](1, 2, 3), Some(100), Some(80), None: Option[Double], Some("image/png")),
+      ("aud1", "audio", Array[Byte](9), None: Option[Int], None: Option[Int], Some(1.0), Some("audio/wav")))
+      .toDF("asset_id", "media_type", "content", "width", "height", "duration_s", "mime")
+    val out = Multimodal.resizeImages(media, width = 32, height = 24).collect()
+    assert(out.map(_.asset_id).toSeq == Seq("img1")) // audio untouched
+    assert(out.head.width == 32 && out.head.height == 24)
+    assert(out.head.content.toSeq == Seq[Byte](1, 2, 3)) // stub passthrough
+    // a custom transformer sees the batch and can rewrite payloads
+    val blanker = new Multimodal.MediaTransformer {
+      def name = "blank-v1"
+      def transformBatch(batch: Seq[(String, Array[Byte])], w: Int, h: Int) =
+        batch.map(_ => Array[Byte](0))
+    }
+    val blanked = Multimodal.resizeImages(media, 8, 8, transformer = blanker).collect()
+    assert(blanked.head.transformer == "blank-v1" && blanked.head.content.toSeq == Seq[Byte](0))
+  }
 }
