@@ -225,9 +225,15 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine above a threshold, blocked by optional
-    * key columns (embedding-based near-dup detection). */
+    * key columns (embedding-based near-dup detection). Without block
+    * columns this is a full crossJoin — guarded like its exact-pair
+    * siblings; provide blockCols (or switch to IVF) past the cap. */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+      threshold: Double, blockCols: Seq[String] = Nil,
+      maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
+    if (blockCols.isEmpty)
+      Guards.requireAtMost(df, maxRows, "cosinePairsAbove",
+        "pass blockCols to bound the self-join, or use the IVF path for the approximate regime")
     val base = df.select((blockCols.map(col) :+ col(idCol) :+
       VF.vecAsDouble(col(vecCol)).as("_v")): _*)
     val a = base.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_v").as("va")): _*)

@@ -224,5 +224,13 @@ class ValidationSpec extends AnyFunSuite {
     assert(spanChecks.contains("timestamp_monotonic"))
     assert(spanChecks.contains("text_nulls"))
     assert(!spanChecks.contains("dim_consistency"))
+
+    // a table the routing file doesn't mention runs EVERYTHING (the
+    // reference allows all checks on unknown tables)
+    val unrouted = Validation.validateAll(
+      Map("mystery" -> spans), Seq(TableSpec("mystery", primaryKeys = Seq(Seq("span_id")))),
+      routing = Some(routing))
+      .collect().map(_.getAs[String]("check_name")).toSet
+    assert(unrouted.contains("id_duplicates_span_id") && unrouted.contains("text_nulls"))
   }
 }
