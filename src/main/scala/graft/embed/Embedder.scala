@@ -42,6 +42,73 @@ final case class HashEncoder(dim: Int = 384) extends TextBatchEncoder {
   }
 }
 
+/** Encoder backed by an EXTERNAL process — the dependency-free seam to a
+  * REAL model in an environment where model jars can't ship (reference:
+  * models.py:87-348's provider chain; the sentence-transformers/ONNX
+  * runner becomes a CLI honoring this protocol).
+  *
+  * Line protocol, one process per batch: each text goes to stdin as one
+  * JSON string per line; the process answers one JSON float array per
+  * line, in order, and exits 0 after stdin closes. Runs on the EXECUTOR
+  * inside `mapPartitions` batches, so a 1000-executor cluster fans the
+  * model out with zero driver involvement. A production impl would keep
+  * one long-lived worker per executor (same protocol, amortized spawn);
+  * per-batch spawn keeps this reference implementation robust under
+  * Spark's many-tasks-per-JVM concurrency. */
+final case class ProcessEncoder(command: Seq[String], dim: Int,
+    encoderName: String = "graft-process-encoder",
+    modelVersion: Option[String] = None) extends TextBatchEncoder {
+  def name: String = encoderName
+  def version: Option[String] = modelVersion
+
+  def encode(texts: Seq[String]): Seq[Array[Float]] = {
+    val proc = new ProcessBuilder(command: _*).start()
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+    // writer on its own thread: writing and reading the same process from
+    // one thread deadlocks once either pipe buffer fills
+    val writer = new Thread(() => {
+      try {
+        texts.foreach { t => out.write(jsonString(t)); out.newLine() }
+        out.close()
+      } catch { case _: java.io.IOException => () } // early death → rc check below
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val lines = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      .getLines().toList
+    writer.join()
+    val rc = proc.waitFor()
+    if (rc != 0 || lines.size != texts.size) {
+      val err = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+        .mkString.take(500)
+      throw new RuntimeException(
+        s"$name: ${command.head} exited rc=$rc with ${lines.size}/${texts.size} vectors" +
+          (if (err.nonEmpty) s"; stderr: $err" else ""))
+    }
+    lines.map(parseVector)
+  }
+
+  private def jsonString(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b += '"'
+    s.foreach {
+      case '"' => b ++= "\\\""
+      case '\\' => b ++= "\\\\"
+      case c if c < ' ' => b ++= f"\\u${c.toInt}%04x"
+      case c => b += c
+    }
+    (b += '"').result()
+  }
+
+  private def parseVector(line: String): Array[Float] = {
+    val body = line.trim.stripPrefix("[").stripSuffix("]").trim
+    val v = if (body.isEmpty) Array.empty[Float] else body.split(",").map(_.trim.toFloat)
+    require(v.length == dim, s"$name: expected $dim dims, got ${v.length} in '$line'")
+    v
+  }
+}
+
 object Embedder {
 
   val DefaultBatchSize = 32
