@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scale-critical physical-plan properties of representative
+  * queries: column pruning reaching the parquet scan, broadcast joins for
+  * dimension sides, top-k without a global sort, and fused aggregation
+  * without an Expand multiplying input rows. A correctness-green query
+  * whose plan silently loses one of these would still pass the oracle —
+  * these tests make the 100 TB shape itself a regression surface. */
+class PlanAssertSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q55 scan reads only the text column; top-20 is TakeOrderedAndProject") {
+    val plan = planOf("q55_top_bigrams")
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"bigram scan must prune to text only:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global Sort + limit:\n$plan")
+  }
+
+  test("q10 unigram scan prunes to text; top-k avoids a global sort") {
+    val plan = planOf("q10_top_terms")
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q12 dimension join broadcasts the small sides") {
+    val plan = planOf("q12_region_rollup")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"region/nation dims must broadcast, not shuffle:\n${plan.take(3000)}")
+  }
+
+  test("q49 validation counters plan no Expand (no count_distinct blowup)") {
+    val plan = planOf("q49_validation_checks")
+    assert(!plan.contains("Expand"),
+      s"fused counters must not multiply input rows through Expand:\n${plan.take(3000)}")
+  }
+
+  test("q01 prunes lineitem to the six aggregated columns") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_returnflag:"),
+      s"pricing summary must not read unused lineitem columns:\n${plan.take(3000)}")
+  }
+
+  test("q14 pushes join-key null filters into the scans; orders reads one column") {
+    val plan = planOf("q14_cust_with_orders")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey)]"),
+      s"semi-join key filter must reach the orders reader:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"),
+      s"the semi-join side must read ONLY the join key:\n${plan.take(3000)}")
+  }
+}
