@@ -196,14 +196,20 @@ object SparkEntry {
       .limit(20)
   }
 
-  /** A14 per-user share + top-10 ranking (balance.py:18-208, W3). */
+  /** A14 per-user share + top-10 ranking (balance.py:18-208, W3).
+    * No global window: an empty-partition window funnels every user into
+    * ONE task. The corpus total rides along as a 1-row broadcast, the
+    * top-10 is a distributed TakeOrderedAndProject, and only the 10
+    * surviving rows are numbered. */
   def userShare(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
-    val total = Window.partitionBy()
-    val ranked = counts
-      .withColumn("pct", round(lit(100.0) * col("n") / sum(col("n")).over(total), 4))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
-    ranked.filter(col("rnk") <= 10).orderBy("rnk")
+    val total = broadcast(counts.agg(sum(col("n")).as("_total")))
+    val top = counts.crossJoin(total)
+      .withColumn("pct", round(lit(100.0) * col("n") / col("_total"), 4))
+      .orderBy(col("n").desc, col("user_id")).limit(10)
+    top.withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+      .select("user_id", "n", "pct", "rnk")
+      .orderBy("rnk")
   }
 
   /** J1 dimension enrichment via broadcast joins (balance.py:295-299). */
@@ -779,13 +785,17 @@ object SparkEntry {
         countDistinct(col("lang")).as("lang_count"),
         sum(col("n_chars")).as("total_chars"),
         round(avg(col("n_chars")), 2).as("avg_chars"))
-    val total = Window.partitionBy()
-    perSeries
+    // corpus-wide total/extremes as a 1-row broadcast, not a global
+    // window (which would run every series through one task)
+    val totals = broadcast(perSeries.agg(
+      sum(col("doc_count")).as("_total"),
+      max(col("doc_count")).as("_max"),
+      min(col("doc_count")).as("_min")))
+    perSeries.crossJoin(totals)
       .withColumn("doc_percent",
-        round(lit(100.0) * col("doc_count") / sum(col("doc_count")).over(total), 2))
+        round(lit(100.0) * col("doc_count") / col("_total"), 2))
       .withColumn("balance_ratio",
-        round(max(col("doc_count")).over(total).cast("double")
-          / min(col("doc_count")).over(total), 2))
+        round(col("_max").cast("double") / col("_min"), 2))
       .select("series", "doc_count", "doc_percent", "lang_count",
         "total_chars", "avg_chars", "balance_ratio")
       .orderBy(col("doc_count").desc, col("series"))

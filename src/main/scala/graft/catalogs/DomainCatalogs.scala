@@ -59,12 +59,14 @@ object DomainCatalogs {
         col("total_utterances").cast("double") / col("episode_count"))
       .orderBy("speaker")
 
-  /** W3 rankings: top-N speakers by a metric column. */
+  /** W3 rankings: top-N speakers by a metric column. Distributed
+    * TakeOrderedAndProject first; only the n survivors get numbered (a
+    * bare global row_number would rank every speaker in one task). */
   def topSpeakers(catalog: DataFrame, metric: String, n: Int): DataFrame =
     catalog
+      .orderBy(col(metric).desc, col("speaker")).limit(n)
       .withColumn("rank", row_number().over(
         Window.orderBy(col(metric).desc, col("speaker"))))
-      .filter(col("rank") <= n)
       .orderBy("rank")
 
   /** S14 catalog sink: timestamped `{name}_{yyyyMMdd_HHmmss}` directory —

@@ -218,17 +218,20 @@ object Quality {
 
   // ---- Category D: balance (balance.py) -----------------------------
 
-  /** A14 speaker distribution with top-N + long-tail rollup. */
+  /** A14 speaker distribution with top-N + long-tail rollup. The corpus
+    * total is a 1-row broadcast and the top-N a distributed
+    * TakeOrderedAndProject — not a global window, which would sort every
+    * speaker in one task; the tail is everything the top-N anti-joins
+    * away. */
   def speakerBalance(segments: DataFrame, topN: Int): DataFrame = {
     val bySpeaker = segments.groupBy("speaker")
       .agg(count(lit(1)).as("n"), sum(col("duration")).as("total_s"))
-    val total = Window.partitionBy()
-    val ranked = bySpeaker
-      .withColumn("pct", lit(100.0) * col("n") / sum(col("n")).over(total))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("speaker"))))
-    val top = ranked.filter(col("rnk") <= topN)
-      .select(col("speaker"), col("n"), col("total_s"), col("pct"))
-    val tail = ranked.filter(col("rnk") > topN)
+    val totals = broadcast(bySpeaker.agg(sum(col("n")).as("_total")))
+    val withPct = bySpeaker.crossJoin(totals)
+      .withColumn("pct", lit(100.0) * col("n") / col("_total"))
+    val top = withPct.orderBy(col("n").desc, col("speaker")).limit(topN)
+      .select("speaker", "n", "total_s", "pct")
+    val tail = withPct.join(top.select("speaker"), Seq("speaker"), "left_anti")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("total_s")), lit(0.0)).as("total_s"),
         coalesce(sum(col("pct")), lit(0.0)).as("pct"))
