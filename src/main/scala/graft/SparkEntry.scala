@@ -303,6 +303,29 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** V4/V5 end-to-end through the persisted IVF index, exhaustively
+    * probed: with nProbe = nCells the partition-pruned search visits
+    * every cell, so its top-k must reproduce the q18 brute-force oracle
+    * bit-for-bit — an oracle gate on the whole build→persist→search
+    * path, not just a recall bound (faiss_builder.py:181-284;
+    * embedding.py:408-472). The index is built once per JVM per data
+    * dir (build throughput is measured separately in the bench ann
+    * phase; the query measures search). */
+  private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndexDirs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      graft.index.VectorIndex.build(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16, tmp)
+      tmp
+    })
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
+    graft.index.VectorIndex.search(spark, idx, q, k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** MinHash-LSH near-dup candidates with exact-Jaccard verification
     * (the scale path for integrity.py:551-616's O(n²) fuzzy dedup).
     * Word-bigram shingles, k=12 minhashes in 3 bands of 4 — poly-hash based
@@ -913,6 +936,7 @@ object SparkEntry {
     "q53_pii_stats" -> piiStats _,
     "q54_dedup_clusters" -> dedupClusters _,
     "q55_top_bigrams" -> topBigrams _,
+    "q56_knn_ivf" -> knnIvf _,
   )
 
   private val stopwordsSqlList: String =
@@ -1186,21 +1210,7 @@ object SparkEntry {
         |  AND a.event_id < b.event_id AND a.s_us < b.e_us AND b.s_us < a.e_us
         |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
 
-    "q18_knn_exact" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), p AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
-        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
-        |), r AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
-        |  FROM p
-        |)
-        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+    "q18_knn_exact" -> knnOracleSql,
 
     "q19_minhash_neardup" -> minhashOracleSql,
 
@@ -1738,5 +1748,27 @@ object SparkEntry {
         |FROM b
         |WHERE w1 NOT IN $stopwordsSqlList OR w2 NOT IN $stopwordsSqlList
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // exhaustive probing (nProbe = nCells) makes the IVF search exact,
+    // so its oracle is the same brute-force top-k as q18
+    "q56_knn_ivf" -> knnOracleSql,
   )
+
+  /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
+    * oracle for both q18 (exact kNN) and q56 (IVF, exhaustively probed). */
+  private val knnOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.v, c.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
 }
