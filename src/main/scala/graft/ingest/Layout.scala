@@ -10,8 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * All paths go through the Hadoop FileSystem API, so the layout works
   * unchanged on local disk, HDFS, or an object store — version discovery
   * is one directory listing of the layer, never a recursive walk.
+  *
+  * Atomic publication (the Delta/Iceberg-commit idea, file-system-native):
+  * a version is only *visible* once its `_graft_commit.json` marker
+  * exists, and the marker is written last, as one atomic file create.
+  * A writer that dies mid-write leaves an uncommitted `vN` readers never
+  * resolve; an in-place rewrite un-publishes the version for its
+  * duration (readers fall back to the previous committed one). Markers
+  * double as the rollback lever: [[rollbackTo]] deletes markers, not
+  * data, and [[vacuum]] reclaims whatever is unpublished.
   */
 object Layout {
+
+  /** Marker file that publishes a version (written last; creation is the
+    * commit point). Carries the footer-summed row count so consumers can
+    * sanity-check completeness without a data scan. */
+  val CommitMarker = "_graft_commit.json"
 
   /** Standard layer directories (structure.py:20-30). */
   val Layers: Seq[String] = Seq(
@@ -39,23 +53,100 @@ object Layout {
   def latestVersion(spark: SparkSession, base: String, layer: String): Option[Int] =
     versions(spark, base, layer).lastOption
 
+  /** Versions whose commit marker exists — the only ones readers see. */
+  def committedVersions(spark: SparkSession, base: String, layer: String): Seq[Int] =
+    versions(spark, base, layer)
+      .filter(v => isCommitted(spark, versionedDir(base, layer, v)))
+
+  def isCommitted(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, CommitMarker))
+
+  /** Publish a written version: footer-summed row count (metadata reads,
+    * no data pages) into the marker, created atomically and exactly once
+    * (`overwrite = false` — a concurrent committer loses with a clear
+    * FileAlreadyExists instead of silently double-publishing). */
+  def commit(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, dir)
+    val it = f.listFiles(new Path(dir), true)
+    var rows = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      rows += graft.snapshot.Snapshot
+        .parquetRowCount(conf, st.getPath.toString).getOrElse(0L)
+    }
+    val out = f.create(new Path(dir, CommitMarker), false)
+    out.write(s"""{"row_count": $rows}""".getBytes("UTF-8"))
+    out.close()
+    rows
+  }
+
   /** Write a layer at an explicit version, or at latest+1 when `version`
     * is None (the writer.py `create_versioned_directory` + write flow;
-    * new versions never clobber old ones — that's the point of vN). */
+    * new versions never clobber old ones — that's the point of vN).
+    * The version is invisible to [[loadLatest]]/[[loadVersion]] until the
+    * data write fully succeeds and the commit marker lands; an in-place
+    * rewrite (explicit `version`) drops the marker first, so readers fall
+    * back to the previous committed version while it runs. */
   def writeVersioned(df: DataFrame, base: String, layer: String,
       version: Option[Int] = None, partitionCols: Seq[String] = Nil): String = {
     val v = version.getOrElse(latestVersion(df.sparkSession, base, layer).getOrElse(0) + 1)
     val dir = versionedDir(base, layer, v)
     val w = df.write.mode(if (version.isDefined) "overwrite" else "errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    commit(df.sparkSession, dir)
     dir
   }
 
-  /** Read the newest version of a layer (S14-style load-latest). */
+  /** Read the newest *committed* version of a layer (S14-style
+    * load-latest). Half-written versions are named in the error rather
+    * than silently read. */
   def loadLatest(spark: SparkSession, base: String, layer: String): DataFrame = {
-    val v = latestVersion(spark, base, layer).getOrElse(
-      throw new IllegalArgumentException(s"no versions of $layer under $base"))
+    val committed = committedVersions(spark, base, layer)
+    val v = committed.lastOption.getOrElse {
+      val stray = versions(spark, base, layer)
+      throw new IllegalArgumentException(
+        if (stray.isEmpty) s"no versions of $layer under $base"
+        else s"no committed versions of $layer under $base " +
+          s"(uncommitted: ${stray.map("v" + _).mkString(", ")} — " +
+          "in-flight, crashed, or rolled back; vacuum() reclaims them)")
+    }
     spark.read.parquet(versionedDir(base, layer, v))
+  }
+
+  /** Time travel: read one specific committed version. */
+  def loadVersion(spark: SparkSession, base: String, layer: String, version: Int): DataFrame = {
+    val dir = versionedDir(base, layer, version)
+    require(isCommitted(spark, dir),
+      s"v$version of $layer is not committed (existing: " +
+        s"${committedVersions(spark, base, layer).map("v" + _).mkString(", ")})")
+    spark.read.parquet(dir)
+  }
+
+  /** Roll back by un-publishing: delete the commit markers of every
+    * version above `keep` — data stays on disk (re-`commit` restores a
+    * version; [[vacuum]] reclaims it). Returns the versions unpublished. */
+  def rollbackTo(spark: SparkSession, base: String, layer: String, keep: Int): Seq[Int] = {
+    require(committedVersions(spark, base, layer).contains(keep),
+      s"cannot roll back to v$keep of $layer: not a committed version")
+    val f = fs(spark, base)
+    committedVersions(spark, base, layer).filter(_ > keep).map { v =>
+      f.delete(new Path(versionedDir(base, layer, v), CommitMarker), false)
+      v
+    }
+  }
+
+  /** Delete uncommitted version directories (crashed writers, rollbacks).
+    * Returns the directories removed. */
+  def vacuum(spark: SparkSession, base: String, layer: String): Seq[String] = {
+    val f = fs(spark, base)
+    versions(spark, base, layer)
+      .filterNot(v => isCommitted(spark, versionedDir(base, layer, v)))
+      .map { v =>
+        val dir = versionedDir(base, layer, v)
+        f.delete(new Path(dir), true)
+        dir
+      }
   }
 
   /** S16 raw archival: copy source transcript files into `{base}/raw/`,

@@ -42,6 +42,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.versions(spark, base, "spans") == Seq(2))
   }
 
+  test("uncommitted versions are invisible: loadLatest skips a half-written vN") {
+    val base = Files.createTempDirectory("graft_layout_tx").toString
+    Layout.writeVersioned(Seq((1, "a")).toDF("id", "x"), base, "normalized")
+    // simulate a writer that died mid-write: data present, no marker
+    Seq((2, "b"), (3, "c")).toDF("id", "x")
+      .write.parquet(s"$base/normalized/v2")
+    assert(Layout.versions(spark, base, "normalized") == Seq(1, 2))
+    assert(Layout.committedVersions(spark, base, "normalized") == Seq(1))
+    assert(Layout.loadLatest(spark, base, "normalized").count() == 1)
+    // committing publishes it (footer-summed row count, no data scan)
+    assert(Layout.commit(spark, s"$base/normalized/v2") == 2L)
+    assert(Layout.loadLatest(spark, base, "normalized").count() == 2)
+  }
+
+  test("time travel, rollback, and vacuum") {
+    val base = Files.createTempDirectory("graft_layout_tt").toString
+    Layout.writeVersioned(Seq((1, "a")).toDF("id", "x"), base, "spans")
+    Layout.writeVersioned(Seq((2, "b"), (3, "c")).toDF("id", "x"), base, "spans")
+    assert(Layout.loadVersion(spark, base, "spans", 1).count() == 1)
+    // rollback un-publishes v2 without touching its data
+    assert(Layout.rollbackTo(spark, base, "spans", keep = 1) == Seq(2))
+    assert(Layout.loadLatest(spark, base, "spans")
+      .select("id").as[Int].collect().toSeq == Seq(1))
+    intercept[IllegalArgumentException] {
+      Layout.loadVersion(spark, base, "spans", 2)
+    }
+    // the next write must NOT clobber the rolled-back (still on disk) v2
+    val p3 = Layout.writeVersioned(Seq((9, "z")).toDF("id", "x"), base, "spans")
+    assert(p3.endsWith("spans/v3"))
+    assert(Layout.rollbackTo(spark, base, "spans", keep = 1) == Seq(3))
+    // vacuum reclaims everything unpublished
+    assert(Layout.vacuum(spark, base, "spans").map(_.takeRight(2)).sorted == Seq("v2", "v3"))
+    assert(Layout.versions(spark, base, "spans") == Seq(1))
+    // rolling back to an uncommitted version is refused
+    intercept[IllegalArgumentException] {
+      Layout.rollbackTo(spark, base, "spans", keep = 7)
+    }
+  }
+
   test("loadLatest on an empty layer fails with a clear error") {
     val base = Files.createTempDirectory("graft_layout3").toString
     val e = intercept[IllegalArgumentException] {
