@@ -136,6 +136,40 @@ object Layout {
     }
   }
 
+  /** Compact the latest committed version's small files into
+    * ~`targetBytes` outputs, published as a NEW committed version — the
+    * Delta OPTIMIZE idea expressed through the marker protocol, so a
+    * failed compaction leaves an invisible half-written vN and readers
+    * stay on the uncompacted data. Streaming appends and per-key
+    * partitioned writes both accrete small files; at 100 TB the
+    * listing/open overhead they add to every scan is the dominant read
+    * cost, and compaction is the standing maintenance job that pays it
+    * down. File count is derived from current committed bytes (one
+    * listing, no data scan); rows are range-partitioned on `sortCol`
+    * when given — contiguous key ranges per file make parquet row-group
+    * min/max stats selective — else round-robin into even sizes. */
+  def compact(spark: SparkSession, base: String, layer: String,
+      targetBytes: Long = 128L << 20, sortCol: Option[String] = None): String = {
+    val committed = committedVersions(spark, base, layer)
+    val v = committed.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed versions of $layer under $base"))
+    val dir = versionedDir(base, layer, v)
+    val f = fs(spark, dir)
+    var bytes = 0L
+    val it = f.listFiles(new Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val packed = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
+      case None    => df.repartition(nFiles)
+    }
+    writeVersioned(packed, base, layer)
+  }
+
   /** Delete uncommitted version directories (crashed writers, rollbacks).
     * Returns the directories removed. */
   def vacuum(spark: SparkSession, base: String, layer: String): Seq[String] = {

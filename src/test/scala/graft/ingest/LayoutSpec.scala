@@ -81,6 +81,25 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compact packs small files into a new committed version") {
+    val base = Files.createTempDirectory("graft_layout_cp").toString
+    // 64 tiny files
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+    Layout.writeVersioned(df.repartition(64), base, "normalized")
+    val v1Files = spark.read.parquet(s"$base/normalized/v1").inputFiles.length
+    assert(v1Files == 64)
+    val out = Layout.compact(spark, base, "normalized", targetBytes = 1L << 30,
+      sortCol = Some("id"))
+    assert(out.endsWith("normalized/v2"))
+    val compacted = Layout.loadLatest(spark, base, "normalized")
+    assert(compacted.inputFiles.length < 8)
+    // same data, new layout; v1 still readable via time travel
+    assert(compacted.count() == 10000)
+    assert(compacted.agg(sum(col("id"))).head.getLong(0)
+      == Layout.loadVersion(spark, base, "normalized", 1)
+        .agg(sum(col("id"))).head.getLong(0))
+  }
+
   test("loadLatest on an empty layer fails with a clear error") {
     val base = Files.createTempDirectory("graft_layout3").toString
     val e = intercept[IllegalArgumentException] {
