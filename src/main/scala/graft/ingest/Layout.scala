@@ -149,7 +149,8 @@ object Layout {
     * when given — contiguous key ranges per file make parquet row-group
     * min/max stats selective — else round-robin into even sizes. */
   def compact(spark: SparkSession, base: String, layer: String,
-      targetBytes: Long = 128L << 20, sortCol: Option[String] = None): String = {
+      targetBytes: Long = 128L << 20, sortCol: Option[String] = None,
+      partitionCols: Seq[String] = Nil): String = {
     val committed = committedVersions(spark, base, layer)
     val v = committed.lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed versions of $layer under $base"))
@@ -163,11 +164,18 @@ object Layout {
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
-    val packed = sortCol match {
-      case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
-      case None    => df.repartition(nFiles)
-    }
-    writeVersioned(packed, base, layer)
+    import org.apache.spark.sql.functions.col
+    // A hive-partitioned layer must compact *within* partitions — a flat
+    // repartition(n) + partitionBy would shard every partition across all
+    // n tasks and write n small files per partition again.
+    val packed =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else sortCol match {
+        case Some(c) => df.repartitionByRange(nFiles, col(c))
+        case None    => df.repartition(nFiles)
+      }
+    writeVersioned(packed, base, layer, partitionCols = partitionCols)
   }
 
   /** Delete uncommitted version directories (crashed writers, rollbacks).

@@ -100,6 +100,22 @@ class LayoutSpec extends AnyFunSuite {
         .agg(sum(col("id"))).head.getLong(0))
   }
 
+  test("compact preserves hive partitioning, one file per partition") {
+    val base = Files.createTempDirectory("graft_layout_cpp").toString
+    val df = spark.range(1000).select(col("id"), (col("id") % 4).as("k"))
+    Layout.writeVersioned(df.repartition(16), base, "spans",
+      partitionCols = Seq("k"))
+    assert(spark.read.parquet(s"$base/spans/v1").inputFiles.length > 16)
+    Layout.compact(spark, base, "spans", partitionCols = Seq("k"))
+    val compacted = Layout.loadLatest(spark, base, "spans")
+    assert(compacted.inputFiles.length == 4) // one per k
+    assert(compacted.count() == 1000)
+    // still partition-pruned
+    val plan = compacted.filter(col("k") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
   test("loadLatest on an empty layer fails with a clear error") {
     val base = Files.createTempDirectory("graft_layout3").toString
     val e = intercept[IllegalArgumentException] {
