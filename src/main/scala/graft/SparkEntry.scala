@@ -434,7 +434,10 @@ object SparkEntry {
   /** Self-trained char-trigram language-ID confusion matrix. */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pred = TextAnalysis.langIdByTrigramProfile(docs, "doc_id", col("text"), "lang")
+    // profiles train on a deterministic quarter-sample (mirrored in the
+    // oracle); classification still covers every document
+    val pred = TextAnalysis.langIdByTrigramProfile(docs, "doc_id", col("text"), "lang",
+      trainDf = Some(docs.filter(col("doc_id") % 4 === 0)))
     docs.select(col("doc_id"), col("lang"))
       .join(pred, "doc_id")
       .groupBy("lang", "predicted")
@@ -1302,7 +1305,8 @@ object SparkEntry {
         |), prof AS (
         |  SELECT plabel, g FROM (
         |    SELECT plabel, g, row_number() OVER (PARTITION BY plabel ORDER BY n DESC, g) AS r
-        |    FROM (SELECT lang AS plabel, g, count(*) AS n FROM grams GROUP BY lang, g)
+        |    FROM (SELECT lang AS plabel, g, count(*) AS n FROM grams
+        |          WHERE doc_id % 4 = 0 GROUP BY lang, g)
         |  ) WHERE r <= 50
         |), scores AS (
         |  SELECT gr.doc_id, p.plabel, count(*) AS score

@@ -163,14 +163,20 @@ object TextAnalysis {
     * two-pointer intersect — no cached multi-million-row exploded frame,
     * no per-trigram join. Scales as one pass + one map-only pass. */
   def langIdByTrigramProfile(df: DataFrame, idCol: String, textCol: Column,
-      labelCol: String, profileSize: Int = 50): DataFrame = {
+      labelCol: String, profileSize: Int = 50,
+      trainDf: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     graft.expressions.TextExprs.register(spark)
     graft.expressions.HashFunctions.register(spark)
     import graft.expressions.{HashFunctions => HF, TextExprs => TE}
     val gramsOf = TE.distinct_char_ngrams(TF.normalizeWs(textCol), 3)
-    // train: per-label top trigrams (one exploded pass, nothing cached)
-    val profile = df
+    // train: per-label top trigrams (one exploded pass, nothing cached).
+    // `trainDf` lets the caller train on a deterministic sample — the
+    // top-`profileSize` trigrams of a language stabilize on a fraction
+    // of the corpus, and the exploded-gram aggregation is the dominant
+    // cost of the whole operator, so sampling the training side scales
+    // it down without touching classify coverage.
+    val profile = trainDf.getOrElse(df)
       .select(col(labelCol), explode(gramsOf).as("g"))
       .groupBy(col(labelCol).as("plabel"), col("g"))
       .agg(count(lit(1)).as("n"))
