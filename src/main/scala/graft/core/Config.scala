@@ -29,10 +29,14 @@ object Config {
 
   /** C20: extract status and metric values from a rendered quality
     * report (reference: snapshot/manifest.py:139-238 regex extraction).
-    * Works on graft.quality.Quality.renderMarkdown output. */
+    * Works on graft.quality.Quality.renderMarkdown output. The RELEASE
+    * gate over full reports is `graft.snapshot.Snapshot.parseQaReport`
+    * (distinct name on purpose — that one parses the reference's
+    * quality_assessment.md format into the manifest's qa_status block;
+    * this one summarizes graft's own compact metric table). */
   final case class QaSummary(status: Option[String], metrics: Map[String, Double])
 
-  def parseQaReport(md: String): QaSummary = {
+  def parseReportSummary(md: String): QaSummary = {
     val status = """\*\*Status: (\w+)\*\*""".r.findFirstMatchIn(md).map(_.group(1))
     val metric = """\| ([a-zA-Z0-9_]+) \| (-?[0-9]+\.[0-9]+) \|""".r
     val metrics = metric.findAllMatchIn(md)

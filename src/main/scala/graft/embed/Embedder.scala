@@ -65,8 +65,11 @@ final case class ProcessEncoder(command: Seq[String], dim: Int,
     val proc = new ProcessBuilder(command: _*).start()
     val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
-    // writer on its own thread: writing and reading the same process from
-    // one thread deadlocks once either pipe buffer fills
+    // writer AND stderr-drain on their own threads: sharing the reader's
+    // thread deadlocks once any pipe buffer fills — stdin vs stdout for
+    // the writer, and stderr for a chatty model (a real encoder logging
+    // more than the OS pipe buffer would block mid-write and never close
+    // stdout, hanging the task with no timeout)
     val writer = new Thread(() => {
       try {
         texts.foreach { t => out.write(jsonString(t)); out.newLine() }
@@ -75,13 +78,21 @@ final case class ProcessEncoder(command: Seq[String], dim: Int,
     })
     writer.setDaemon(true)
     writer.start()
+    val errBuf = new java.lang.StringBuilder
+    val errDrain = new Thread(() => {
+      try scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+        .foreach(c => if (errBuf.length < 500) errBuf.append(c))
+      catch { case _: java.io.IOException => () }
+    })
+    errDrain.setDaemon(true)
+    errDrain.start()
     val lines = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
       .getLines().toList
     writer.join()
     val rc = proc.waitFor()
+    errDrain.join()
     if (rc != 0 || lines.size != texts.size) {
-      val err = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
-        .mkString.take(500)
+      val err = errBuf.toString
       throw new RuntimeException(
         s"$name: ${command.head} exited rc=$rc with ${lines.size}/${texts.size} vectors" +
           (if (err.nonEmpty) s"; stderr: $err" else ""))

@@ -22,6 +22,14 @@ object VectorIndex {
     def centroids: String = s"$dir/centroids.parquet"
     def assigned: String = s"$dir/assigned.parquet"
     def metadata: String = s"$dir/metadata.json"
+    def staging: String = s"$dir/rebuild_staging.parquet"
+  }
+
+  /** A directory written by a Spark job is complete iff its _SUCCESS
+    * marker landed — a crashed writer leaves files but no marker. */
+  private def isComplete(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Build and persist: train centroids (on a sample), assign every
@@ -75,6 +83,11 @@ object VectorIndex {
       nCells: Int, outDir: String): String = {
     val spark = vectors.sparkSession
     val p = Paths(outDir)
+    if (!isComplete(spark, p.assigned))
+      throw new IllegalStateException(
+        s"index at $outDir is incomplete (no _SUCCESS in ${p.assigned}) — " +
+          s"a writer crashed mid-build; rebuild from the corpus " +
+          s"(a staged pre-rebuild copy may survive at ${p.staging})")
     val existing = spark.read.parquet(p.assigned)
     val fresh = vectors.join(
       existing.select(col("_id").as(idCol)), Seq(idCol), "left_anti").cache()
@@ -86,15 +99,20 @@ object VectorIndex {
         // rebuild from the indexed corpus ∪ the genuinely-new rows, NOT
         // the passed frame: a streaming micro-batch carries only new
         // files, and a batch caller's full-corpus frame reduces to the
-        // same union after the anti-join either way
-        val full = existing.select(col("_id").as(idCol), col("_v").as(vecCol))
+        // same union after the anti-join either way.
+        // The union is STAGED to reliable storage first: build() is
+        // about to overwrite p.assigned, and any lazy/executor-local
+        // copy (cache, localCheckpoint) would be recomputed from the
+        // very files the overwrite deletes if a block were lost
+        // mid-write — failing the job with the old index already gone.
+        // The staged file also survives a crash as the recovery corpus.
+        existing.select(col("_id").as(idCol), col("_v").as(vecCol))
           .unionByName(fresh.select(col(idCol),
             graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as(vecCol)))
-          // the build scans its input 2-3× (count, train-sample, assign);
-          // materialize the union once — it is about to be rewritten as
-          // the new index anyway, so it fits wherever the index fits
-          .localCheckpoint(false)
-        build(full, idCol, vecCol, nCells, outDir)
+          .write.mode("overwrite").parquet(p.staging)
+        build(spark.read.parquet(p.staging), idCol, vecCol, nCells, outDir)
+        val sp = new org.apache.hadoop.fs.Path(p.staging)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         "rebuild"
       } else {
         val assigned = withNorm(Similarity.assignToNearest(

@@ -72,8 +72,13 @@ object Layout {
     var rows = 0L
     while (it.hasNext) {
       val st = it.next()
-      rows += graft.snapshot.Snapshot
-        .parquetRowCount(conf, st.getPath.toString).getOrElse(0L)
+      val path = st.getPath.toString
+      if (path.endsWith(".parquet"))
+        // an unreadable footer must FAIL the commit, not publish an
+        // understated row_count — the marker exists to attest completeness
+        rows += graft.snapshot.Snapshot.parquetRowCount(conf, path).getOrElse(
+          throw new IllegalStateException(
+            s"refusing to commit $dir: unreadable parquet footer in $path"))
     }
     val out = f.create(new Path(dir, CommitMarker), false)
     out.write(s"""{"row_count": $rows}""".getBytes("UTF-8"))
@@ -167,10 +172,15 @@ object Layout {
     import org.apache.spark.sql.functions.col
     // A hive-partitioned layer must compact *within* partitions — a flat
     // repartition(n) + partitionBy would shard every partition across all
-    // n tasks and write n small files per partition again.
+    // n tasks and write n small files per partition again. Range-pack on
+    // (partitionCols, sortCol) instead of hashing the partition columns:
+    // ranges keep each task inside few partition values yet still split a
+    // HOT partition across multiple ~targetBytes tasks/files, where a
+    // hash repartition would funnel a 40%-of-the-layer key into one task
+    // and one giant file.
     val packed =
       if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
+        df.repartitionByRange(nFiles, (partitionCols ++ sortCol).map(col): _*)
       else sortCol match {
         case Some(c) => df.repartitionByRange(nFiles, col(c))
         case None    => df.repartition(nFiles)
@@ -178,12 +188,24 @@ object Layout {
     writeVersioned(packed, base, layer, partitionCols = partitionCols)
   }
 
-  /** Delete uncommitted version directories (crashed writers, rollbacks).
-    * Returns the directories removed. */
-  def vacuum(spark: SparkSession, base: String, layer: String): Seq[String] = {
+  /** Delete uncommitted version directories (crashed writers, rollbacks)
+    * whose newest file is older than `retentionMs` — an IN-FLIGHT writer's
+    * version is also uncommitted, and without the age guard vacuum would
+    * delete it out from under the writer (Delta's VACUUM keeps the same
+    * guard for the same reason). Returns the directories removed. */
+  def vacuum(spark: SparkSession, base: String, layer: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(spark, base)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def newestMtime(dir: Path): Long = {
+      var newest = f.getFileStatus(dir).getModificationTime
+      val it = f.listFiles(dir, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
     versions(spark, base, layer)
       .filterNot(v => isCommitted(spark, versionedDir(base, layer, v)))
+      .filter(v => newestMtime(new Path(versionedDir(base, layer, v))) < cutoff)
       .map { v =>
         val dir = versionedDir(base, layer, v)
         f.delete(new Path(dir), true)

@@ -110,6 +110,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           val outs = transformer.transformBatch(batch.map(t => (t._1, t._3)), width, height)
+          // zip would silently truncate AND misattribute bytes to the
+          // wrong asset_id if a transformer dropped an undecodable row —
+          // the contract is strictly one output per input
+          require(outs.size == batch.size,
+            s"${transformer.name} returned ${outs.size} outputs for ${batch.size} inputs")
           batch.zip(outs).map { case ((id, mt, _), bytes) =>
             ResizedMedia(id, mt, bytes, width, height, transformer.name)
           }

@@ -56,9 +56,12 @@ object Guardrails {
   }
 
   /** Defaults mirroring config/validator_routing.yaml's base-vs-embedding
-    * split: structural checks on base tables, dim/join-back on embeddings. */
+    * split: structural checks on base tables, dim/join-back on embeddings.
+    * Family names must be the ones Validation.counterChecks gates on
+    * (ids/numerics/timestamps/text/duplicates/referential) — "numerics"
+    * covers the NaN/Inf float checks, durations included. */
   val defaultRouting: Routing = Routing(Map(
-    "base" -> Set("timestamps", "text", "ids", "referential", "durations", "duplicates"),
+    "base" -> Set("timestamps", "text", "ids", "referential", "numerics", "duplicates"),
     "embedding" -> Set("ids", "dim_consistency", "id_join_back")))
 
   /** Load routing from a `key = value` config file (same format + C18
@@ -75,7 +78,7 @@ object Guardrails {
   def loadRouting(path: String, base: Routing = defaultRouting): Routing = {
     val RoleRe = "^role\\.([\\w-]+)\\.checks$".r
     val TableRe = "^table\\.([\\w-]+)\\.role$".r
-    graft.core.Config.loadKeyValues(path).foldLeft(base) { case (r, (k, v)) =>
+    val r = graft.core.Config.loadKeyValues(path).foldLeft(base) { case (r, (k, v)) =>
       k match {
         case RoleRe(role) =>
           r.copy(routes = r.routes +
@@ -84,6 +87,16 @@ object Guardrails {
         case _              => r
       }
     }
+    // a typo'd role would silently route the table to ZERO checks — the
+    // opposite of the unknown-TABLE fallback (run everything); refuse at
+    // the file boundary instead
+    val undefined = r.tables.collect {
+      case (t, role) if !r.routes.contains(role) => s"$t -> $role"
+    }
+    require(undefined.isEmpty,
+      s"routing file $path maps tables to undefined roles: " +
+        s"${undefined.mkString(", ")} (defined roles: ${r.routes.keys.toSeq.sorted.mkString(", ")})")
+    r
   }
 
   /** J4/V16: embedding-side checks — dim consistency and id join-back

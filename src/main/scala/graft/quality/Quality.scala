@@ -231,7 +231,12 @@ object Quality {
       .withColumn("pct", lit(100.0) * col("n") / col("_total"))
     val top = withPct.orderBy(col("n").desc, col("speaker")).limit(topN)
       .select("speaker", "n", "total_s", "pct")
-    val tail = withPct.join(top.select("speaker"), Seq("speaker"), "left_anti")
+    // null-SAFE anti join: a NULL speaker group that makes the top-N
+    // would never match a plain key equality and get double-counted
+    // into the tail (pct > 100%)
+    val topKeys = top.select(col("speaker").as("_top_speaker"))
+    val tail = withPct.join(topKeys,
+        col("speaker") <=> col("_top_speaker"), "left_anti")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("total_s")), lit(0.0)).as("total_s"),
         coalesce(sum(col("pct")), lit(0.0)).as("pct"))

@@ -72,8 +72,13 @@ class LayoutSpec extends AnyFunSuite {
     val p3 = Layout.writeVersioned(Seq((9, "z")).toDF("id", "x"), base, "spans")
     assert(p3.endsWith("spans/v3"))
     assert(Layout.rollbackTo(spark, base, "spans", keep = 1) == Seq(3))
-    // vacuum reclaims everything unpublished
-    assert(Layout.vacuum(spark, base, "spans").map(_.takeRight(2)).sorted == Seq("v2", "v3"))
+    // default retention protects fresh (possibly in-flight) uncommitted
+    // dirs from a concurrent vacuum...
+    assert(Layout.vacuum(spark, base, "spans") == Nil)
+    assert(Layout.versions(spark, base, "spans") == Seq(1, 2, 3))
+    // ...and an expired retention reclaims everything unpublished
+    assert(Layout.vacuum(spark, base, "spans", retentionMs = -60000)
+      .map(_.takeRight(2)).sorted == Seq("v2", "v3"))
     assert(Layout.versions(spark, base, "spans") == Seq(1))
     // rolling back to an uncommitted version is refused
     intercept[IllegalArgumentException] {

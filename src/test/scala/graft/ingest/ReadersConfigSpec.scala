@@ -82,7 +82,7 @@ class ReadersConfigSpec extends AnyFunSuite {
       Seq(graft.quality.Quality.Violation("coverage_min", ">= 95.0", "94.50", "error")),
       "RED")
     val md = graft.quality.Quality.renderMarkdown(a)
-    val parsed = Config.parseQaReport(md)
+    val parsed = Config.parseReportSummary(md)
     assert(parsed.status.contains("RED"))
     assert(parsed.metrics("coverage_pct") == 94.5)
     assert(parsed.metrics("span_regressions") == 0.0)

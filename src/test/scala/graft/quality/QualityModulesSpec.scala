@@ -29,6 +29,19 @@ class QualityModulesSpec extends AnyFunSuite {
     assert(r.topOffenders == Seq(("b", 500.0), ("c", 300.0)))
   }
 
+  test("A14 speakerBalance: a NULL speaker in the top-N is not double-counted into the tail") {
+    val df = (Seq.fill(10)(Option.empty[String]) ++ Seq.fill(3)(Some("spk1")) ++
+        Seq.fill(2)(Some("spk2")) ++ Seq.fill(1)(Some("spk3")))
+      .zipWithIndex
+      .map { case (s, i) => (s.orNull, 1.0, s"x$i") }
+      .toDF("speaker", "duration", "span_id")
+    val out = Quality.speakerBalance(df, topN = 2).collect()
+    // null group (10 rows) + spk1 (3) are top-2; tail = spk2 + spk3 = 3 rows
+    assert(out.map(_.getLong(1)).sum == 16, "pct/row totals must cover each row exactly once")
+    val tail = out.filter(_.getString(0) == "<other>")
+    assert(tail.length == 1 && tail.head.getLong(1) == 3)
+  }
+
   test("F12 routing table routes checks by role") {
     val routing = Guardrails.defaultRouting.withRoute("base", Set("custom"))
     assert(routing.checksFor("embedding").contains("id_join_back"))
