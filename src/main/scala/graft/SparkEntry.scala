@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashes, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Intervals, Sessionize, Stats, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Intervals, Sessionize, Stats, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where the semantics
@@ -883,6 +883,34 @@ object SparkEntry {
 
   // ---- driver contract ----------------------------------------------
 
+  // ---- corpus-curation operators (X32-X37, operators/Corpus.scala) ----
+
+  /** X32 benchmark decontamination (word-3-gram overlap vs the
+    * doc_id%20==0 benchmark slice; broadcast semi-join). */
+  def decontamination(spark: SparkSession, dir: String): DataFrame =
+    Corpus.decontaminationStats(Tables.documents(spark, dir))
+
+  /** X33 quality-decile curriculum sampling (per-lang ntile + poly-hash
+    * deterministic keep). */
+  def curriculumDeciles(spark: SparkSession, dir: String): DataFrame =
+    Corpus.curriculumDeciles(Tables.documents(spark, dir))
+
+  /** X34 domain-mixture reweighting (uniform target, capped weights). */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureWeights(Tables.documents(spark, dir))
+
+  /** X35 boilerplate word-bigram stats (df > 25% of docs ⇒ boilerplate). */
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
+    Corpus.boilerplateStats(Tables.documents(spark, dir))
+
+  /** X36 top-5 TF-IDF terms per language (distinct+count df, no Expand). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfTopTerms(Tables.documents(spark, dir))
+
+  /** X37 token-budget sequence-packing stats (512-token packs). */
+  def packingStats(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packingStats(Tables.documents(spark, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary _,
     "q02_entity_catalog" -> entityCatalog _,
@@ -940,6 +968,12 @@ object SparkEntry {
     "q54_dedup_clusters" -> dedupClusters _,
     "q55_top_bigrams" -> topBigrams _,
     "q56_knn_ivf" -> knnIvf _,
+    "q57_decontamination" -> decontamination _,
+    "q58_curriculum_deciles" -> curriculumDeciles _,
+    "q59_domain_mixture" -> mixtureWeights _,
+    "q60_boilerplate" -> boilerplateStats _,
+    "q61_tfidf_terms" -> tfidfTopTerms _,
+    "q62_packing_stats" -> packingStats _,
   )
 
   private val stopwordsSqlList: String =
@@ -1017,6 +1051,11 @@ object SparkEntry {
   /** DuckDB word-bigram list from a token-list column `tk`. */
   private val bigramsFromTkSql =
     "list_transform(range(1, len(tk)), i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])"
+
+  /** DuckDB word-trigram list from a token-list column `tk`. */
+  private val trigramsFromTkSql =
+    "list_transform(range(1, len(tk) - 1), i -> tk[CAST(i AS INTEGER)] || ' ' || " +
+      "tk[CAST(i AS INTEGER) + 1] || ' ' || tk[CAST(i AS INTEGER) + 2])"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1756,6 +1795,135 @@ object SparkEntry {
     // exhaustive probing (nProbe = nCells) makes the IVF search exact,
     // so its oracle is the same brute-force top-k as q18
     "q56_knn_ivf" -> knnOracleSql,
+
+    "q57_decontamination" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, lang, $toksSql AS tk FROM documents
+        |), d AS (
+        |  SELECT doc_id, lang, list_distinct($trigramsFromTkSql) AS grams FROM t0
+        |), gx AS (
+        |  SELECT doc_id, lang, unnest(grams) AS gm FROM d
+        |), bench AS (
+        |  SELECT DISTINCT gm FROM gx WHERE doc_id % 20 = 0
+        |), m AS (
+        |  SELECT gx.doc_id, count(*) AS n_matched
+        |  FROM gx JOIN bench USING (gm) WHERE gx.doc_id % 20 <> 0
+        |  GROUP BY gx.doc_id
+        |), p AS (
+        |  SELECT d.lang,
+        |    CASE WHEN len(d.grams) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(m.n_matched, 0) AS DOUBLE) / len(d.grams) END AS frac
+        |  FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+        |  WHERE d.doc_id % 20 <> 0
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN frac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  round(CAST(sum(CAST(frac AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_overlap,
+        |  round(max(frac), 6) AS max_overlap
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q58_curriculum_deciles" ->
+      s"""WITH raw AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len($toksSql) AS DOUBLE) AS ntok,
+        |    CAST(len($contentToksSql) AS DOUBLE) AS ncont,
+        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS chars
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    0.4 * least(1.0, ntok / 50.0)
+        |    + 0.3 * (1.0 - (CASE WHEN ntok = 0.0 THEN 1.0 ELSE 1.0 - ncont / ntok END))
+        |    + 0.3 * least(1.0, (CASE WHEN ntok = 0.0 THEN 0.0 ELSE chars / ntok END) / 8.0) AS score
+        |  FROM raw
+        |), d AS (
+        |  SELECT lang, doc_id, score,
+        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS INTEGER) AS decile
+        |  FROM s
+        |)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN (${ph("CAST(doc_id AS VARCHAR)")}) % 10 < decile
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CAST(score AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_score
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+
+    "q59_domain_mixture" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot, count(*) AS nsrc FROM c
+        |)
+        |SELECT source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / tot * 100, 6) AS share_pct,
+        |  round(least(3.0, (1.0 / nsrc) / (CAST(n_docs AS DOUBLE) / tot)), 6) AS mix_weight,
+        |  CAST(floor(n_docs * least(3.0, (1.0 / nsrc) / (CAST(n_docs AS DOUBLE) / tot))) AS BIGINT) AS planned_n
+        |FROM c, t ORDER BY source""".stripMargin,
+
+    "q60_boilerplate" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, lang, $toksSql AS tk FROM documents
+        |), gx AS (
+        |  SELECT doc_id, lang, unnest($bigramsFromTkSql) AS gm FROM t0
+        |), nd AS (
+        |  SELECT count(*) AS ndocs FROM documents
+        |), b AS (
+        |  SELECT gm FROM (
+        |    SELECT gm, count(*) AS df FROM (SELECT DISTINCT doc_id, gm FROM gx) GROUP BY gm
+        |  ), nd WHERE df > 0.25 * ndocs
+        |), p AS (
+        |  SELECT gx.doc_id, gx.lang,
+        |    CAST(sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS ratio
+        |  FROM gx LEFT JOIN b ON gx.gm = b.gm
+        |  GROUP BY gx.doc_id, gx.lang
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(ratio AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_boiler_ratio,
+        |  CAST(sum(CASE WHEN ratio > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q61_tfidf_terms" ->
+      s"""WITH terms AS (
+        |  SELECT doc_id, lang, unnest($contentToksSql) AS term FROM documents
+        |), tf1 AS (
+        |  SELECT lang, term, count(*) AS tf FROM terms GROUP BY lang, term
+        |), df1 AS (
+        |  SELECT lang, term, count(*) AS df
+        |  FROM (SELECT DISTINCT lang, term, doc_id FROM terms) GROUP BY lang, term
+        |), ld AS (
+        |  SELECT lang, count(*) AS n_lang_docs FROM documents GROUP BY lang
+        |), s AS (
+        |  SELECT tf1.lang, tf1.term, tf1.tf, df1.df,
+        |    round(tf1.tf * ln(CAST(ld.n_lang_docs AS DOUBLE) / df1.df), 6) AS tfidf
+        |  FROM tf1
+        |  JOIN df1 ON tf1.lang = df1.lang AND tf1.term = df1.term
+        |  JOIN ld ON tf1.lang = ld.lang
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        |  FROM s
+        |)
+        |SELECT lang, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "q62_packing_stats" ->
+      s"""WITH d AS (
+        |  SELECT lang, doc_id, len($toksSql) AS ntok FROM documents
+        |), c AS (
+        |  SELECT lang, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |), pk AS (
+        |  SELECT lang,
+        |    CAST(floor(CAST(cum - ntok AS DOUBLE) / 512) AS BIGINT) AS pack,
+        |    count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS pack_tokens
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_packs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_docs) AS DOUBLE) / count(*) AS avg_docs_per_pack,
+        |  round(CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * 512.0), 6) AS avg_fill,
+        |  max(pack_tokens) AS max_pack_tokens
+        |FROM pk GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

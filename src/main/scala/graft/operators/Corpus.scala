@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, TextFunctions => TF}
+
+/** Corpus-level training-data curation operators (beyond the reference's
+  * surface; same family as `TextAnalysis`): benchmark decontamination,
+  * curriculum sampling, domain-mixture reweighting, boilerplate n-gram
+  * detection, TF-IDF keyword extraction, and token-budget sequence
+  * packing. Every operator is a declarative DataFrame plan — per-doc work
+  * stays map-side and codegen'd, corpus aggregates shuffle once on their
+  * natural keys, and the small model-like frames (benchmark gram set,
+  * boilerplate gram set, corpus totals) ride along as broadcasts.
+  *
+  * Cross-engine exactness (DuckDB oracles): averages are one double
+  * division of exact parts (counts / DECIMAL sums), similarity-style
+  * ratios round to 6 decimals, and every output ends in a total ORDER BY.
+  */
+object Corpus {
+
+  /** Tokens column shared by all operators (whitespace split, empties
+    * dropped — mirrors the oracle's `toksSql`). */
+  private def toks: Column = TF.tokens(col("text"))
+
+  /** Decimal-exact mean of a double column (order-independent). */
+  private def dmean(c: Column): Column =
+    sum(c.cast("decimal(20,12)")).cast("double") / count(lit(1))
+
+  // ---- decontamination (q57) ----------------------------------------
+
+  /** Benchmark-contamination check, the standard n-gram-overlap
+    * decontamination step of LLM data pipelines (public method: GPT-3
+    * appendix C / PaLM-style 'remove training docs sharing n-grams with
+    * eval sets'). The benchmark here is the deterministic slice
+    * `doc_id % benchMod == 0`; in production it would be a small fixed
+    * eval corpus — which is why the distinct benchmark-gram set is
+    * BROADCAST: it is bounded by benchmark size, not corpus size, so the
+    * 100 TB side never shuffles (map-side semi-join + one (lang) agg).
+    *
+    * Per evaluated doc: fraction of its distinct word n-grams that occur
+    * anywhere in the benchmark; a doc is contaminated when the fraction
+    * reaches `contamFrac`. Output per lang: docs, contaminated docs,
+    * mean / max overlap fraction.
+    */
+  def decontaminationStats(
+      docs: DataFrame,
+      benchMod: Int = 20,
+      n: Int = 3,
+      contamFrac: Double = 0.2): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(TF.wordShinglesOfTokens(col("tk"), n)).as("grams"))
+    val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
+
+    val exploded = base.select(col("doc_id"), col("lang"), isBench.as("b"),
+      explode(col("grams")).as("g"))
+    val benchGrams = exploded.filter(col("b")).select("g").distinct()
+
+    val matched = exploded.filter(!col("b"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+
+    val perDoc = base.filter(!isBench)
+      .select(col("doc_id"), col("lang"), size(col("grams")).as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_grams")))
+
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("frac") >= contamFrac, 1L).otherwise(0L)).as("n_contaminated"),
+        round(dmean(col("frac")), 6).as("avg_overlap"),
+        round(max(col("frac")), 6).as("max_overlap"))
+      .orderBy("lang")
+  }
+
+  // ---- curriculum sampling (q58) ------------------------------------
+
+  /** Quality-decile curriculum sampling: score every doc with the
+    * deterministic heuristic quality score, split each language into
+    * deciles (per-lang window — languages parallelize; within one
+    * language a decile split is inherently a sort), then keep docs with
+    * probability decile/10 via the SQL-replicable poly-hash of the doc id
+    * (higher-quality deciles keep more — an upsample-the-best curriculum).
+    * Deterministic end to end: same corpus → same kept set.
+    */
+  def curriculumDeciles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("keep",
+        pmod(Hashes.polyHash(col("doc_id").cast("string")), lit(10)) < col("decile"))
+      .groupBy("lang", "decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(dmean(col("score")), 6).as("avg_score"))
+      .orderBy("lang", "decile")
+  }
+
+  // ---- domain mixture (q59) -----------------------------------------
+
+  /** Domain-mixture reweighting: actual per-source share vs a uniform
+    * target, emitting a capped resampling weight and the planned
+    * post-resample row count. The totals frame is one broadcast row —
+    * no global window, no single-task stage.
+    */
+  def mixtureWeights(docs: DataFrame, cap: Double = 3.0): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_docs")).as("_tot"), count(lit(1)).as("_nsrc")))
+    counts.crossJoin(totals)
+      .withColumn("share", col("n_docs").cast("double") / col("_tot"))
+      .withColumn("weight",
+        least(lit(cap), (lit(1.0) / col("_nsrc")) / col("share")))
+      .select(
+        col("source"), col("n_docs"),
+        round(col("share") * 100, 6).as("share_pct"),
+        round(col("weight"), 6).as("mix_weight"),
+        floor(col("n_docs") * col("weight")).cast("long").as("planned_n"))
+      .orderBy("source")
+  }
+
+  // ---- boilerplate (q60) --------------------------------------------
+
+  /** Boilerplate n-gram detection (C4-style, public method: Raffel et
+    * al. 2020 filter repeated boilerplate lines; our synthetic docs have
+    * no line structure, so the unit is the word n-gram). A gram is
+    * boilerplate when it appears in more than `dfFrac` of all docs; a doc
+    * is flagged when more than `docFlagFrac` of its gram occurrences are
+    * boilerplate. The boilerplate set is bounded (df > 25% of corpus ⇒ at
+    * most 1/dfFrac · distinct grams can qualify — in practice a handful),
+    * so it broadcasts; the corpus side sees one distinct + two keyed aggs.
+    * Docs with fewer than n tokens have no grams and are excluded (the
+    * oracle mirrors this).
+    */
+  def boilerplateStats(
+      docs: DataFrame,
+      n: Int = 2,
+      dfFrac: Double = 0.25,
+      docFlagFrac: Double = 0.5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        explode(TF.wordShinglesOfTokens(col("tk"), n)).as("g"))
+
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("_ndocs")))
+    val boiler = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") > lit(dfFrac) * col("_ndocs"))
+      .select("g")
+
+    val perDoc = grams
+      .join(broadcast(boiler.withColumn("_b", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_b"), lit(0))).as("n_boiler"))
+      .withColumn("ratio", col("n_boiler").cast("double") / col("n_grams"))
+
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(dmean(col("ratio")), 6).as("avg_boiler_ratio"),
+        sum(when(col("ratio") > docFlagFrac, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
+  // ---- TF-IDF (q61) -------------------------------------------------
+
+  /** Top-k TF-IDF terms per language over content (non-stopword) tokens:
+    * tf = corpus-wide occurrences within the language, idf = ln(langDocs
+    * / docFreq). Document frequency comes from a distinct + keyed count
+    * (two narrow aggs) instead of count_distinct, so no Expand doubles
+    * the exploded token stream. Ranking rounds FIRST (6 dp) and
+    * tie-breaks on the term so the order is cross-engine total.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(TF.contentTokens(col("text"))).as("term"))
+
+    val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("lang", "term", "doc_id").distinct()
+      .groupBy("lang", "term").agg(count(lit(1)).as("df"))
+    val langDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_lang_docs"))
+
+    val scored = tf.join(df, Seq("lang", "term"))
+      .join(broadcast(langDocs), Seq("lang"))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_lang_docs").cast("double") / col("df")), 6))
+
+    val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("lang", "rnk", "term", "tf", "df", "tfidf")
+      .orderBy("lang", "rnk")
+  }
+
+  // ---- sequence packing (q62) ---------------------------------------
+
+  /** Token-budget sequence-packing statistics: docs are laid out in
+    * doc_id order per language and cut into packs of `budget` tokens by
+    * the sequential rule pack = floor(tokensBefore / budget) — the doc
+    * that crosses a boundary belongs to the pack where it started (the
+    * deterministic 'concat-then-chunk' layout used to build LLM training
+    * sequences). Per language: pack count, mean docs per pack, mean fill
+    * ratio, largest pack. The per-lang running sum is a sort within each
+    * language; languages parallelize (at larger scale, pre-aggregated
+    * shard offsets would replace the single-key window — noted, not
+    * needed at bench scale).
+    */
+  def packingStats(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val packed = docs
+      .select(col("lang"), col("doc_id"), TF.tokenCount(col("text")).as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("pack",
+        floor((col("cum") - col("ntok")).cast("double") / budget).cast("long"))
+
+    val perPack = packed.groupBy("lang", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("pack_tokens"))
+
+    perPack.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        (sum(col("n_docs")).cast("double") / count(lit(1))).as("avg_docs_per_pack"),
+        round(sum(col("pack_tokens")).cast("double") /
+          (count(lit(1)) * lit(budget.toDouble)), 6).as("avg_fill"),
+        max(col("pack_tokens")).as("max_pack_tokens"))
+      .orderBy("lang")
+  }
+}

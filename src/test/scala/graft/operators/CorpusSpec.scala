@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantic checks for the corpus-curation operators on crafted docs. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+
+  test("decontamination flags a doc that copies a benchmark doc") {
+    // doc 0 (doc_id % 20 == 0) is the benchmark; doc 1 repeats it verbatim,
+    // doc 2 shares nothing with it.
+    val d = docs(
+      (0L, "alpha beta gamma delta epsilon", "en", "s0"),
+      (1L, "alpha beta gamma delta epsilon", "en", "s0"),
+      (2L, "zero one two three four five six", "en", "s0"))
+    val out = Corpus.decontaminationStats(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 2)          // benchmark doc excluded
+    assert(r.getAs[Long]("n_contaminated") == 1)  // the verbatim copy
+    assert(r.getAs[Double]("max_overlap") == 1.0)
+    assert(r.getAs[Double]("avg_overlap") == 0.5)
+  }
+
+  test("decontamination: doc shorter than n grams counts as clean") {
+    val d = docs(
+      (0L, "alpha beta gamma", "en", "s0"),
+      (1L, "tiny doc", "en", "s0")) // < 3 tokens → zero grams → frac 0
+    val r = Corpus.decontaminationStats(d).collect().head
+    assert(r.getAs[Long]("n_contaminated") == 0)
+    assert(r.getAs[Double]("max_overlap") == 0.0)
+  }
+
+  test("curriculum deciles: decile 10 keeps everything, totals preserved") {
+    val d = docs((1L to 40L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w" + i).mkString(" "), "en", "s0")): _*)
+    val out = Corpus.curriculumDeciles(d).collect()
+    assert(out.map(_.getAs[Int]("decile")).toSet == (1 to 10).toSet)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 40)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      // pmod(hash,10) < 10 is always true: the top decile keeps all docs
+      if (r.getAs[Int]("decile") == 10)
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("mixture weights: capped, shares sum to 100, planned_n = floor(n*w)") {
+    val d = docs(
+      ((1L to 90L).map(i => (i, "x", "en", "big")) ++
+        (91L to 100L).map(i => (i, "x", "en", "rare"))): _*)
+    val out = Corpus.mixtureWeights(d).collect()
+    val byluSrc = out.map(r => r.getAs[String]("source") -> r).toMap
+    assert(math.abs(out.map(_.getAs[Double]("share_pct")).sum - 100.0) < 1e-6)
+    // rare source: target 0.5 vs share 0.1 → uncapped weight 5 → capped at 3
+    assert(byluSrc("rare").getAs[Double]("mix_weight") == 3.0)
+    assert(byluSrc("rare").getAs[Long]("planned_n") == 30)
+    out.foreach(r => assert(r.getAs[Double]("mix_weight") <= 3.0))
+  }
+
+  test("boilerplate: a bigram present in every doc is flagged") {
+    // "click here" appears in all 4 docs (df=100% > 25%); the rest is unique.
+    val d = docs(
+      (1L, "click here now a b", "en", "s0"),
+      (2L, "click here later c d", "en", "s0"),
+      (3L, "click here e f g", "en", "s0"),
+      (4L, "click here", "en", "s0")) // 1 gram, 100% boilerplate → flagged
+    val r = Corpus.boilerplateStats(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("n_flagged") >= 1)       // doc 4 is pure boilerplate
+    assert(r.getAs[Double]("avg_boiler_ratio") > 0.0)
+  }
+
+  test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
+    val d = docs(
+      (1L, "common shark shark shark", "en", "s0"),
+      (2L, "common whale", "en", "s0"),
+      (3L, "common squid", "en", "s0"))
+    val out = Corpus.tfidfTopTerms(d, k = 5).collect()
+    val byTerm = out.map(r => r.getAs[String]("term") -> r).toMap
+    assert(byTerm("common").getAs[Double]("tfidf") == 0.0) // idf = ln(1) = 0
+    // shark: tf=3, df=1 → 3·ln(3) — the top term
+    assert(out.minBy(_.getAs[Int]("rnk")).getAs[String]("term") == "shark")
+    out.foreach(r => assert(r.getAs[Int]("rnk") <= 5))
+  }
+
+  test("packing: sequential 512-token packs with boundary docs kept whole") {
+    // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
+    val text = Seq.fill(100)("tok").mkString(" ")
+    val d = docs((1L to 10L).map(i => (i, text, "en", "s0")): _*)
+    val r = Corpus.packingStats(d).collect().head
+    assert(r.getAs[Long]("n_packs") == 2)
+    assert(r.getAs[Long]("n_docs") == 10)
+    assert(r.getAs[Long]("max_pack_tokens") == 600)
+    assert(r.getAs[Double]("avg_docs_per_pack") == 5.0)
+  }
+}
