@@ -47,4 +47,20 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup (X1's streaming form): normalize the text,
+    * key on its sha-256, and keep the first arrival per key within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state to the horizon — a plain streaming dropDuplicates would grow
+    * its state store forever on an unbounded corpus, which is the thing
+    * that actually falls over at ingest-pipeline scale. Exactness within
+    * the horizon, at-most-once-per-horizon beyond it (re-sends older than
+    * the watermark may re-emit; route those to the batch dedup pass). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash",
+        sha2(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }
