@@ -55,4 +55,32 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"),
       s"the semi-join side must read ONLY the join key:\n${plan.take(3000)}")
   }
+
+  test("q57 decontamination: benchmark gram set joins as a broadcast semi-join") {
+    val plan = planOf("q57_decontamination")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the benchmark side must broadcast (bounded by eval-set size):\n${plan.take(3000)}")
+  }
+
+  test("q60 boilerplate: the boilerplate gram set is broadcast, not shuffled") {
+    val plan = planOf("q60_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny boilerplate set must broadcast onto the gram stream:\n${plan.take(3000)}")
+  }
+
+  test("q61 tfidf plans no Expand and broadcasts the per-lang doc totals") {
+    val plan = planOf("q61_tfidf_terms")
+    assert(!plan.contains("Expand"),
+      s"df must come from distinct+count, not count_distinct Expand:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lang totals (one row per language) must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("q59 mixture weights: totals ride along as a broadcast, no global window") {
+    val plan = planOf("q59_domain_mixture")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"no window needed — shares come from the broadcast total:\n${plan.take(3000)}")
+  }
 }
