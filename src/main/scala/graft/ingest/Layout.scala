@@ -64,21 +64,25 @@ object Layout {
   /** Publish a written version: footer-summed row count (metadata reads,
     * no data pages) into the marker, created atomically and exactly once
     * (`overwrite = false` — a concurrent committer loses with a clear
-    * FileAlreadyExists instead of silently double-publishing). */
-  def commit(spark: SparkSession, dir: String): Long = {
+    * FileAlreadyExists instead of silently double-publishing).
+    * `extraDirs` lets a merged version (see [[Merge]]) attest its
+    * EFFECTIVE row count — inherited partition dirs count too. */
+  def commit(spark: SparkSession, dir: String, extraDirs: Seq[String] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(spark, dir)
-    val it = f.listFiles(new Path(dir), true)
     var rows = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      val path = st.getPath.toString
-      if (path.endsWith(".parquet"))
-        // an unreadable footer must FAIL the commit, not publish an
-        // understated row_count — the marker exists to attest completeness
-        rows += graft.snapshot.Snapshot.parquetRowCount(conf, path).getOrElse(
-          throw new IllegalStateException(
-            s"refusing to commit $dir: unreadable parquet footer in $path"))
+    (dir +: extraDirs).foreach { d =>
+      val it = f.listFiles(new Path(d), true)
+      while (it.hasNext) {
+        val st = it.next()
+        val path = st.getPath.toString
+        if (path.endsWith(".parquet"))
+          // an unreadable footer must FAIL the commit, not publish an
+          // understated row_count — the marker exists to attest completeness
+          rows += graft.snapshot.Snapshot.parquetRowCount(conf, path).getOrElse(
+            throw new IllegalStateException(
+              s"refusing to commit $dir: unreadable parquet footer in $path"))
+      }
     }
     val out = f.create(new Path(dir, CommitMarker), false)
     out.write(s"""{"row_count": $rows}""".getBytes("UTF-8"))
@@ -116,16 +120,17 @@ object Layout {
           s"(uncommitted: ${stray.map("v" + _).mkString(", ")} — " +
           "in-flight, crashed, or rolled back; vacuum() reclaims them)")
     }
-    spark.read.parquet(versionedDir(base, layer, v))
+    Merge.readResolved(spark, base, layer, v)
   }
 
-  /** Time travel: read one specific committed version. */
+  /** Time travel: read one specific committed version (merge-aware — a
+    * [[Merge]]-published version resolves its inherited partitions). */
   def loadVersion(spark: SparkSession, base: String, layer: String, version: Int): DataFrame = {
     val dir = versionedDir(base, layer, version)
     require(isCommitted(spark, dir),
       s"v$version of $layer is not committed (existing: " +
         s"${committedVersions(spark, base, layer).map("v" + _).mkString(", ")})")
-    spark.read.parquet(dir)
+    Merge.readResolved(spark, base, layer, version)
   }
 
   /** Roll back by un-publishing: delete the commit markers of every
@@ -162,13 +167,22 @@ object Layout {
     val dir = versionedDir(base, layer, v)
     val f = fs(spark, dir)
     var bytes = 0L
-    val it = f.listFiles(new Path(dir), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
+    // a merged version's bytes live across its chain — size the file
+    // count from the EFFECTIVE data, not just the local directory
+    val sizeRoots =
+      if (Merge.mergeInfo(spark, dir).isEmpty) Seq(dir)
+      else Merge.effectiveDirs(spark, base, layer, v).values.toSeq
+    sizeRoots.foreach { d =>
+      val it = f.listFiles(new Path(d), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
+      }
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(dir)
+    // merge-aware: a compacted version materializes inherited partitions,
+    // flattening the merge chain back to a self-contained directory
+    val df = Merge.readResolved(spark, base, layer, v)
     import org.apache.spark.sql.functions.col
     // A hive-partitioned layer must compact *within* partitions — a flat
     // repartition(n) + partitionBy would shard every partition across all
@@ -203,8 +217,12 @@ object Layout {
       while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
       newest
     }
+    // merge chains keep referenced versions alive: a rolled-back base
+    // version may be unpublished yet still feed a committed merged child
+    val referenced = Merge.protectedVersions(spark, base, layer)
     versions(spark, base, layer)
       .filterNot(v => isCommitted(spark, versionedDir(base, layer, v)))
+      .filterNot(referenced)
       .filter(v => newestMtime(new Path(versionedDir(base, layer, v))) < cutoff)
       .map { v =>
         val dir = versionedDir(base, layer, v)

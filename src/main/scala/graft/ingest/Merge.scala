@@ -1,0 +1,197 @@
+package graft.ingest
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
+
+/** Partition-scoped MERGE (upsert/delete) on the versioned layout — the
+  * Delta-MERGE idea expressed through [[Layout]]'s marker protocol.
+  *
+  * A full-rewrite upsert is the thing that does NOT survive 100 TB: a
+  * 1%-of-partitions update re-reads and re-writes the other 99%. Here a
+  * merged version `vN` materializes ONLY the partitions the update
+  * touches; every untouched partition is *inherited* by reference from
+  * the base version via a `_graft_merge.json` marker (copy-on-write at
+  * partition granularity, like Delta's file-level COW one level up).
+  * Readers resolve the inheritance chain; [[Layout.compact]] flattens it
+  * (a compacted version is always self-contained), so chains stay short
+  * under normal maintenance.
+  *
+  * Crash safety is unchanged: the merge marker is written before the
+  * commit marker, and the version stays invisible until [[Layout.commit]]
+  * lands. [[Layout.vacuum]] refuses to reclaim any version a committed
+  * chain still references.
+  *
+  * Constraints (deliberate): one string-typed partition column whose
+  * values need no hive escaping — the episode_id/date-stem shape every
+  * layer here partitions by. Wider types would need escape-aware dir
+  * mapping for no current caller.
+  */
+object Merge {
+
+  val MergeMarker = "_graft_merge.json"
+
+  final case class MergeInfo(baseVersion: Int, partitionCol: String,
+      affected: Seq[String])
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Hive-safe partition values: anything needing escaping is refused at
+    * write time so dir-name ↔ value mapping stays the identity. */
+  private val SafeValue = "^[A-Za-z0-9._-]+$".r
+
+  // ---- marker IO -----------------------------------------------------
+
+  private[ingest] def writeMarker(spark: SparkSession, dir: String, info: MergeInfo): Unit = {
+    val json = new ObjectMapper().createObjectNode()
+    json.put("base_version", info.baseVersion)
+    json.put("partition_col", info.partitionCol)
+    val arr = json.putArray("affected")
+    info.affected.foreach(arr.add)
+    val out = fs(spark, dir).create(new Path(dir, MergeMarker), false)
+    out.write(json.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Structural parse of the merge marker (none ⇒ a plain, self-contained
+    * version). */
+  def mergeInfo(spark: SparkSession, dir: String): Option[MergeInfo] = {
+    val p = new Path(dir, MergeMarker)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      Some(MergeInfo(
+        node.get("base_version").asInt(),
+        node.get("partition_col").asText(),
+        node.get("affected").elements().asScala.map(_.asText()).toSeq))
+    }
+  }
+
+  // ---- resolution ----------------------------------------------------
+
+  private def partitionDirNames(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+  }
+
+  /** Effective partition-dir map of a version: dir name → absolute path,
+    * following the inheritance chain. Own partitions shadow inherited
+    * ones; affected-but-absent partitions are deletions. */
+  def effectiveDirs(spark: SparkSession, base: String, layer: String,
+      version: Int): Map[String, String] = {
+    val dir = Layout.versionedDir(base, layer, version)
+    val own = partitionDirNames(spark, dir).map(n => n -> s"$dir/$n").toMap
+    mergeInfo(spark, dir) match {
+      case None => own
+      case Some(info) =>
+        (effectiveDirs(spark, base, layer, info.baseVersion) -- info.affected) ++ own
+    }
+  }
+
+  /** Read a version with merge resolution. Plain versions read straight
+    * from their directory; merged versions read each contributing
+    * version's partitions with that version dir as `basePath` (so the
+    * partition column survives) and union by name. */
+  def readResolved(spark: SparkSession, base: String, layer: String,
+      version: Int): DataFrame = {
+    val dir = Layout.versionedDir(base, layer, version)
+    if (mergeInfo(spark, dir).isEmpty) spark.read.parquet(dir)
+    else {
+      val eff = effectiveDirs(spark, base, layer, version)
+      require(eff.nonEmpty, s"merged v$version of $layer resolves to zero partitions")
+      val byRoot = eff.values.toSeq.groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      byRoot.toSeq.sortBy(_._1).map { case (root, dirs) =>
+        spark.read.option("basePath", root).parquet(dirs.sorted: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Versions that committed merge chains still reference — vacuum must
+    * not reclaim these even if they were themselves unpublished by a
+    * rollback. */
+  def protectedVersions(spark: SparkSession, base: String, layer: String): Set[Int] = {
+    def chain(v: Int): Set[Int] =
+      mergeInfo(spark, Layout.versionedDir(base, layer, v)) match {
+        case None => Set(v)
+        case Some(info) => chain(info.baseVersion) + v
+      }
+    Layout.committedVersions(spark, base, layer).flatMap(chain).toSet
+  }
+
+  // ---- merge ---------------------------------------------------------
+
+  /** Upsert `updates` (and optionally delete `deleteKeys`) into the
+    * latest committed version of a layer, publishing a new committed
+    * version that rewrites ONLY the touched partitions.
+    *
+    * Last-wins per `keyCols`: a surviving old row is one whose key does
+    * not appear in `updates`/`deleteKeys`. The touched-partition list is
+    * collected to the driver (guarded — an update slice touching more
+    * partitions than the guard should be a plain full rewrite via
+    * [[Layout.writeVersioned]], which the error names).
+    */
+  def merge(spark: SparkSession, base: String, layer: String,
+      updates: DataFrame, keyCols: Seq[String], partitionCol: String,
+      deleteKeys: Option[DataFrame] = None,
+      maxTouchedPartitions: Int = 10000): String = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(updates.schema(partitionCol).dataType == StringType,
+      s"merge partitions on a string column; '$partitionCol' is " +
+        updates.schema(partitionCol).dataType.simpleString)
+
+    val vCur = Layout.committedVersions(spark, base, layer).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions of $layer under $base — write the initial " +
+          "version with Layout.writeVersioned first"))
+
+    // touched partition values (updates ∪ deletes), driver-side, guarded
+    val touchedDf = deleteKeys match {
+      case Some(d) if d.columns.contains(partitionCol) =>
+        updates.select(partitionCol).union(d.select(partitionCol)).distinct()
+      case _ => updates.select(partitionCol).distinct()
+    }
+    val touched = touchedDf.collect().map(_.getString(0)).toSeq
+    require(touched.size <= maxTouchedPartitions,
+      s"merge touches ${touched.size} partitions (guard: $maxTouchedPartitions) " +
+        "— at that breadth a full rewrite via Layout.writeVersioned is the " +
+        "better plan, or raise maxTouchedPartitions explicitly.")
+    require(touched.forall(v => v != null && SafeValue.matches(v)),
+      "merge partition values must be hive-safe ([A-Za-z0-9._-]+); got: " +
+        touched.filter(v => v == null || !SafeValue.matches(v)).take(5).mkString(", "))
+
+    // survivors of the touched partitions: partition pruning keeps this
+    // read to the touched dirs only
+    val old = readResolved(spark, base, layer, vCur)
+      .filter(col(partitionCol).isin(touched: _*))
+    val afterDeletes = deleteKeys match {
+      case Some(d) => old.join(d, d.columns.toSeq.intersect(old.columns.toSeq), "left_anti")
+      case None => old
+    }
+    val survivors = afterDeletes.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val newData = survivors.select(updates.columns.map(col): _*)
+      .unionByName(updates)
+
+    val vNew = Layout.latestVersion(spark, base, layer).getOrElse(0) + 1
+    val newDir = Layout.versionedDir(base, layer, vNew)
+    newData.write.mode("errorifexists").partitionBy(partitionCol).parquet(newDir)
+
+    val affectedDirNames = touched.map(v => s"$partitionCol=$v")
+    writeMarker(spark, newDir, MergeInfo(vCur, partitionCol, affectedDirNames))
+    // commit attests the EFFECTIVE row count: local files + inherited dirs
+    val inherited = (effectiveDirs(spark, base, layer, vCur) -- affectedDirNames).values.toSeq
+    Layout.commit(spark, newDir, inherited)
+    newDir
+  }
+}

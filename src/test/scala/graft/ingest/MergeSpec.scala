@@ -1,0 +1,141 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def baseData() = Seq(
+    ("ep1", 1L, "a-v1"), ("ep1", 2L, "b-v1"),
+    ("ep2", 3L, "c-v1"), ("ep2", 4L, "d-v1"),
+    ("ep3", 5L, "e-v1")).toDF("episode_id", "row_id", "payload")
+
+  private def freshLayer(): String = {
+    val base = Files.createTempDirectory("graft_merge").toString
+    Layout.writeVersioned(baseData(), base, "normalized",
+      partitionCols = Seq("episode_id"))
+    base
+  }
+
+  test("merge rewrites only touched partitions and inherits the rest") {
+    val base = freshLayer()
+    val updates = Seq(
+      ("ep1", 1L, "a-v2"),            // update existing key
+      ("ep1", 9L, "new-row"),         // insert into existing partition
+      ("ep4", 10L, "new-part")        // brand-new partition
+    ).toDF("episode_id", "row_id", "payload")
+
+    val newDir = Merge.merge(spark, base, "normalized", updates,
+      keyCols = Seq("row_id"), partitionCol = "episode_id")
+
+    // only touched partitions exist under v2
+    val v2Parts = new java.io.File(newDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(v2Parts.toSeq == Seq("episode_id=ep1", "episode_id=ep4"))
+
+    val out = Layout.loadLatest(spark, base, "normalized")
+      .select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("ep1", 1L, "a-v2"), ("ep1", 2L, "b-v1"), ("ep1", 9L, "new-row"),
+      ("ep2", 3L, "c-v1"), ("ep2", 4L, "d-v1"),
+      ("ep3", 5L, "e-v1"),
+      ("ep4", 10L, "new-part")))
+
+    // time travel still sees v1 untouched
+    val v1 = Layout.loadVersion(spark, base, "normalized", 1)
+    assert(v1.count() == 5)
+  }
+
+  test("merge applies deletes and drops partitions emptied by them") {
+    val base = freshLayer()
+    // delete both ep2 rows and update one ep1 row
+    val updates = Seq(("ep1", 2L, "b-v2")).toDF("episode_id", "row_id", "payload")
+    val deletes = Seq(("ep2", 3L), ("ep2", 4L)).toDF("episode_id", "row_id")
+
+    Merge.merge(spark, base, "normalized", updates,
+      keyCols = Seq("row_id"), partitionCol = "episode_id",
+      deleteKeys = Some(deletes))
+
+    val out = Layout.loadLatest(spark, base, "normalized")
+      .select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("ep1", 1L, "a-v1"), ("ep1", 2L, "b-v2"),
+      ("ep3", 5L, "e-v1")))
+  }
+
+  test("chained merges resolve through the inheritance chain; compact flattens it") {
+    val base = freshLayer()
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep1", 1L, "a-v2")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep2", 3L, "c-v3")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+
+    val merged = Layout.loadLatest(spark, base, "normalized")
+    val got = merged.select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.contains(("ep1", 1L, "a-v2")) && got.contains(("ep2", 3L, "c-v3")))
+    assert(got.size == 5)
+
+    // compact materializes everything into a plain self-contained version
+    val compactDir = Layout.compact(spark, base, "normalized",
+      partitionCols = Seq("episode_id"))
+    assert(Merge.mergeInfo(spark, compactDir).isEmpty)
+    val flat = Layout.loadLatest(spark, base, "normalized")
+      .select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(flat == got)
+    // the compacted dir carries all partitions locally
+    val parts = new java.io.File(compactDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("episode_id=ep1", "episode_id=ep2", "episode_id=ep3"))
+  }
+
+  test("commit marker of a merged version attests the effective row count") {
+    val base = freshLayer()
+    val newDir = Merge.merge(spark, base, "normalized",
+      Seq(("ep1", 1L, "a-v2")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    val marker = scala.io.Source.fromFile(s"$newDir/${Layout.CommitMarker}")
+    val content = try marker.mkString finally marker.close()
+    // 5 effective rows: 2 rewritten in ep1 + 2 inherited ep2 + 1 inherited ep3
+    assert(content.contains("\"row_count\": 5"), content)
+  }
+
+  test("vacuum keeps unpublished versions a committed merge chain references") {
+    val base = freshLayer()
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep1", 1L, "a-v2")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    // unpublish v1 (rollback-style) — v2 still inherits ep2/ep3 from it
+    val f = new java.io.File(s"$base/normalized/v1/${Layout.CommitMarker}")
+    assert(f.delete())
+    val removed = Layout.vacuum(spark, base, "normalized", retentionMs = 0L)
+    assert(removed.isEmpty, s"vacuum must not reclaim referenced v1: $removed")
+    // and the merged version still reads completely
+    assert(Layout.loadLatest(spark, base, "normalized").count() == 5)
+  }
+
+  test("unsafe partition values and non-string partition columns are refused") {
+    val base = freshLayer()
+    intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized",
+        Seq(("ep 1/x", 1L, "v")).toDF("episode_id", "row_id", "payload"),
+        Seq("row_id"), "episode_id")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized",
+        Seq((7L, 1L, "v")).toDF("episode_id", "row_id", "payload"),
+        Seq("row_id"), "episode_id")
+    }
+  }
+}
