@@ -911,6 +911,31 @@ object SparkEntry {
   def packingStats(spark: SparkSession, dir: String): DataFrame =
     Corpus.packingStats(Tables.documents(spark, dir))
 
+  /** X42 int8 quantization error audit: per-label RMS reconstruction
+    * error and scale of the symmetric int8 scheme ([[VF.quantizeInt8]]).
+    * Map-only over the embedding store; the residual's sum-of-squares is
+    * a dot product with itself so the oracle sums in the same order. */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), VF.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("scale", VF.int8Scale(col("v")))
+      .filter(col("scale").isNotNull)
+    val dq = VF.dequantizeInt8(VF.quantizeInt8(col("v"), col("scale")), col("scale"))
+    val resid = zip_with(col("v"), dq, (a, b) => a - b)
+    val scored = e
+      .withColumn("rmse", round(sqrt(VF.dot(resid, resid) / size(col("v"))), 6))
+      .withColumn("scale_r", round(col("scale"), 6))
+    scored.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("rmse").cast("decimal(20,12)")).cast("double") / count(lit(1)))
+          .as("avg_rmse"),
+        max(col("rmse")).as("max_rmse"),
+        (sum(col("scale_r").cast("decimal(20,12)")).cast("double") / count(lit(1)))
+          .as("avg_scale"))
+      .orderBy("label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary _,
     "q02_entity_catalog" -> entityCatalog _,
@@ -974,6 +999,7 @@ object SparkEntry {
     "q60_boilerplate" -> boilerplateStats _,
     "q61_tfidf_terms" -> tfidfTopTerms _,
     "q62_packing_stats" -> packingStats _,
+    "q63_quantization" -> quantizationError _,
   )
 
   private val stopwordsSqlList: String =
@@ -1924,6 +1950,30 @@ object SparkEntry {
         |  round(CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * 512.0), 6) AS avg_fill,
         |  max(pack_tokens) AS max_pack_tokens
         |FROM pk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q63_quantization" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e
+        |), s AS (
+        |  SELECT label, v, 127.0 / maxabs AS scale FROM m WHERE maxabs > 0
+        |), r AS (
+        |  SELECT label, scale,
+        |    list_transform(v, x -> x - round(x * scale) / scale) AS resid,
+        |    len(v) AS dim
+        |  FROM s
+        |), q AS (
+        |  SELECT label,
+        |    round(sqrt(list_dot_product(resid, resid) / dim), 6) AS rmse,
+        |    round(scale, 6) AS scale_r
+        |  FROM r
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(rmse AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS avg_rmse,
+        |  max(rmse) AS max_rmse,
+        |  CAST(sum(CAST(scale_r AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS avg_scale
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

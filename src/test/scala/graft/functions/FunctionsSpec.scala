@@ -61,4 +61,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getLong(0) != row.getLong(1))
     assert(row.getLong(2) == 0L)
   }
+
+  test("int8 quantization round-trips within half a step; zero vector opts out") {
+    import graft.functions.{VectorFunctions => VF}
+    val df = Seq(
+      (1L, Seq(0.5, -0.25, 0.1, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+      .withColumn("scale", VF.int8Scale(col("v")))
+    // zero vector: no scale, stays unquantized
+    assert(df.filter(col("id") === 2L).select(col("scale")).first().isNullAt(0))
+    val r = df.filter(col("id") === 1L)
+      .select(col("scale"),
+        VF.dequantizeInt8(VF.quantizeInt8(col("v"), col("scale")), col("scale")).as("dq"))
+      .first()
+    val scale = r.getDouble(0)
+    assert(scale == 127.0 / 0.5)
+    val dq = r.getSeq[Double](1)
+    val orig = Seq(0.5, -0.25, 0.1, 0.0)
+    orig.zip(dq).foreach { case (o, d) =>
+      assert(math.abs(o - d) <= 0.5 / scale + 1e-12, s"$o vs $d")
+    }
+    // max|x| maps to exactly ±127 → exact reconstruction at the extreme
+    assert(dq.head == 0.5)
+  }
 }
