@@ -81,9 +81,16 @@ object Similarity {
     val rows = sampled.select(col("_h"), col("_v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    var cells = meanByCell(rows.map { case (h, v) =>
-      (java.lang.Math.floorMod(h, nCells.toLong).toInt, v)
-    })
+    // Forgy-style init on the hash-sorted sample: nCells DISTINCT sample
+    // points, evenly strided through hash order (deterministic, layout-
+    // independent). Hash-partition MEANS would start every centroid near
+    // the global mean, and Lloyd from near-identical centroids collapses
+    // cells — bad pruning for IVF, merged topics for k-means clustering.
+    var cells: Array[(Int, Array[Double])] = {
+      val k = math.min(nCells, rows.length)
+      val step = math.max(1, rows.length / math.max(1, k))
+      Array.tabulate(k)(c => (c, rows(math.min(c * step, rows.length - 1))._2.clone()))
+    }
     for (_ <- 1 to iters)
       cells = meanByCell(rows.map { case (_, v) => (nearestOf(cells, v), v) })
     cells.toSeq.map { case (c, cent) => (c, cent.toSeq) }.toDF("cell_id", "centroid")
