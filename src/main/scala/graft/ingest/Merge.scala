@@ -174,6 +174,13 @@ object Merge {
     // read to the touched dirs only
     val old = readResolved(spark, base, layer, vCur)
       .filter(col(partitionCol).isin(touched: _*))
+    // a narrower updates frame would silently DROP the missing columns
+    // from every rewritten row (survivors are projected to updates'
+    // shape before the union) — refuse instead
+    require(updates.columns.toSet == old.columns.toSet,
+      s"merge updates schema must match the layer: missing " +
+        s"${old.columns.toSet.diff(updates.columns.toSet).mkString(",")}; extra " +
+        s"${updates.columns.toSet.diff(old.columns.toSet).mkString(",")}")
     val afterDeletes = deleteKeys match {
       case Some(d) => old.join(d, d.columns.toSeq.intersect(old.columns.toSeq), "left_anti")
       case None => old

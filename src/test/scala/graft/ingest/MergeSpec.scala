@@ -125,6 +125,16 @@ class MergeSpec extends AnyFunSuite {
     assert(Layout.loadLatest(spark, base, "normalized").count() == 5)
   }
 
+  test("updates narrower than the layer schema are refused, not silently projected") {
+    val base = freshLayer()
+    val e = intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized",
+        Seq(("ep1", 1L)).toDF("episode_id", "row_id"),
+        Seq("row_id"), "episode_id")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("unsafe partition values and non-string partition columns are refused") {
     val base = freshLayer()
     intercept[IllegalArgumentException] {
