@@ -95,6 +95,10 @@ object Merge {
     mergeInfo(spark, dir) match {
       case None => own
       case Some(info) =>
+        // chains always point backwards; a corrupt/hand-edited marker
+        // must fail loudly, not recurse forever
+        require(info.baseVersion < version,
+          s"corrupt merge marker: v$version claims base v${info.baseVersion}")
         (effectiveDirs(spark, base, layer, info.baseVersion) -- info.affected) ++ own
     }
   }
@@ -155,11 +159,17 @@ object Merge {
         s"no committed versions of $layer under $base — write the initial " +
           "version with Layout.writeVersioned first"))
 
-    // touched partition values (updates ∪ deletes), driver-side, guarded
+    // touched partition values (updates ∪ deletes), driver-side, guarded.
+    // deletes MUST carry the partition column: without it the anti-join
+    // only sees partitions the updates happen to touch, and a delete key
+    // living elsewhere would silently survive
+    deleteKeys.foreach(d => require(d.columns.contains(partitionCol),
+      s"deleteKeys must include the partition column '$partitionCol' " +
+        "so deletes can locate their partitions"))
     val touchedDf = deleteKeys match {
-      case Some(d) if d.columns.contains(partitionCol) =>
+      case Some(d) =>
         updates.select(partitionCol).union(d.select(partitionCol)).distinct()
-      case _ => updates.select(partitionCol).distinct()
+      case None => updates.select(partitionCol).distinct()
     }
     val touched = touchedDf.collect().map(_.getString(0)).toSeq
     require(touched.size <= maxTouchedPartitions,

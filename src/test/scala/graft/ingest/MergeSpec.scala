@@ -125,6 +125,17 @@ class MergeSpec extends AnyFunSuite {
     assert(Layout.loadLatest(spark, base, "normalized").count() == 5)
   }
 
+  test("delete keys without the partition column are refused") {
+    val base = freshLayer()
+    val e = intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized",
+        Seq(("ep1", 1L, "v")).toDF("episode_id", "row_id", "payload"),
+        Seq("row_id"), "episode_id",
+        deleteKeys = Some(Seq(Tuple1(3L)).toDF("row_id")))
+    }
+    assert(e.getMessage.contains("episode_id"))
+  }
+
   test("updates narrower than the layer schema are refused, not silently projected") {
     val base = freshLayer()
     val e = intercept[IllegalArgumentException] {
