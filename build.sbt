@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw pass-through for runMain stdout: the bench/verify drivers parse the
+// emitted JSON line, and sbt's default logger prefixes every line with
+// "[info] ", which breaks line-oriented JSON parsing downstream
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
