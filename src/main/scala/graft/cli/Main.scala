@@ -125,6 +125,43 @@ object Main {
           java.time.Instant.now().toString)
         println(s"snapshot ${m.version}: ${m.files.length} files")
 
+      // ---- lakehouse table maintenance (Layout/Merge/ZOrder) ---------
+
+      case "compact" =>
+        val Array(_, base, layer) = args.take(3)
+        val sortCol = if (args.length > 3) Some(args(3)) else None
+        val dir = graft.ingest.Layout.compact(spark, base, layer, sortCol = sortCol)
+        println(s"compacted $layer -> $dir")
+
+      case "vacuum" =>
+        val Array(_, base, layer) = args.take(3)
+        val removed = graft.ingest.Layout.vacuum(spark, base, layer)
+        println(s"vacuumed ${removed.length} unpublished versions" +
+          (if (removed.isEmpty) "" else s": ${removed.mkString(", ")}"))
+
+      case "rollback" =>
+        val Array(_, base, layer, keep) = args.take(4)
+        val undone = graft.ingest.Layout.rollbackTo(spark, base, layer, keep.toInt)
+        println(s"rolled back $layer to v$keep (unpublished: " +
+          s"${undone.map("v" + _).mkString(", ")})")
+
+      case "versions" =>
+        val Array(_, base, layer) = args.take(3)
+        val committed = graft.ingest.Layout.committedVersions(spark, base, layer).toSet
+        graft.ingest.Layout.versions(spark, base, layer).foreach { v =>
+          val dir = graft.ingest.Layout.versionedDir(base, layer, v)
+          val merged = graft.ingest.Merge.mergeInfo(spark, dir)
+            .map(i => s" (merge base v${i.baseVersion})").getOrElse("")
+          println(s"v$v ${if (committed(v)) "committed" else "UNPUBLISHED"}$merged")
+        }
+
+      case "merge" =>
+        // upsert a parquet directory of updates into a layer by key
+        val Array(_, base, layer, updatesPath, keyCol, partCol) = args.take(6)
+        val dir = graft.ingest.Merge.merge(spark, base, layer,
+          spark.read.parquet(updatesPath), Seq(keyCol), partCol)
+        println(s"merged $updatesPath into $layer -> $dir")
+
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -137,5 +174,10 @@ object Main {
       |  catalog <lakeDir>
       |  validate <lakeDir>
       |  quality <lakeDir> [thresholdsConfig]
-      |  snapshot <lakeDir> <snapshotsDir> <version>""".stripMargin)
+      |  snapshot <lakeDir> <snapshotsDir> <version>
+      |  compact <lakeDir> <layer> [sortCol]
+      |  vacuum <lakeDir> <layer>
+      |  rollback <lakeDir> <layer> <keepVersion>
+      |  versions <lakeDir> <layer>
+      |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol>""".stripMargin)
 }
