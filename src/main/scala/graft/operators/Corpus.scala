@@ -218,13 +218,21 @@ object Corpus {
     * shard offsets would replace the single-key window — noted, not
     * needed at bench scale).
     */
-  def packingStats(docs: DataFrame, budget: Int = 512): DataFrame = {
+  /** The doc → pack layout itself (lang, doc_id, ntok, pack) — feed this
+    * to a writer to materialize training sequences; [[packingStats]] is
+    * its audit view. */
+  def packAssignments(docs: DataFrame, budget: Int = 512): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
-    val packed = docs
+    docs
       .select(col("lang"), col("doc_id"), TF.tokenCount(col("text")).as("ntok"))
       .withColumn("cum", sum(col("ntok")).over(w))
       .withColumn("pack",
         floor((col("cum") - col("ntok")).cast("double") / budget).cast("long"))
+      .drop("cum")
+  }
+
+  def packingStats(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val packed = packAssignments(docs, budget)
 
     val perPack = packed.groupBy("lang", "pack")
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("pack_tokens"))

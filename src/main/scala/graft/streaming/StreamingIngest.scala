@@ -48,6 +48,25 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming corpus-quality monitor: per event-time window, the pass
+    * rate of the deterministic quality score against `minScore` plus
+    * mean score — the live dashboard view of the batch Gopher/quality
+    * battery, so a bad upstream batch shows up within a window length
+    * instead of at the next full assessment. Map-only scoring + one
+    * windowed agg; state bounded by the watermark. */
+  def qualityMonitor(docs: DataFrame, tsCol: String, textCol: String,
+      windowLen: String, watermark: String,
+      minScore: Double = 0.5): DataFrame =
+    docs
+      .withColumn("_score", graft.operators.TextAnalysis.qualityScore(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_score") >= minScore, 1L).otherwise(0L)).as("n_pass"),
+        avg(col("_score")).as("avg_score"))
+      .withColumn("pass_rate", col("n_pass").cast("double") / col("n_docs"))
+
   /** Streaming exact dedup (X1's streaming form): normalize the text,
     * key on its sha-256, and keep the first arrival per key within the
     * watermark horizon. `dropDuplicatesWithinWatermark` bounds the dedup

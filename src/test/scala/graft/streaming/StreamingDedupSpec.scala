@@ -37,6 +37,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality monitor reports per-window pass rates") {
+    val input = MemoryStream[DedupDoc](spark)
+    val mon = StreamingIngest.qualityMonitor(
+      input.toDF(), "ts", "text", windowLen = "1 minute", watermark = "10 seconds")
+    val q = mon.writeStream
+      .format("memory").queryName("qual_out").outputMode("append").start()
+    try {
+      val good = ("word " * 60).trim // 60 tokens, no stopwords → high score
+      input.addData(
+        doc(1, 30, good), doc(2, 40, good), doc(3, 50, "the of and"))
+      q.processAllAvailable()
+      input.addData(doc(9, 300, good)) // advance watermark past the window
+      q.processAllAvailable()
+      input.addData(doc(10, 301, good))
+      q.processAllAvailable()
+      val rows = spark.table("qual_out")
+        .select("n_docs", "n_pass", "pass_rate").collect()
+      assert(rows.nonEmpty)
+      val first = rows.head
+      assert(first.getLong(0) == 3 && first.getLong(1) == 2)
+      assert(math.abs(first.getDouble(2) - 2.0 / 3.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("the same content reappearing across batches within the horizon is dropped") {
     val input = MemoryStream[DedupDoc](spark)
     val deduped = StreamingIngest.dedupStream(
