@@ -37,9 +37,15 @@ object VectorIndex {
     * repartitioned on cell_id before the partitioned write so each cell
     * lands in exactly one file — a plain `partitionBy` from a T-task
     * frame writes T files *per cell* (T² tiny files total), and every
-    * later search pays their listing/open cost. */
+    * later search pays their listing/open cost.
+    *
+    * `quantized = true` stores vectors as symmetric int8 (+ per-vector
+    * scale) instead of float64 arrays — ~7× less probe IO here, ~4× vs a
+    * float32 store — at sub-1% similarity error. Precomputed norms are
+    * taken over the RECONSTRUCTED vector, so ranking is exactly
+    * consistent with what search dequantizes. */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, outDir: String): Unit = {
+      nCells: Int, outDir: String, quantized: Boolean = false): Unit = {
     val p = Paths(outDir)
     val spark = vectors.sparkSession
     val n = vectors.count()
@@ -47,13 +53,43 @@ object VectorIndex {
     cents.write.mode("overwrite").parquet(p.centroids)
     // assign against the in-memory (checkpointed) centroids — the parquet
     // copy above is the persistence artifact, not a dependency
-    val assigned = withNorm(Similarity.assignToNearest(
+    val assigned = Similarity.assignToNearest(
       vectors.select(col(idCol).as("_id"),
         graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
-      cents))
-    assigned.repartition(col("cell_id"))
+      cents)
+    prepareStorage(assigned, quantized).repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(p.assigned)
-    writeMetadata(spark, p, n, nCells)
+    writeMetadata(spark, p, n, nCells, quantized)
+  }
+
+  /** Storage shape: plain keeps `_v` (float64 array); quantized keeps
+    * `_q` int8 + `_qs` scale and drops `_v`. All-zero vectors have no
+    * scale and stay dequantizable to zero via the null-safe read path. */
+  private def prepareStorage(assigned: DataFrame, quantized: Boolean): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    if (!quantized) withNorm(assigned)
+    else {
+      val q = assigned
+        .withColumn("_qs", VF.int8Scale(col("_v")))
+        .withColumn("_q", when(col("_qs").isNotNull,
+          VF.quantizeInt8(col("_v"), col("_qs")))
+          // all-zero vector: no scale; keep an explicit zero int8 array
+          // so the dimension survives reconstruction
+          .otherwise(transform(col("_v"), x => lit(0).cast("tinyint"))))
+        .withColumn("_v", when(col("_qs").isNotNull,
+          VF.dequantizeInt8(col("_q"), col("_qs")))
+          .otherwise(col("_v"))) // zero vector reconstructs as itself
+      withNorm(q).drop("_v")
+    }
+  }
+
+  /** Reconstruct the vector column on a frame read from storage. */
+  private def restored(df: DataFrame): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    if (!df.columns.contains("_q")) df
+    else df.withColumn("_v", when(col("_qs").isNotNull,
+      VF.dequantizeInt8(col("_q"), col("_qs")))
+      .otherwise(transform(col("_q"), x => lit(0.0)))) // null-scale = zero vec
   }
 
   /** Precompute each indexed vector's L2 norm at WRITE time — searches
@@ -68,11 +104,13 @@ object VectorIndex {
   /** The caller always knows the row count it just wrote (input count or
     * existing+appended) — re-reading the whole index to count it would be
     * a full extra scan per build/update. */
-  private def writeMetadata(spark: SparkSession, p: Paths, n: Long, nCells: Int): Unit = {
+  private def writeMetadata(spark: SparkSession, p: Paths, n: Long, nCells: Int,
+      quantized: Boolean = false): Unit = {
     val path = new org.apache.hadoop.fs.Path(p.metadata)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
-    out.write(s"""{"n_vectors": $n, "n_cells": $nCells, "metric": "cosine"}""".getBytes("UTF-8"))
+    out.write((s"""{"n_vectors": $n, "n_cells": $nCells, "metric": "cosine", """ +
+      s""""quantized": $quantized}""").getBytes("UTF-8"))
     out.close()
   }
 
@@ -88,7 +126,9 @@ object VectorIndex {
         s"index at $outDir is incomplete (no _SUCCESS in ${p.assigned}) — " +
           s"a writer crashed mid-build; rebuild from the corpus " +
           s"(a staged pre-rebuild copy may survive at ${p.staging})")
-    val existing = spark.read.parquet(p.assigned)
+    val existingRaw = spark.read.parquet(p.assigned)
+    val isQuant = existingRaw.columns.contains("_q")
+    val existing = restored(existingRaw)
     val fresh = vectors.join(
       existing.select(col("_id").as(idCol)), Seq(idCol), "left_anti").cache()
     try {
@@ -110,18 +150,19 @@ object VectorIndex {
           .unionByName(fresh.select(col(idCol),
             graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as(vecCol)))
           .write.mode("overwrite").parquet(p.staging)
-        build(spark.read.parquet(p.staging), idCol, vecCol, nCells, outDir)
+        build(spark.read.parquet(p.staging), idCol, vecCol, nCells, outDir,
+          quantized = isQuant)
         val sp = new org.apache.hadoop.fs.Path(p.staging)
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         "rebuild"
       } else {
-        val assigned = withNorm(Similarity.assignToNearest(
+        val assigned = Similarity.assignToNearest(
           fresh.select(col(idCol).as("_id"),
             graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
-          spark.read.parquet(p.centroids)))
-        assigned.repartition(col("cell_id"))
+          spark.read.parquet(p.centroids))
+        prepareStorage(assigned, isQuant).repartition(col("cell_id"))
           .write.mode("append").partitionBy("cell_id").parquet(p.assigned)
-        writeMetadata(spark, p, nExisting + nNew, nCells)
+        writeMetadata(spark, p, nExisting + nNew, nCells, isQuant)
         "append"
       }
     } finally fresh.unpersist()
@@ -138,7 +179,7 @@ object VectorIndex {
     // corpus norms were precomputed at build time; query norms are 200
     // sqrt-dots — both stay one-per-vector instead of one per
     // (query, candidate) pair after the fan-out
-    val corpus = spark.read.parquet(p.assigned)
+    val corpus = restored(spark.read.parquet(p.assigned))
       .select(col("_id").as("neighbor_id"), col("_v").as("nv"), col("cell_id"), col("_nn"))
     val qCells = {
       val j = broadcast(queries).crossJoin(broadcast(cents))
