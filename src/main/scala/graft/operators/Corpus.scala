@@ -185,15 +185,18 @@ object Corpus {
     * tie-breaks on the term so the order is cross-engine total.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
-    val terms = docs.select(col("doc_id"), col("lang"),
-      explode(TF.contentTokens(col("text"))).as("term"))
-
-    val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("lang", "term", "doc_id").distinct()
-      .groupBy("lang", "term").agg(count(lit(1)).as("df"))
+    // ONE scan: per-(lang, term, doc) counts first (partial-agg shrinks
+    // the exploded stream map-side), then tf = Σcounts and df = #docs in
+    // a second narrow agg — no second documents scan, no tf⋈df join, no
+    // count_distinct Expand
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"), explode(TF.contentTokens(col("text"))).as("term"))
+      .groupBy("lang", "term", "doc_id").agg(count(lit(1)).as("c"))
+    val tfdf = perDoc.groupBy("lang", "term")
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
     val langDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_lang_docs"))
 
-    val scored = tf.join(df, Seq("lang", "term"))
+    val scored = tfdf
       .join(broadcast(langDocs), Seq("lang"))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_lang_docs").cast("double") / col("df")), 6))
