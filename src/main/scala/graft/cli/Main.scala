@@ -125,6 +125,26 @@ object Main {
           java.time.Instant.now().toString)
         println(s"snapshot ${m.version}: ${m.files.length} files")
 
+      case "curate" =>
+        // corpus-curation report suite over a documents parquet
+        // (doc_id, text, lang, source)
+        val Array(_, docsPath, outDir) = args.take(3)
+        val docs = spark.read.parquet(docsPath)
+        import graft.operators.Corpus
+        val reports = Seq(
+          "decontamination" -> Corpus.decontaminationStats(docs),
+          "curriculum_deciles" -> Corpus.curriculumDeciles(docs),
+          "domain_mixture" -> Corpus.mixtureWeights(docs),
+          "boilerplate" -> Corpus.boilerplateStats(docs),
+          "tfidf_terms" -> Corpus.tfidfTopTerms(docs),
+          "packing_stats" -> Corpus.packingStats(docs),
+          "pack_assignments" -> Corpus.packAssignments(docs))
+        reports.foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+        println(s"curation reports written under $outDir: " +
+          reports.map(_._1).mkString(", "))
+
       // ---- lakehouse table maintenance (Layout/Merge/ZOrder) ---------
 
       case "compact" =>
@@ -175,6 +195,7 @@ object Main {
       |  validate <lakeDir>
       |  quality <lakeDir> [thresholdsConfig]
       |  snapshot <lakeDir> <snapshotsDir> <version>
+      |  curate <documentsParquet> <outDir>
       |  compact <lakeDir> <layer> [sortCol]
       |  vacuum <lakeDir> <layer>
       |  rollback <lakeDir> <layer> <keepVersion>
