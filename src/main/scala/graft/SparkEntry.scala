@@ -911,6 +911,62 @@ object SparkEntry {
   def packingStats(spark: SparkSession, dir: String): DataFrame =
     Corpus.packingStats(Tables.documents(spark, dir))
 
+  /** X47 weekly cohort retention over the event stream: users grouped by
+    * first-activity week, counted once per (cohort, offset) week they
+    * return. Distinct-then-count at both steps (no count_distinct
+    * Expand); cohort sizes ride back in as a broadcast. All day/week
+    * arithmetic in integer µs-derived day numbers, exact cross-engine. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val day = floor(col("ts") / lit(86400000000L)).cast("long")
+    val e = Tables.events(spark, dir).select(col("user_id"), day.as("day")).distinct()
+    val firsts = e.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val active = e.join(firsts, "user_id")
+      .select(col("user_id"),
+        floor(col("first_day") / 7).cast("long").as("cohort_week"),
+        floor((col("day") - col("first_day")) / 7).cast("long").as("offset_week"))
+      .distinct()
+    val counts = active.groupBy("cohort_week", "offset_week")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = firsts
+      .select(floor(col("first_day") / 7).cast("long").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    counts.join(broadcast(sizes), "cohort_week")
+      .withColumn("retention_pct",
+        round(lit(100.0) * col("n_users") / col("cohort_size"), 4))
+      .select("cohort_week", "offset_week", "n_users", "cohort_size", "retention_pct")
+      .orderBy("cohort_week", "offset_week")
+  }
+
+  /** X48 ordered funnel (signup → view → click → purchase by FIRST
+    * occurrence time per user): one conditional-min agg per user, one
+    * global 1-row agg, exploded into stage rows — no self-joins, no
+    * windows. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(firstOf("signup"), firstOf("view"), firstOf("click"), firstOf("purchase"))
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") > col("t_signup")
+    val s3 = s2 && col("t_click") > col("t_view")
+    val s4 = s3 && col("t_purchase") > col("t_click")
+    val one = perUser.agg(
+      sum(when(s1, 1L).otherwise(0L)).as("n1"),
+      sum(when(s2, 1L).otherwise(0L)).as("n2"),
+      sum(when(s3, 1L).otherwise(0L)).as("n3"),
+      sum(when(s4, 1L).otherwise(0L)).as("n4"))
+    one.select(explode(array(
+      struct(lit(1).as("stage"), lit("signup").as("name"),
+        col("n1").as("n_users"), lit(1.0).as("pct_of_entry")),
+      struct(lit(2).as("stage"), lit("view_after_signup").as("name"),
+        col("n2").as("n_users"), round(col("n2").cast("double") / col("n1"), 6).as("pct_of_entry")),
+      struct(lit(3).as("stage"), lit("click_after_view").as("name"),
+        col("n3").as("n_users"), round(col("n3").cast("double") / col("n1"), 6).as("pct_of_entry")),
+      struct(lit(4).as("stage"), lit("purchase_after_click").as("name"),
+        col("n4").as("n_users"), round(col("n4").cast("double") / col("n1"), 6).as("pct_of_entry"))
+    )).as("s")).select("s.*").orderBy("stage")
+  }
+
   /** X42 int8 quantization error audit: per-label RMS reconstruction
     * error and scale of the symmetric int8 scheme ([[VF.quantizeInt8]]).
     * Map-only over the embedding store; the residual's sum-of-squares is
@@ -1000,6 +1056,8 @@ object SparkEntry {
     "q61_tfidf_terms" -> tfidfTopTerms _,
     "q62_packing_stats" -> packingStats _,
     "q63_quantization" -> quantizationError _,
+    "q64_retention" -> cohortRetention _,
+    "q65_funnel" -> funnelStages _,
   )
 
   private val stopwordsSqlList: String =
@@ -1974,6 +2032,57 @@ object SparkEntry {
         |  max(rmse) AS max_rmse,
         |  CAST(sum(CAST(scale_r AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS avg_scale
         |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
+    "q64_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+        |  FROM events
+        |), firsts AS (
+        |  SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT e.user_id,
+        |    CAST(floor(f.first_day / 7.0) AS BIGINT) AS cohort_week,
+        |    CAST(floor((e.day - f.first_day) / 7.0) AS BIGINT) AS offset_week
+        |  FROM e JOIN firsts f ON e.user_id = f.user_id
+        |), counts AS (
+        |  SELECT cohort_week, offset_week, count(*) AS n_users
+        |  FROM active GROUP BY cohort_week, offset_week
+        |), sizes AS (
+        |  SELECT CAST(floor(first_day / 7.0) AS BIGINT) AS cohort_week,
+        |    count(*) AS cohort_size
+        |  FROM firsts GROUP BY 1
+        |)
+        |SELECT c.cohort_week, c.offset_week, c.n_users, s.cohort_size,
+        |  round(100.0 * c.n_users / s.cohort_size, 4) AS retention_pct
+        |FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
+        |ORDER BY c.cohort_week, c.offset_week""".stripMargin,
+
+    "q65_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t4
+        |  FROM events GROUP BY user_id
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM f
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'signup' AS name, n1 AS n_users, 1.0 AS pct_of_entry FROM c
+        |  UNION ALL
+        |  SELECT 2, 'view_after_signup', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'click_after_view', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM c
+        |  UNION ALL
+        |  SELECT 4, 'purchase_after_click', n4, round(CAST(n4 AS DOUBLE) / n1, 6) FROM c
+        |) ORDER BY stage""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
