@@ -967,6 +967,25 @@ object SparkEntry {
     )).as("s")).select("s.*").orderBy("stage")
   }
 
+  /** X49 rolling 7-day trailing aggregates: pre-aggregate to (type, day)
+    * FIRST — the RANGE-frame window then runs over the tiny daily frame,
+    * not the raw events, so the per-type partition is never a hot key.
+    * The windowed sum stays in DECIMAL until the end (a double window sum
+    * would be frame-order-dependent cross-engine). */
+  def rollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val day = floor(col("ts") / lit(86400000000L)).cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(sum(dec2(col("value"))).as("_dv"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d_value", sum(col("_dv")).over(w).cast("double"))
+      .withColumn("rolling_7d_events", sum(col("n")).over(w))
+      .select(col("event_type"), col("day"), col("_dv").cast("double").as("day_value"),
+        col("n"), col("rolling_7d_value"), col("rolling_7d_events"))
+      .orderBy("event_type", "day")
+  }
+
   /** X42 int8 quantization error audit: per-label RMS reconstruction
     * error and scale of the symmetric int8 scheme ([[VF.quantizeInt8]]).
     * Map-only over the embedding store; the residual's sum-of-squares is
@@ -1058,6 +1077,7 @@ object SparkEntry {
     "q63_quantization" -> quantizationError _,
     "q64_retention" -> cohortRetention _,
     "q65_funnel" -> funnelStages _,
+    "q66_rolling_daily" -> rollingDaily _,
   )
 
   private val stopwordsSqlList: String =
@@ -2083,6 +2103,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 4, 'purchase_after_click', n4, round(CAST(n4 AS DOUBLE) / n1, 6) FROM c
         |) ORDER BY stage""".stripMargin,
+
+    "q66_rolling_daily" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, day, sum(v) AS dv, count(*) AS n
+        |  FROM e GROUP BY event_type, day
+        |)
+        |SELECT event_type, day,
+        |  CAST(dv AS DOUBLE) AS day_value, n,
+        |  CAST(sum(dv) OVER w AS DOUBLE) AS rolling_7d_value,
+        |  CAST(sum(n) OVER w AS BIGINT) AS rolling_7d_events
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
