@@ -46,6 +46,31 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sy >= 0.9, s"x-sorted layout should not cluster y (got $sy)")
   }
 
+  test("file-stats index skips most z-ordered files for a selective range") {
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    val dir = Files.createTempDirectory("graft_zskip").toString
+    ZOrder.pack(df, Seq("x", "y"), nFiles = 16).write.mode("overwrite").parquet(dir)
+
+    // selective on x: a 4×4 Morton grid keeps x∈[0,7] inside ~1/4 of files
+    val (pruned, read, total) = FileStats.prunedRead(spark, dir, "x", 0, 7)
+    assert(total == 16)
+    assert(read <= total / 2, s"expected file skipping, read $read/$total")
+    // superset guarantee: pruned + row filter == full + row filter
+    val want = df.filter(col("x").between(0, 7)).count()
+    assert(pruned.filter(col("x").between(0, 7)).count() == want)
+
+    // and the same works on y — the second z-order column
+    val (prunedY, readY, _) = FileStats.prunedRead(spark, dir, "y", 0, 15)
+    assert(readY <= total / 2, s"y pruning read $readY/$total")
+    assert(prunedY.filter(col("y").between(0, 15)).count() ==
+      df.filter(col("y").between(0, 15)).count())
+
+    // out-of-range predicate reads nothing but keeps the schema
+    val (none, readNone, _) = FileStats.prunedRead(spark, dir, "x", 1000, 2000)
+    assert(readNone == 0 && none.count() == 0 && none.columns.contains("x"))
+  }
+
   test("row set is preserved and string columns are accepted") {
     val df = spark.range(500).select(
       col("id").as("n"),
