@@ -42,4 +42,15 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events").withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
   }
+
+  /** Register every table as a temp view so `spark.sql("SELECT …")` works
+    * directly against the corpus — the SQL front door. Views are lazy
+    * plans over the parquet scans (same pruning/pushdown as the typed
+    * accessors); `events` keeps its µs-long `ts` semantics. */
+  def createViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }

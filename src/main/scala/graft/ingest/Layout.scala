@@ -160,7 +160,7 @@ object Layout {
     * min/max stats selective — else round-robin into even sizes. */
   def compact(spark: SparkSession, base: String, layer: String,
       targetBytes: Long = 128L << 20, sortCol: Option[String] = None,
-      partitionCols: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil, zOrderCols: Seq[String] = Nil): String = {
     val committed = committedVersions(spark, base, layer)
     val v = committed.lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed versions of $layer under $base"))
@@ -193,7 +193,15 @@ object Layout {
     // hash repartition would funnel a 40%-of-the-layer key into one task
     // and one giant file.
     val packed =
-      if (partitionCols.nonEmpty)
+      if (zOrderCols.nonEmpty) {
+        // OPTIMIZE ... ZORDER BY: range-pack on (partitionCols, zValue) so
+        // clustering happens WITHIN hive partitions, and sort within each
+        // task so row groups carry tight min/max on every z column
+        df.withColumn("_z", ZOrder.zValue(df, zOrderCols))
+          .repartitionByRange(nFiles, (partitionCols :+ "_z").map(col): _*)
+          .sortWithinPartitions((partitionCols :+ "_z").map(col): _*)
+          .drop("_z")
+      } else if (partitionCols.nonEmpty)
         df.repartitionByRange(nFiles, (partitionCols ++ sortCol).map(col): _*)
       else sortCol match {
         case Some(c) => df.repartitionByRange(nFiles, col(c))

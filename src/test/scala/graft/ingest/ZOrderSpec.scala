@@ -71,6 +71,23 @@ class ZOrderSpec extends AnyFunSuite {
     assert(readNone == 0 && none.count() == 0 && none.columns.contains("x"))
   }
 
+  test("compact with zOrderCols publishes a z-clustered version") {
+    val base = Files.createTempDirectory("graft_zc").toString
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    // v1: deliberately scattered layout
+    Layout.writeVersioned(df.repartition(16), base, "normalized")
+    val dir = Layout.compact(spark, base, "normalized",
+      targetBytes = 4L * 1024, zOrderCols = Seq("x", "y"))
+    assert(Layout.committedVersions(spark, base, "normalized") == Seq(1, 2))
+    val files = spark.read.parquet(dir).inputFiles
+    assert(files.length > 3, s"need several files to show clustering: ${files.length}")
+    val zx = meanRangeFraction(dir, "x", 63.0)
+    val zy = meanRangeFraction(dir, "y", 63.0)
+    assert(zx <= 0.6 && zy <= 0.6, s"z-compacted ranges x=$zx y=$zy")
+    assert(Layout.loadLatest(spark, base, "normalized").count() == 4096)
+  }
+
   test("row set is preserved and string columns are accepted") {
     val df = spark.range(500).select(
       col("id").as("n"),
