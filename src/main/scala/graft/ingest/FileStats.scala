@@ -85,10 +85,12 @@ object FileStats {
       }
     }.map(_.path)
     require(stats.nonEmpty, s"no parquet files under $dir")
+    // basePath keeps hive partition columns intact when the kept files
+    // live under key=value subdirectories of `dir`
     val df =
       if (keep.isEmpty)
-        spark.read.parquet(stats.head.path).limit(0) // schema-only empty frame
-      else spark.read.parquet(keep: _*)
+        spark.read.option("basePath", dir).parquet(stats.head.path).limit(0)
+      else spark.read.option("basePath", dir).parquet(keep: _*)
     (df, keep.length, stats.length)
   }
 }
