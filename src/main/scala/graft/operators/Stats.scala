@@ -42,4 +42,24 @@ object Stats {
     grouped.withColumn("pct",
       round(lit(100.0) * col("n") / sum(col("n")).over(total), 4))
   }
+
+  /** Sketch-based approximate distribution stats — the scale path where
+    * the exact forms stop being affordable: exact percentiles are a full
+    * sort per group and exact distinct counts a full shuffle of the
+    * distinct keys, while `approx_percentile` (Greenwald-Khanna, error
+    * ≤ 1/accuracy of rank) and `approx_count_distinct` (HLL++, relative
+    * error ≈ rsd) are single-pass, constant-memory, and partial-merge
+    * like any aggregate. Use the exact forms for oracles and release
+    * gates; use this for 100 TB dashboards and guardrail monitors. */
+  def approxValueStats(df: DataFrame, value: Column, distinctCol: Column,
+      groupCols: Seq[String] = Nil,
+      accuracy: Int = 10000, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(distinctCol, rsd).as("approx_distinct"),
+        percentile_approx(value, lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(value, lit(0.95), lit(accuracy)).as("p95"),
+        percentile_approx(value, lit(0.99), lit(accuracy)).as("p99"),
+        min(value).as("min_v"), max(value).as("max_v"))
 }

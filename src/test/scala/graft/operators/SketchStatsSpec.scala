@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SketchStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("approx stats land within documented error of the exact answers") {
+    // skewed data: squares of 0..19999, 5000 distinct keys
+    val df = spark.range(20000).select(
+      (col("id") * col("id")).cast("double").as("v"),
+      (col("id") % 5000).as("k"))
+    val r = Stats.approxValueStats(df, col("v"), col("k"),
+      accuracy = 10000, rsd = 0.02).head()
+
+    val exact = df.agg(
+      percentile(col("v"), lit(0.5)).as("p50"),
+      percentile(col("v"), lit(0.95)).as("p95")).head()
+
+    // GK rank error ≤ n/accuracy = 2 ranks here; values jump ~2·v/idx per
+    // rank, so compare by RANK proximity via the value itself
+    assert(math.abs(r.getAs[Double]("p50") - exact.getDouble(0)) /
+      exact.getDouble(0) < 0.01)
+    assert(math.abs(r.getAs[Double]("p95") - exact.getDouble(1)) /
+      exact.getDouble(1) < 0.01)
+    // HLL++ at rsd=0.02: 5000 distinct within ±3·rsd
+    val d = r.getAs[Long]("approx_distinct").toDouble
+    assert(math.abs(d - 5000) / 5000 < 0.06, s"approx distinct $d")
+    assert(r.getAs[Long]("n") == 20000)
+    assert(r.getAs[Double]("min_v") == 0.0)
+  }
+}
