@@ -986,6 +986,25 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** X56 event-type transition matrix (first-order Markov counts): lag
+    * over each user's time-ordered stream, then one keyed count and a
+    * per-source broadcast-free probability via a partitioned window over
+    * the TINY (type × type) matrix. */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("prev_type")
+    counts
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wt), 6))
+      .select(col("prev_type"), col("event_type").as("next_type"), col("n"), col("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** X42 int8 quantization error audit: per-label RMS reconstruction
     * error and scale of the symmetric int8 scheme ([[VF.quantizeInt8]]).
     * Map-only over the embedding store; the residual's sum-of-squares is
@@ -1078,6 +1097,7 @@ object SparkEntry {
     "q64_retention" -> cohortRetention _,
     "q65_funnel" -> funnelStages _,
     "q66_rolling_daily" -> rollingDaily _,
+    "q67_transitions" -> typeTransitions _,
   )
 
   private val stopwordsSqlList: String =
@@ -2122,6 +2142,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
+
+    "q67_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events
+        |), p AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM e
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
