@@ -24,26 +24,47 @@ object StreamingAggMaintenance {
     if (fs.exists(success)) Some(spark.read.parquet(stateDir)) else None
   }
 
+  /** Highest batch id already folded into the state (-1 if none). The
+    * marker lives INSIDE the state dir and swaps atomically with it. */
+  private def appliedBatch(fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Long = {
+    val dir = new Path(stateDir)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("_applied_") => s.stripPrefix("_applied_").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
   /** Start a foreachBatch query maintaining `stateDir` from `stream`.
     * AvailableNow by default (drain-and-stop); pass a processing-time
-    * trigger for continuous maintenance. */
+    * trigger for continuous maintenance.
+    *
+    * Idempotent under foreachBatch redelivery: a crash between the state
+    * swap and the checkpoint commit makes Spark re-drive the same batch
+    * id, which would double-count into the state — so the applied batch
+    * id is recorded inside the state dir (it swaps atomically with the
+    * data) and redelivered ids are skipped. The state dir is therefore
+    * BOUND to its checkpoint: starting over with a fresh checkpoint
+    * (batch ids restart at 0) requires a fresh state dir too. */
   def run(stream: DataFrame, stateDir: String, checkpointDir: String,
       keys: Seq[String], specs: Seq[IncrementalAgg.Spec],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val next = IncrementalAgg.refresh(
-          currentState(spark, stateDir), batch, keys, specs)
-        // state is both input and output of this batch: stage the new
-        // version first, then swap — never overwrite what you're reading
-        val tmp = s"$stateDir.next"
-        next.write.mode("overwrite").parquet(tmp)
         val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new Path(stateDir), true)
-        fs.rename(new Path(tmp), new Path(stateDir))
+        if (batchId > appliedBatch(fs, stateDir)) {
+          val next = IncrementalAgg.refresh(
+            currentState(spark, stateDir), batch, keys, specs)
+          // state is both input and output of this batch: stage the new
+          // version first, then swap — never overwrite what you're reading
+          val tmp = s"$stateDir.next"
+          next.write.mode("overwrite").parquet(tmp)
+          fs.create(new Path(tmp, s"_applied_$batchId"), true).close()
+          fs.delete(new Path(stateDir), true)
+          fs.rename(new Path(tmp), new Path(stateDir))
+        }
         ()
       }
       .start()
