@@ -21,10 +21,12 @@ object Diff {
 
   /** Rows changed from `fromVersion` to `toVersion`, tagged with
     * `_change` ∈ insert | delete | update (| unchanged). Row identity is
-    * `keys`; row equality is a hash over all NON-key columns (listed
-    * sorted, so column order never matters). Output columns are the
-    * `toVersion` row for inserts/updates, the `fromVersion` row for
-    * deletes. */
+    * `keys` — which must be UNIQUE per version (the layer's primary key,
+    * the same contract [[Merge.merge]] upserts by); duplicate keys would
+    * cross-multiply through the full-outer join. Row equality is a hash
+    * over all NON-key columns (listed sorted, so column order never
+    * matters). Output columns are the `toVersion` row for
+    * inserts/updates, the `fromVersion` row for deletes. */
   def changes(spark: SparkSession, base: String, layer: String,
       fromVersion: Int, toVersion: Int, keys: Seq[String],
       includeUnchanged: Boolean = false): DataFrame = {

@@ -180,6 +180,13 @@ object Merge {
       "merge partition values must be hive-safe ([A-Za-z0-9._-]+); got: " +
         touched.filter(v => v == null || !SafeValue.matches(v)).take(5).mkString(", "))
 
+    // inheritance works at partition-dir granularity: a base version
+    // written WITHOUT partitionBy has no partition dirs to inherit, and
+    // merging onto it would silently drop every untouched row
+    require(effectiveDirs(spark, base, layer, vCur).nonEmpty,
+      s"v$vCur of $layer is not hive-partitioned — rewrite it with " +
+        s"Layout.writeVersioned(partitionCols = Seq(\"$partitionCol\")) before merging")
+
     // survivors of the touched partitions: partition pruning keeps this
     // read to the touched dirs only
     val old = readResolved(spark, base, layer, vCur)

@@ -125,6 +125,17 @@ class MergeSpec extends AnyFunSuite {
     assert(Layout.loadLatest(spark, base, "normalized").count() == 5)
   }
 
+  test("merging onto an unpartitioned base version is refused") {
+    val base = Files.createTempDirectory("graft_merge_flat").toString
+    Layout.writeVersioned(baseData(), base, "normalized") // no partitionBy
+    val e = intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized",
+        Seq(("ep1", 1L, "v")).toDF("episode_id", "row_id", "payload"),
+        Seq("row_id"), "episode_id")
+    }
+    assert(e.getMessage.contains("not hive-partitioned"))
+  }
+
   test("delete keys without the partition column are refused") {
     val base = freshLayer()
     val e = intercept[IllegalArgumentException] {
