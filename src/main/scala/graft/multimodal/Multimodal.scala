@@ -74,6 +74,33 @@ object Multimodal {
       }
   }
 
+  /** Perceptual difference-hash over the decoded feature vector: bit i
+    * set iff feature(i+1) > feature(i). With a real image decoder whose
+    * feature is the 9×8 grayscale raster this IS classic dHash; with the
+    * stub it is still a deterministic 63-bit locality-sensitive
+    * fingerprint. Map-only codegen HOF — no kernel code. */
+  def perceptualHash(features: Dataset[MediaFeature]): DataFrame = {
+    val bits = 63
+    val phash = aggregate(
+      sequence(lit(1), lit(bits)),
+      lit(0L),
+      (acc, i) => acc * 2 + when(
+        element_at(col("feature"), i + 1) > element_at(col("feature"), i),
+        1L).otherwise(0L))
+    features.toDF()
+      .withColumn("phash", phash)
+      .select("asset_id", "media_type", "phash")
+  }
+
+  /** Near-duplicate media pairs: perceptual hashes joined through the
+    * same pigeonhole banding as text SimHash ([[Dedup.simhashNearDupPairs]])
+    * — media dedup rides the scale-safe machinery that already exists,
+    * blocked by media_type so images never pair with audio. */
+  def nearDupMedia(features: Dataset[MediaFeature], maxDist: Int = 4): DataFrame =
+    graft.operators.Dedup.simhashNearDupPairs(
+      perceptualHash(features), "asset_id", "phash",
+      blockCols = Seq("media_type"), maxDist = maxDist, bits = 63)
+
   /** Pluggable binary→binary batch transform (resize, transcode,
     * re-encode); same seam as [[MediaDecoder]] for ops that keep the
     * payload opaque. */

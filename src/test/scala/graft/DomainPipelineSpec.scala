@@ -239,6 +239,22 @@ class DomainPipelineSpec extends AnyFunSuite {
       Seq("asset_id", "frame_idx", "frame_ts_s", "content"))
   }
 
+  test("multimodal: perceptual-hash near-dup finds the duplicated image only") {
+    // identical payloads → identical features → identical dHash
+    val dup = Array[Byte](5, 6, 7, 8)
+    val media = Seq(
+      ("imgA", "image", dup, Some(10), Some(10), None: Option[Double], Some("image/png")),
+      ("imgB", "image", dup, Some(10), Some(10), None: Option[Double], Some("image/png")),
+      ("imgC", "image", Array[Byte](99, 98, 97), Some(10), Some(10), None: Option[Double], Some("image/png")),
+      ("audX", "audio", dup, None, None, Some(1.0), Some("audio/wav")))
+      .toDF("asset_id", "media_type", "content", "width", "height", "duration_s", "mime")
+    val feats = Multimodal.extractFeatures(media, dim = 64)
+    val pairs = Multimodal.nearDupMedia(feats, maxDist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // audX shares imgA's payload but is blocked by media_type
+    assert(pairs == Set(("imgA", "imgB")))
+  }
+
   test("multimodal: custom decoder plugs in; audio windows cover the duration") {
     val media = Seq(
       ("aud1", "audio", Array[Byte](1, 2), None: Option[Int], None: Option[Int],
