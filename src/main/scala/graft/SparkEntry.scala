@@ -868,6 +868,21 @@ object SparkEntry {
           / sum(length(col("props")).cast("long"))).as("digit_ratio"))
       .orderBy("event_type")
 
+  /** X59 PII redaction audit (q53's apply form): emails/phones replaced
+    * with placeholder tokens, per-type counts of affected rows and the
+    * net length change. Map-only rewrite + one keyed agg. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = TextAnalysis.redactPii(col("props"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("props"), redacted.as("red"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("red") =!= col("props"), 1L).otherwise(0L)).as("n_redacted"),
+        sum((length(col("red")) - length(col("props"))).cast("long")).as("len_delta"))
+      .orderBy("event_type")
+  }
+
   /** Near-dup corpus dedup rollup: MinHash pairs → connected components
     * (min-label propagation, [[graft.operators.Dedup.nearDupClusters]]) →
     * per-cluster member counts. The oracle replays the component closure
@@ -1098,6 +1113,7 @@ object SparkEntry {
     "q65_funnel" -> funnelStages _,
     "q66_rolling_daily" -> rollingDaily _,
     "q67_transitions" -> typeTransitions _,
+    "q68_pii_redaction" -> piiRedaction _,
   )
 
   private val stopwordsSqlList: String =
@@ -2158,6 +2174,19 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    "q68_pii_redaction" ->
+      """WITH r AS (
+        |  SELECT event_type, props,
+        |    regexp_replace(
+        |      regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS red
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(sum(length(red) - length(props)) AS BIGINT) AS len_delta
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

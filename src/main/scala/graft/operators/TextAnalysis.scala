@@ -144,6 +144,16 @@ object TextAnalysis {
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
 
+  /** PII redaction (the apply form of the X14 counters): emails then
+    * phones replaced with stable placeholder tokens. Map-only regex
+    * rewrite; the placeholders survive tokenization so downstream stats
+    * can count them. */
+  def redactPii(text: Column,
+      emailToken: String = "<EMAIL>", phoneToken: String = "<PHONE>"): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, emailToken),
+      PhonePattern, phoneToken)
+
   /** Digit characters in the text (exact int — ratio is one division). */
   def digitCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[0-9]", ""))
