@@ -883,6 +883,61 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** X60 per-source duplication rate — the "which domain is spammy"
+    * curation signal: exact-dup keyed on the normalized-text poly-hash,
+    * distinct+count per source (no Expand). */
+  def sourceDupRates(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("source"), Hashes.polyHash(TF.normalizeWs(col("text"))).as("h"))
+    val nDocs = hashed.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val nDistinct = hashed.distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    nDocs.join(nDistinct, "source")
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** X61 cross-language contamination: identical normalized content
+    * appearing under more than one language label — a labeling-quality
+    * red flag. distinct (hash, lang) pairs → per-hash lang count. */
+  def crossLangContent(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(Hashes.polyHash(TF.normalizeWs(col("text"))).as("h"), col("lang"))
+      .distinct()
+    val perHash = pairs.groupBy("h").agg(count(lit(1)).as("n_langs"))
+    perHash.groupBy("n_langs").agg(count(lit(1)).as("n_contents"))
+      .orderBy("n_langs")
+  }
+
+  /** X62 per-source length-distribution drift: chi-square of each
+    * source's token-length histogram against the corpus-wide
+    * distribution over shared fixed edges — the distribution-shift
+    * monitor for incoming crawl slices. Expected counts derive from a
+    * broadcast corpus histogram; the statistic is one exact double sum
+    * per source. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(10.0, 20.0, 30.0, 40.0, 50.0)
+    val binned = Tables.documents(spark, dir)
+      .select(col("source"), TF.tokenCount(col("text")).cast("double").as("ntok"))
+      .withColumn("bin", Stats.binIndex(col("ntok"), edges))
+    val perSource = binned.groupBy("source", "bin").agg(count(lit(1)).as("n"))
+    val corpus = broadcast(binned.groupBy("bin").agg(count(lit(1)).as("n_total")))
+    val totals = broadcast(binned.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .crossJoin(binned.agg(count(lit(1)).as("n_all"))))
+    perSource.join(corpus, "bin").join(totals, "source")
+      .withColumn("expected",
+        col("n_total").cast("double") * col("n_source") / col("n_all"))
+      .withColumn("term",
+        (col("n").cast("double") - col("expected")) *
+          (col("n").cast("double") - col("expected")) / col("expected"))
+      .groupBy("source")
+      .agg(
+        max(col("n_source")).as("n_docs"),
+        round(sum(col("term").cast("decimal(20,12)")).cast("double"), 6).as("chi_square"))
+      .orderBy("source")
+  }
+
   /** Near-dup corpus dedup rollup: MinHash pairs → connected components
     * (min-label propagation, [[graft.operators.Dedup.nearDupClusters]]) →
     * per-cluster member counts. The oracle replays the component closure
@@ -1114,6 +1169,9 @@ object SparkEntry {
     "q66_rolling_daily" -> rollingDaily _,
     "q67_transitions" -> typeTransitions _,
     "q68_pii_redaction" -> piiRedaction _,
+    "q69_source_dup_rates" -> sourceDupRates _,
+    "q70_cross_lang" -> crossLangContent _,
+    "q71_source_drift" -> sourceDrift _,
   )
 
   private val stopwordsSqlList: String =
@@ -2187,6 +2245,56 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
         |  CAST(sum(length(red) - length(props)) AS BIGINT) AS len_delta
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q69_source_dup_rates" ->
+      s"""WITH h AS (
+        |  SELECT source, ${ph(normTextSql)} AS h FROM documents
+        |), d AS (
+        |  SELECT source, count(*) AS n_docs FROM h GROUP BY source
+        |), u AS (
+        |  SELECT source, count(*) AS n_distinct
+        |  FROM (SELECT DISTINCT source, h FROM h) GROUP BY source
+        |)
+        |SELECT d.source, d.n_docs, u.n_distinct,
+        |  round(1.0 - CAST(u.n_distinct AS DOUBLE) / d.n_docs, 6) AS dup_rate
+        |FROM d JOIN u ON d.source = u.source ORDER BY d.source""".stripMargin,
+
+    "q70_cross_lang" ->
+      s"""WITH p AS (
+        |  SELECT DISTINCT ${ph(normTextSql)} AS h, lang FROM documents
+        |), c AS (
+        |  SELECT h, count(*) AS n_langs FROM p GROUP BY h
+        |)
+        |SELECT n_langs, count(*) AS n_contents FROM c
+        |GROUP BY n_langs ORDER BY n_langs""".stripMargin,
+
+    "q71_source_drift" ->
+      s"""WITH t AS (
+        |  SELECT source, CAST(len($toksSql) AS DOUBLE) AS ntok FROM documents
+        |), b AS (
+        |  SELECT source,
+        |    CASE WHEN ntok < 10 THEN -1 WHEN ntok < 20 THEN 0
+        |         WHEN ntok < 30 THEN 1 WHEN ntok < 40 THEN 2
+        |         WHEN ntok < 50 THEN 3 ELSE 4 END AS bin
+        |  FROM t
+        |), ps AS (
+        |  SELECT source, bin, count(*) AS n FROM b GROUP BY source, bin
+        |), ct AS (
+        |  SELECT bin, count(*) AS n_total FROM b GROUP BY bin
+        |), st AS (
+        |  SELECT source, count(*) AS n_source FROM b GROUP BY source
+        |), al AS (
+        |  SELECT count(*) AS n_all FROM b
+        |), terms AS (
+        |  SELECT ps.source, st.n_source,
+        |    (CAST(ps.n AS DOUBLE) - CAST(ct.n_total AS DOUBLE) * st.n_source / al.n_all)
+        |    * (CAST(ps.n AS DOUBLE) - CAST(ct.n_total AS DOUBLE) * st.n_source / al.n_all)
+        |    / (CAST(ct.n_total AS DOUBLE) * st.n_source / al.n_all) AS term
+        |  FROM ps JOIN ct ON ps.bin = ct.bin JOIN st ON ps.source = st.source, al
+        |)
+        |SELECT source, max(n_source) AS n_docs,
+        |  round(CAST(sum(CAST(term AS DECIMAL(20,12))) AS DOUBLE), 6) AS chi_square
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
