@@ -883,6 +883,25 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** X63 generic as-of join (latest signup value at each click): union +
+    * one keyed window instead of a range join — |L|+|R| rows through one
+    * shuffle-sort. Oracle: DuckDB's native ASOF JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // dedupe the right side per (key, ts): two rights at the same instant
+    // would make "the latest" ambiguous in BOTH engines
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("s_ts"))
+      .agg(max(col("value")).as("signup_value"))
+    operators.AsOf.join(clicks, signups, "user_id", "ts", "s_ts",
+      payloadCols = Seq("signup_value"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_signup_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** X60 per-source duplication rate — the "which domain is spammy"
     * curation signal: exact-dup keyed on the normalized-text poly-hash,
     * distinct+count per source (no Expand). */
@@ -1172,6 +1191,7 @@ object SparkEntry {
     "q69_source_dup_rates" -> sourceDupRates _,
     "q70_cross_lang" -> crossLangContent _,
     "q71_source_drift" -> sourceDrift _,
+    "q72_asof_join" -> asofJoin _,
   )
 
   private val stopwordsSqlList: String =
@@ -2295,6 +2315,19 @@ object SparkEntry {
         |SELECT source, max(n_source) AS n_docs,
         |  round(CAST(sum(CAST(term AS DECIMAL(20,12))) AS DOUBLE), 6) AS chi_square
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "q72_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'click'
+        |), s AS (
+        |  SELECT user_id, epoch_us(ts) AS s_ts, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)
+        |)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  s.signup_value AS asof_signup_value
+        |FROM c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts >= s.s_ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
