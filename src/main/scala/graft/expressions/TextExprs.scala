@@ -42,6 +42,16 @@ object TextKernels {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** Count of regex matches — `size(regexp_extract_all(s, p, 0))` without
+    * allocating the match array. Java `find()` advances past zero-width
+    * matches itself, so the count equals RegExpExtractAll's length. */
+  def regexCount(s: UTF8String, p: java.util.regex.Pattern): Long = {
+    val m = p.matcher(s.toString)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
 }
 
 object ShingleKernels {
@@ -119,6 +129,25 @@ case class DistinctWordNgramsExpr(child: Expression, n: Int) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Regex match count without materializing the matches: the
+  * `size(regexp_extract_all(x, p, 0))` idiom allocates a UTF8String per
+  * match per row just to take the array's length — at a 100 TB PII scan
+  * that is the dominant allocation. Same count semantics as
+  * RegExpExtractAll (Java `find()` loop, zero-width handled by the
+  * matcher). Pattern compiles once at plan time. */
+case class RegexCountExpr(child: Expression, pattern: String) extends UnaryExpression {
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.regexCount(v.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("regexCountPat",
+      java.util.regex.Pattern.compile(pattern), "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.regexCount($c, $patRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Sorted xxhash64 array of a string array (set-intersection encoding). */
 case class XxSortedHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
@@ -142,6 +171,13 @@ object TextExprs {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_xx_sorted_hash", es => XxSortedHashExpr(es(0)), "built-in")
+  }
+
+  /** Eagerly-bound regex-count Column (pattern is a per-call payload —
+    * same reasoning as nearest_cell: no registry, no late resolution). */
+  def regex_count(s: Column, pattern: String): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(RegexCountExpr(ColumnShim.expression(s), pattern))
   }
 
   /** Requires [[register]] on the executing session. */

@@ -138,11 +138,14 @@ object TextAnalysis {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
+  // counts via the codegen RegexCountExpr: size(regexp_extract_all(...))
+  // materializes every match as a UTF8String just to take the length —
+  // at a corpus-wide PII scan the dominant allocation for zero benefit
   def emailCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+    graft.expressions.TextExprs.regex_count(text, EmailPattern)
 
   def phoneCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+    graft.expressions.TextExprs.regex_count(text, PhonePattern)
 
   /** PII redaction (the apply form of the X14 counters): emails then
     * phones replaced with stable placeholder tokens. Map-only regex

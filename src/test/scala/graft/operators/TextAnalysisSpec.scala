@@ -75,9 +75,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.emailCount(col("text")).as("e"),
       TextAnalysis.phoneCount(col("text")).as("p"),
       TextAnalysis.digitCount(col("text")).as("d")).first()
-    assert(r.getAs[Int]("e") == 1)
-    assert(r.getAs[Int]("p") == 1)
+    assert(r.getAs[Long]("e") == 1L)
+    assert(r.getAs[Long]("p") == 1L)
     assert(r.getAs[Int]("d") == 13) // 1 555 123 4567 42
+  }
+
+  test("regex_count matches size(regexp_extract_all) on edge inputs") {
+    import graft.expressions.TextExprs
+    val rows = Seq(
+      "a@b.co c@d.org plain", "", "no matches here",
+      "x@y.zz@w.qq", "tab\t a@b.cc \n d@e.ff")
+    val df = rows.toDF("t")
+    for (p <- Seq(TextAnalysis.EmailPattern, TextAnalysis.PhonePattern, "a*")) {
+      val got = df.select(TextExprs.regex_count(col("t"), p)).as[Long].collect().toSeq
+      val want = df.select(
+        size(regexp_extract_all(col("t"), lit(p), lit(0))).cast("long"))
+        .as[Long].collect().toSeq
+      assert(got == want, s"pattern $p: $got vs $want")
+    }
   }
 
   test("trigram langid separates two synthetic 'languages'") {
