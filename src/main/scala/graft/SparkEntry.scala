@@ -883,6 +883,16 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** X64 typo-level near-dup over part names: blocked edit-distance
+    * pairs (block = first name token), top-20 closest. */
+  def editPairs(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    Dedup.editDistancePairs(parts, "p_partkey",
+      lower(col("p_name")), split(lower(col("p_name")), " ").getItem(0), maxDist = 4)
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   /** X63 generic as-of join (latest signup value at each click): union +
     * one keyed window instead of a range join — |L|+|R| rows through one
     * shuffle-sort. Oracle: DuckDB's native ASOF JOIN. */
@@ -1192,6 +1202,7 @@ object SparkEntry {
     "q70_cross_lang" -> crossLangContent _,
     "q71_source_drift" -> sourceDrift _,
     "q72_asof_join" -> asofJoin _,
+    "q73_edit_pairs" -> editPairs _,
   )
 
   private val stopwordsSqlList: String =
@@ -2328,6 +2339,18 @@ object SparkEntry {
         |  s.signup_value AS asof_signup_value
         |FROM c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts >= s.s_ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    "q73_edit_pairs" ->
+      """WITH p AS (
+        |  SELECT p_partkey, lower(p_name) AS t,
+        |    string_split(lower(p_name), ' ')[1] AS blk
+        |  FROM part
+        |)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.t, b.t) <= 4
+        |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -75,6 +75,26 @@ object Dedup {
 
   /** Exact Jaccard over two distinct-element array columns.
     * |∩| / (|A| + |B| − |∩|): single double division, cross-engine exact. */
+  /** Blocked edit-distance pairs — typo-level near-dup for SHORT strings
+    * (titles, product names, speaker labels) where token shingles are too
+    * coarse. All-pairs Levenshtein is O(n²·len²); the block key (caller-
+    * chosen: first token, length bucket, phonetic code) bounds each
+    * comparison group, so the plan is an equi-join on the block plus a
+    * map-side `levenshtein` filter — same scale story as every banded
+    * join here. Pairs within a block are attributed exactly once
+    * (idA < idB). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: Column,
+      blockExpr: Column, maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), textCol.as("_t"), blockExpr.as("_blk"))
+    val a = base.select(col("_blk"), col("_id").as("id_a"), col("_t").as("t_a"))
+    val b = base.select(col("_blk"), col("_id").as("id_b"), col("_t").as("t_b"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
