@@ -182,6 +182,13 @@ object Main {
           spark.read.parquet(updatesPath), Seq(keyCol), partCol)
         println(s"merged $updatesPath into $layer -> $dir")
 
+      case "diff" =>
+        val Array(_, base, layer, v1, v2, keyCol) = args.take(6)
+        val d = graft.ingest.Diff.changes(spark, base, layer,
+          v1.toInt, v2.toInt, Seq(keyCol))
+        d.groupBy("_change").count().orderBy("_change").show()
+        d.show(50, truncate = false)
+
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -200,5 +207,6 @@ object Main {
       |  vacuum <lakeDir> <layer>
       |  rollback <lakeDir> <layer> <keepVersion>
       |  versions <lakeDir> <layer>
-      |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol>""".stripMargin)
+      |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol>
+      |  diff <lakeDir> <layer> <fromV> <toV> <keyCol>""".stripMargin)
 }

@@ -133,6 +133,24 @@ object Layout {
     Merge.readResolved(spark, base, layer, version)
   }
 
+  /** Time travel by TIMESTAMP: the newest version committed at or before
+    * `epochMs` (commit-marker mtime is the commit instant — the marker is
+    * created exactly once, so its mtime never drifts). Errors name the
+    * earliest available commit when `epochMs` predates everything. */
+  def loadAsOf(spark: SparkSession, base: String, layer: String, epochMs: Long): DataFrame = {
+    val f = fs(spark, base)
+    val stamped = committedVersions(spark, base, layer).map { v =>
+      v -> f.getFileStatus(new Path(versionedDir(base, layer, v), CommitMarker))
+        .getModificationTime
+    }
+    val eligible = stamped.filter(_._2 <= epochMs)
+    val v = eligible.lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $layer committed at or before $epochMs" +
+          stamped.headOption.map(s => s" (earliest: v${s._1} at ${s._2})").getOrElse("")))
+    loadVersion(spark, base, layer, v)
+  }
+
   /** Roll back by un-publishing: delete the commit markers of every
     * version above `keep` — data stays on disk (re-`commit` restores a
     * version; [[vacuum]] reclaims it). Returns the versions unpublished. */

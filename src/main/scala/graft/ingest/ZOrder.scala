@@ -88,6 +88,7 @@ object ZOrder {
     * of them. */
   def pack(df: DataFrame, zCols: Seq[String], nFiles: Int,
       bits: Int = DefaultBits): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val z = zValue(df, zCols, bits)
     df.withColumn("_zorder", z)
       .repartitionByRange(nFiles, col("_zorder"))

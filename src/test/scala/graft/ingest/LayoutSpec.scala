@@ -158,4 +158,21 @@ class LayoutSpec extends AnyFunSuite {
     Ingest.writeNormalized(more, out, mode = "append")
     assert(spark.read.parquet(out).count() == 3)
   }
+
+  test("time travel by timestamp picks the version committed at that instant") {
+    val base = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    import spark.implicits._
+    Layout.writeVersioned(Seq(1).toDF("v"), base, "normalized")
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    Layout.writeVersioned(Seq(1, 2).toDF("v"), base, "normalized")
+
+    assert(Layout.loadAsOf(spark, base, "normalized", between).count() == 1)
+    assert(Layout.loadAsOf(spark, base, "normalized",
+      System.currentTimeMillis()).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Layout.loadAsOf(spark, base, "normalized", between - 1000000L)
+    }
+    assert(e.getMessage.contains("earliest"))
+  }
 }
