@@ -883,6 +883,20 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** X66 latest-row-per-key (CDC log compaction as a query): each user's
+    * most recent event by (ts, event_id). One keyed window, top-1 —
+    * the read-side form of MERGE's last-wins rule. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("user_id")
+  }
+
   /** X64 typo-level near-dup over part names: blocked edit-distance
     * pairs (block = first name token), top-20 closest. */
   def editPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -1203,6 +1217,7 @@ object SparkEntry {
     "q71_source_drift" -> sourceDrift _,
     "q72_asof_join" -> asofJoin _,
     "q73_edit_pairs" -> editPairs _,
+    "q74_latest_per_key" -> latestPerKey _,
   )
 
   private val stopwordsSqlList: String =
@@ -2351,6 +2366,17 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.t, b.t) <= 4
         |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q74_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type,
+        |    round(value, 6) AS value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ts, event_type, value
+        |FROM r WHERE rnk = 1 ORDER BY user_id""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
