@@ -884,25 +884,31 @@ object SparkEntry {
   }
 
   /** X66 latest-row-per-key (CDC log compaction as a query): each user's
-    * most recent event by (ts, event_id). One keyed window, top-1 —
-    * the read-side form of MERGE's last-wins rule. */
-  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+    * most recent event by (ts, event_id) — the read-side form of MERGE's
+    * last-wins rule. `max_by` over a lexicographic struct key instead of
+    * a window top-1: the aggregate partial-merges map-side, so only one
+    * candidate row per (task, user) reaches the shuffle where the window
+    * form would shuffle-sort EVERY event of every user. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
-        round(col("value"), 6).as("value"))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.ts").as("ts"), col("r.event_type").as("event_type"),
+        round(col("r.value"), 6).as("value"))
       .orderBy("user_id")
-  }
 
-  /** X64 typo-level near-dup over part names: blocked edit-distance
-    * pairs (block = first name token), top-20 closest. */
+  /** X64 typo-level near-dup over part names: DISTINCT names first (short-
+    * string corpora repeat massively — 20k rows share 64 names at sf0.1,
+    * so pairing raw rows squares a 400× redundancy), then blocked
+    * edit-distance pairs (block = first name token), top-20 closest. */
   def editPairs(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.part(spark, dir)
-    Dedup.editDistancePairs(parts, "p_partkey",
-      lower(col("p_name")), split(lower(col("p_name")), " ").getItem(0), maxDist = 4)
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("nm")).distinct()
+    Dedup.editDistancePairs(names, "nm",
+      col("nm"), split(col("nm"), " ").getItem(0), maxDist = 4)
       .orderBy(col("dist"), col("id_a"), col("id_b"))
       .limit(20)
   }
@@ -2357,14 +2363,14 @@ object SparkEntry {
 
     "q73_edit_pairs" ->
       """WITH p AS (
-        |  SELECT p_partkey, lower(p_name) AS t,
-        |    string_split(lower(p_name), ' ')[1] AS blk
-        |  FROM part
+        |  SELECT DISTINCT lower(p_name) AS nm FROM part
+        |), b AS (
+        |  SELECT nm, string_split(nm, ' ')[1] AS blk FROM p
         |)
-        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.t, b.t) <= 4
+        |SELECT x.nm AS id_a, y.nm AS id_b,
+        |  CAST(levenshtein(x.nm, y.nm) AS INTEGER) AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.nm < y.nm
+        |WHERE levenshtein(x.nm, y.nm) <= 4
         |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin,
 
     "q74_latest_per_key" ->
