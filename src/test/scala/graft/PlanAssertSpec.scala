@@ -76,6 +76,15 @@ class PlanAssertSpec extends AnyFunSuite {
       s"lang totals (one row per language) must broadcast:\n${plan.take(3000)}")
   }
 
+  test("q74 latest-per-key partial-aggregates instead of window-sorting all events") {
+    val plan = planOf("q74_latest_per_key")
+    assert(!plan.contains("Window"),
+      s"max_by must replace the window top-1 (partial merge map-side):\n${plan.take(3000)}")
+    assert(plan.contains("max_by") || plan.contains("HashAggregate") ||
+      plan.contains("SortAggregate") || plan.contains("ObjectHashAggregate"),
+      s"expected an aggregate-based plan:\n${plan.take(3000)}")
+  }
+
   test("q59 mixture weights: totals ride along as a broadcast, no global window") {
     val plan = planOf("q59_domain_mixture")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
