@@ -932,32 +932,21 @@ object SparkEntry {
       .orderBy("user_id", "ts", "event_id")
   }
 
-  /** X60 per-source duplication rate — the "which domain is spammy"
-    * curation signal: exact-dup keyed on the normalized-text poly-hash,
-    * distinct+count per source (no Expand). */
-  def sourceDupRates(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.documents(spark, dir)
-      .select(col("source"), Hashes.polyHash(TF.normalizeWs(col("text"))).as("h"))
-    val nDocs = hashed.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val nDistinct = hashed.distinct()
-      .groupBy("source").agg(count(lit(1)).as("n_distinct"))
-    nDocs.join(nDistinct, "source")
-      .withColumn("dup_rate",
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6))
-      .orderBy("source")
-  }
+  /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
+  def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
+    Corpus.sourceDupRates(Tables.documents(spark, dir))
 
-  /** X61 cross-language contamination: identical normalized content
-    * appearing under more than one language label — a labeling-quality
-    * red flag. distinct (hash, lang) pairs → per-hash lang count. */
-  def crossLangContent(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
-      .select(Hashes.polyHash(TF.normalizeWs(col("text"))).as("h"), col("lang"))
-      .distinct()
-    val perHash = pairs.groupBy("h").agg(count(lit(1)).as("n_langs"))
-    perHash.groupBy("n_langs").agg(count(lit(1)).as("n_contents"))
-      .orderBy("n_langs")
-  }
+  /** X61 cross-language contamination ([[Corpus.crossLangContent]]). */
+  def crossLangContent(spark: SparkSession, dir: String): DataFrame =
+    Corpus.crossLangContent(Tables.documents(spark, dir))
+
+  /** X68 per-source type-token ratio ([[Corpus.typeTokenRatio]]). */
+  def typeTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    Corpus.typeTokenRatio(Tables.documents(spark, dir))
+
+  /** X69 per-source bigram novelty ([[Corpus.sourceNovelty]]). */
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame =
+    Corpus.sourceNovelty(Tables.documents(spark, dir))
 
   /** X62 per-source length-distribution drift: chi-square of each
     * source's token-length histogram against the corpus-wide
@@ -1224,6 +1213,8 @@ object SparkEntry {
     "q72_asof_join" -> asofJoin _,
     "q73_edit_pairs" -> editPairs _,
     "q74_latest_per_key" -> latestPerKey _,
+    "q75_type_token" -> typeTokenRatio _,
+    "q76_source_novelty" -> sourceNovelty _,
   )
 
   private val stopwordsSqlList: String =
@@ -2383,6 +2374,35 @@ object SparkEntry {
         |)
         |SELECT user_id, event_id, ts, event_type, value
         |FROM r WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+
+    "q75_type_token" ->
+      s"""WITH tk AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents
+        |), totals AS (
+        |  SELECT source, count(*) AS n_tokens FROM tk GROUP BY source
+        |), types AS (
+        |  SELECT source, count(*) AS n_types
+        |  FROM (SELECT DISTINCT source, tok FROM tk) GROUP BY source
+        |)
+        |SELECT t.source, t.n_tokens, y.n_types,
+        |  round(CAST(y.n_types AS DOUBLE) / t.n_tokens, 6) AS ttr
+        |FROM totals t JOIN types y ON t.source = y.source
+        |ORDER BY t.source""".stripMargin,
+
+    "q76_source_novelty" ->
+      s"""WITH t0 AS (
+        |  SELECT source, $toksSql AS tk FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source, unnest($bigramsFromTkSql) AS g FROM t0
+        |), spread AS (
+        |  SELECT g, count(*) AS n_sources FROM g GROUP BY g
+        |)
+        |SELECT g.source, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1.0 / count(*), 6) AS novelty
+        |FROM g JOIN spread ON g.g = spread.g
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -138,7 +138,11 @@ object Main {
           "boilerplate" -> Corpus.boilerplateStats(docs),
           "tfidf_terms" -> Corpus.tfidfTopTerms(docs),
           "packing_stats" -> Corpus.packingStats(docs),
-          "pack_assignments" -> Corpus.packAssignments(docs))
+          "pack_assignments" -> Corpus.packAssignments(docs),
+          "source_dup_rates" -> Corpus.sourceDupRates(docs),
+          "cross_lang" -> Corpus.crossLangContent(docs),
+          "type_token" -> Corpus.typeTokenRatio(docs),
+          "source_novelty" -> Corpus.sourceNovelty(docs))
         reports.foreach { case (name, df) =>
           df.write.mode("overwrite").parquet(s"$outDir/$name")
         }

@@ -208,6 +208,68 @@ object Corpus {
       .orderBy("lang", "rnk")
   }
 
+  // ---- source analytics (q69-q71, q75-q76) --------------------------
+
+  /** Per-source duplication rate — the "which domain is spammy" signal:
+    * exact-dup keyed on the normalized-text poly-hash, distinct+count
+    * per source (no Expand). */
+  def sourceDupRates(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("source"),
+      Hashes.polyHash(TF.normalizeWs(col("text"))).as("h"))
+    val nDocs = hashed.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val nDistinct = hashed.distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    nDocs.join(nDistinct, "source")
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** Identical normalized content under more than one language label —
+    * a labeling-quality red flag. */
+  def crossLangContent(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(
+      Hashes.polyHash(TF.normalizeWs(col("text"))).as("h"), col("lang"))
+      .distinct()
+    pairs.groupBy("h").agg(count(lit(1)).as("n_langs"))
+      .groupBy("n_langs").agg(count(lit(1)).as("n_contents"))
+      .orderBy("n_langs")
+  }
+
+  /** Type-token ratio per source: corpus-level lexical diversity (the
+    * curation signal that catches template-generated or looping spam
+    * even when per-doc stats look fine). distinct+count, one scan. */
+  def typeTokenRatio(docs: DataFrame): DataFrame = {
+    val toksExploded = docs.select(col("source"), explode(toks).as("tok"))
+    val totals = toksExploded.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val types = toksExploded.distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_types"))
+    totals.join(types, "source")
+      .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  /** Bigram novelty per source: the fraction of a source's distinct
+    * bigrams that appear in NO other source — high novelty means the
+    * source adds variety, near-zero means it restates the corpus. One
+    * exploded distinct, one bigram-keyed count, one broadcast-light join
+    * back (the distinct-bigram frame is vocabulary-sized). */
+  def sourceNovelty(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"), toks.as("tk"))
+      .select(col("source"), explode(TF.wordShinglesOfTokens(col("tk"), 2)).as("g"))
+      .distinct()
+    val spread = grams.groupBy("g").agg(count(lit(1)).as("n_sources"))
+    grams.join(spread, "g")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_bigrams"), 6))
+      .orderBy("source")
+  }
+
   // ---- sequence packing (q62) ---------------------------------------
 
   /** Token-budget sequence-packing statistics: docs are laid out in
