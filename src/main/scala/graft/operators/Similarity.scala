@@ -255,6 +255,25 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("sim")): _*)
   }
+
+  /** The IVF regime of [[cosinePairsAbove]] — the path the guard names:
+    * vectors are coarse-quantized to cells (sample-trained centroids, one
+    * map-only assignment) and exact pairs are found WITHIN each cell.
+    * The self-join key becomes cell_id, so the corpus-wide O(n²) falls to
+    * Σ cell² — near-dup pairs sit close in embedding space, so recall
+    * loss is confined to pairs straddling a cell boundary (measured in
+    * tests on clustered data; raise nCells for tighter cells or run twice
+    * with different seeds and union for higher recall). */
+  def cosinePairsAboveIvf(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int): DataFrame = {
+    val cents = trainIvfCentroids(df, idCol, vecCol, nCells)
+    val assigned = assignToNearest(
+      df.select(col(idCol).as("_id"), VF.vecAsDouble(col(vecCol)).as("_v")), cents)
+    cosinePairsAbove(
+      assigned.select(col("cell_id"), col("_id").as(idCol), col("_v").as(vecCol)),
+      idCol, vecCol, threshold, blockCols = Seq("cell_id"))
+      .select("id_a", "id_b", "sim")
+  }
 }
 
 /** JVM-side kernels for [[Similarity.topPairsExactBlocked]]. Kept free of

@@ -115,6 +115,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("IVF"))
   }
 
+  test("IVF-bucketed pairs recover most high-sim pairs of clustered data") {
+    // three tight blobs: all qualifying pairs are intra-blob, and tight
+    // blobs land in one cell each, so recall should be high
+    val rows = for (b <- 0 until 3; i <- 0 until 12) yield {
+      val base = Array.fill(8)(0.0)
+      base(b) = 10.0
+      base(7) = (i % 4) * 0.05
+      (b.toLong * 100 + i, base.toSeq)
+    }
+    val df = rows.toDF("vid", "vec")
+    val exact = Similarity.cosinePairsAbove(df, "vid", "vec", 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.cosinePairsAboveIvf(df, "vid", "vec", 0.999, nCells = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), "IVF must never invent pairs")
+    assert(exact.nonEmpty)
+    assert(ivf.size.toDouble / exact.size >= 0.9,
+      s"recall ${ivf.size}/${exact.size}")
+  }
+
   test("cosinePairsAbove finds planted identical pair") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)),
