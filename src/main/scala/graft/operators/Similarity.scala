@@ -240,7 +240,7 @@ object Similarity {
       maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
     if (blockCols.isEmpty)
       Guards.requireAtMost(df, maxRows, "cosinePairsAbove",
-        "pass blockCols to bound the self-join, or use the IVF path for the approximate regime")
+        "pass blockCols to bound the self-join, or use cosinePairsAboveIvf for the approximate regime")
     val base = df.select((blockCols.map(col) :+ col(idCol) :+
       VF.vecAsDouble(col(vecCol)).as("_v")): _*)
     val a = base.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col("_v").as("va")): _*)
