@@ -98,6 +98,14 @@ class ZOrderSpec extends AnyFunSuite {
       df.as[(Long, String)].collect().toSet)
   }
 
+  test("z-value is injective over a full integer grid (no interleave collisions)") {
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    val n = df.select(ZOrder.zValue(df, Seq("x", "y")).as("z"))
+      .distinct().count()
+    assert(n == 4096, s"expected 4096 distinct z-values, got $n")
+  }
+
   test("degenerate inputs: constant column and fewer than two cols") {
     val df = spark.range(100).select(col("id").as("a"), lit(5L).as("b"))
     // constant column contributes nothing but must not break
