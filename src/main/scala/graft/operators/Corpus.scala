@@ -129,6 +129,41 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** APPLY form of [[curriculumDeciles]]: the kept rows themselves.
+    * Same deterministic rule (poly-hash of doc_id < decile), so the kept
+    * set is exactly the one the stats query counts. */
+  def applyCurriculum(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    docs
+      .withColumn("score", TextAnalysis.qualityScore(col("text")))
+      .withColumn("decile", ntile(10).over(w))
+      .filter(pmod(Hashes.polyHash(col("doc_id").cast("string")), lit(10)) < col("decile"))
+      .drop("score", "decile")
+  }
+
+  /** APPLY form of [[mixtureWeights]]: deterministically resample each
+    * source to ~weight× its rows — floor(w) whole copies per row plus one
+    * extra copy gated on a per-row hash against the fractional part.
+    * Distributed as an explode over a bounded copy sequence (weights are
+    * capped); expected output per source = n·w exactly, realized output
+    * deterministic for a fixed corpus. */
+  def applyMixture(docs: DataFrame, cap: Double = 3.0): DataFrame = {
+    val weights = mixtureWeights(docs, cap)
+      .select(col("source"), (col("mix_weight")).as("w"))
+    val maxCopies = math.ceil(cap).toInt
+    docs.join(broadcast(weights), "source")
+      .withColumn("_copy", explode(sequence(lit(1), least(
+        ceil(col("w")).cast("int"), lit(maxCopies)))))
+      .withColumn("_frac", col("w") - floor(col("w")))
+      // copies 1..floor(w) always survive; the ceil(w)-th copy survives
+      // with probability frac via a uniform-ish hash in [0,1)
+      .filter(col("_copy") <= floor(col("w")) ||
+        (pmod(Hashes.polyHash(concat_ws("#", col("doc_id").cast("string"),
+          col("_copy").cast("string"))), lit(1000003L)).cast("double") / 1000003.0)
+          < col("_frac"))
+      .drop("_copy", "_frac", "w")
+  }
+
   // ---- boilerplate (q60) --------------------------------------------
 
   /** Boilerplate n-gram detection (C4-style, public method: Raffel et

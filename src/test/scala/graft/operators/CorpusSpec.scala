@@ -92,6 +92,32 @@ class CorpusSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Int]("rnk") <= 5))
   }
 
+  test("applyCurriculum keeps exactly the rows the decile stats count") {
+    val d = docs((1L to 40L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w" + i).mkString(" "), "en", "s0")): _*)
+    val expected = Corpus.curriculumDeciles(d)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(Corpus.applyCurriculum(d).count() == expected)
+    // schema untouched by the apply
+    assert(Corpus.applyCurriculum(d).columns.toSeq == d.columns.toSeq)
+  }
+
+  test("applyMixture upsamples rare sources by their capped weight, deterministically") {
+    val d = docs(
+      ((1L to 90L).map(i => (i, "x", "en", "big")) ++
+        (91L to 100L).map(i => (i, "x", "en", "rare"))): _*)
+    val out = Corpus.applyMixture(d)
+    // rare: weight capped at exactly 3.0 → exactly 3 copies of 10 rows
+    assert(out.filter(org.apache.spark.sql.functions.col("source") === "rare")
+      .count() == 30)
+    // big: weight 0.5555… → roughly half kept, and deterministic
+    val big1 = out.filter(org.apache.spark.sql.functions.col("source") === "big").count()
+    val big2 = Corpus.applyMixture(d)
+      .filter(org.apache.spark.sql.functions.col("source") === "big").count()
+    assert(big1 == big2)
+    assert(big1 > 30 && big1 < 70, s"big kept $big1 of 90")
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")
