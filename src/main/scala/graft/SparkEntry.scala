@@ -932,6 +932,35 @@ object SparkEntry {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** X72 bigram collocations with PMI: top-20 most frequent word pairs
+    * scored by pointwise mutual information from exact corpus counts —
+    * the classic collocation-extraction operator. Ranking is by the
+    * exact integer count (PMI is a derived display value), unigram
+    * tables join keyed on the word. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(TF.tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val totals = broadcast(uni.agg(
+      sum(col("nw")).as("_tok_total"), count(lit(1)).as("_vocab")))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(explode(TF.wordShinglesOfTokens(col("tk"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("nab"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val biTotal = broadcast(bi.agg(sum(col("nab")).as("_bi_total")))
+    bi.join(uni.select(col("w").as("w1"), col("nw").as("na")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("nb")), "w2")
+      .crossJoin(totals).crossJoin(biTotal)
+      .withColumn("pmi", round(log(
+        (col("nab").cast("double") / col("_bi_total")) /
+          ((col("na").cast("double") / col("_tok_total")) *
+            (col("nb").cast("double") / col("_tok_total")))), 6))
+      .select(col("bg").as("bigram"), col("nab").as("n"), col("na"), col("nb"), col("pmi"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1215,6 +1244,7 @@ object SparkEntry {
     "q74_latest_per_key" -> latestPerKey _,
     "q75_type_token" -> typeTokenRatio _,
     "q76_source_novelty" -> sourceNovelty _,
+    "q77_collocations" -> collocations _,
   )
 
   private val stopwordsSqlList: String =
@@ -2403,6 +2433,29 @@ object SparkEntry {
         |    * 1.0 / count(*), 6) AS novelty
         |FROM g JOIN spread ON g.g = spread.g
         |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    "q77_collocations" ->
+      s"""WITH t AS (
+        |  SELECT $toksSql AS tk FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS nw FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(sum(nw) AS BIGINT) AS tok_total FROM uni
+        |), bi AS (
+        |  SELECT bg, count(*) AS nab,
+        |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |  FROM (SELECT unnest($bigramsFromTkSql) AS bg FROM t WHERE len(tk) >= 2)
+        |  GROUP BY bg
+        |), bt AS (
+        |  SELECT CAST(sum(nab) AS BIGINT) AS bi_total FROM bi
+        |)
+        |SELECT bi.bg AS bigram, bi.nab AS n, a.nw AS na, b.nw AS nb,
+        |  round(ln((CAST(bi.nab AS DOUBLE) / bt.bi_total)
+        |    / ((CAST(a.nw AS DOUBLE) / tot.tok_total)
+        |       * (CAST(b.nw AS DOUBLE) / tot.tok_total))), 6) AS pmi
+        |FROM bi JOIN uni a ON bi.w1 = a.w
+        |JOIN uni b ON bi.w2 = b.w, tot, bt
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
