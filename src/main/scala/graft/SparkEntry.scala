@@ -961,6 +961,26 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** X73 head coverage per language: the token share of the 10 most
+    * frequent terms — the head-heaviness / Zipf-mass signal that flags
+    * repetitive or templated languages. All-integer until one final
+    * division; the ranking window runs over the vocabulary-sized term
+    * table, not tokens. */
+  def headCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("nw"))
+    val w = Window.partitionBy("lang").orderBy(col("nw").desc, col("w"))
+    val top = terms.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .groupBy("lang").agg(sum(col("nw")).as("top10_tokens"))
+    val totals = terms.groupBy("lang").agg(sum(col("nw")).as("n_tokens"))
+    totals.join(top, "lang")
+      .withColumn("head_coverage",
+        round(col("top10_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy("lang")
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1245,6 +1265,7 @@ object SparkEntry {
     "q75_type_token" -> typeTokenRatio _,
     "q76_source_novelty" -> sourceNovelty _,
     "q77_collocations" -> collocations _,
+    "q78_head_coverage" -> headCoverage _,
   )
 
   private val stopwordsSqlList: String =
@@ -2456,6 +2477,25 @@ object SparkEntry {
         |FROM bi JOIN uni a ON bi.w1 = a.w
         |JOIN uni b ON bi.w2 = b.w, tot, bt
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q78_head_coverage" ->
+      s"""WITH terms AS (
+        |  SELECT lang, w, count(*) AS nw
+        |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+        |  GROUP BY lang, w
+        |), top AS (
+        |  SELECT lang, CAST(sum(nw) AS BIGINT) AS top10_tokens FROM (
+        |    SELECT lang, nw,
+        |      row_number() OVER (PARTITION BY lang ORDER BY nw DESC, w) AS rnk
+        |    FROM terms
+        |  ) WHERE rnk <= 10 GROUP BY lang
+        |), totals AS (
+        |  SELECT lang, CAST(sum(nw) AS BIGINT) AS n_tokens FROM terms GROUP BY lang
+        |)
+        |SELECT t.lang, t.n_tokens, p.top10_tokens,
+        |  round(CAST(p.top10_tokens AS DOUBLE) / t.n_tokens, 6) AS head_coverage
+        |FROM totals t JOIN top p ON t.lang = p.lang
+        |ORDER BY t.lang""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
