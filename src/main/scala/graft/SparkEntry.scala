@@ -981,6 +981,32 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** X74 behavioral-diversity histogram: Shannon entropy of each user's
+    * event-type mix, bucketed. The per-user entropy is a FIXED-ORDER
+    * expression tree over conditional counts (click, error, purchase,
+    * signup, view in that order) — an aggregated Σ p·ln p would sum in
+    * nondeterministic order and drift in the last ulp cross-engine. */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val perUser = Tables.events(spark, dir).groupBy("user_id")
+      .agg(n(types.head), types.tail.map(n): _*)
+      .withColumn("n_all", types.map(t => col(s"n_$t")).reduce(_ + _))
+    def term(t: String) = {
+      val p = col(s"n_$t").cast("double") / col("n_all")
+      when(col(s"n_$t") === 0L, lit(0.0)).otherwise(p * log(p))
+    }
+    val h = types.map(term).reduce(_ + _) * lit(-1.0)
+    val binned = perUser.withColumn("h", h)
+      .withColumn("bin", Stats.binIndex(col("h"), Seq(0.4, 0.8, 1.2, 1.6)))
+    binned.groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round((sum(col("h").cast("decimal(20,12)")).cast("double") / count(lit(1))), 6)
+          .as("avg_entropy"))
+      .orderBy("bin")
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1266,6 +1292,7 @@ object SparkEntry {
     "q76_source_novelty" -> sourceNovelty _,
     "q77_collocations" -> collocations _,
     "q78_head_coverage" -> headCoverage _,
+    "q79_user_entropy" -> userEntropy _,
   )
 
   private val stopwordsSqlList: String =
@@ -2496,6 +2523,35 @@ object SparkEntry {
         |  round(CAST(p.top10_tokens AS DOUBLE) / t.n_tokens, 6) AS head_coverage
         |FROM totals t JOIN top p ON t.lang = p.lang
         |ORDER BY t.lang""".stripMargin,
+
+    "q79_user_entropy" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    count(*) AS n_all
+        |  FROM events GROUP BY user_id
+        |), h AS (
+        |  SELECT user_id,
+        |    -1.0 * (
+        |      (CASE WHEN n_click = 0 THEN 0.0 ELSE (CAST(n_click AS DOUBLE)/n_all) * ln(CAST(n_click AS DOUBLE)/n_all) END)
+        |      + (CASE WHEN n_error = 0 THEN 0.0 ELSE (CAST(n_error AS DOUBLE)/n_all) * ln(CAST(n_error AS DOUBLE)/n_all) END)
+        |      + (CASE WHEN n_purchase = 0 THEN 0.0 ELSE (CAST(n_purchase AS DOUBLE)/n_all) * ln(CAST(n_purchase AS DOUBLE)/n_all) END)
+        |      + (CASE WHEN n_signup = 0 THEN 0.0 ELSE (CAST(n_signup AS DOUBLE)/n_all) * ln(CAST(n_signup AS DOUBLE)/n_all) END)
+        |      + (CASE WHEN n_view = 0 THEN 0.0 ELSE (CAST(n_view AS DOUBLE)/n_all) * ln(CAST(n_view AS DOUBLE)/n_all) END)
+        |    ) AS h
+        |  FROM u
+        |), b AS (
+        |  SELECT CASE WHEN h < 0.4 THEN -1 WHEN h < 0.8 THEN 0
+        |              WHEN h < 1.2 THEN 1 WHEN h < 1.6 THEN 2 ELSE 3 END AS bin, h
+        |  FROM h
+        |)
+        |SELECT bin, count(*) AS n_users,
+        |  round(CAST(sum(CAST(h AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_entropy
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
