@@ -981,6 +981,42 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** X75 session-basket type affinity: association lift between event
+    * types co-occurring in the same time-gap session (market-basket
+    * analysis over the event stream). All counts exact; lift is one
+    * double ratio of exact integers. The pair join is keyed on
+    * (user, session) and types are a bounded vocabulary, so the pair
+    * space is tiny. */
+  def typeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val s = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val st = s.select("user_id", "session_seq", "event_type").distinct()
+    val nS = broadcast(st.select("user_id", "session_seq").distinct()
+      .agg(count(lit(1)).as("n_sessions")))
+    val perType = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = st.select(col("user_id"), col("session_seq"), col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("session_seq"), col("event_type").as("type_b")),
+        Seq("user_id", "session_seq"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("na"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_t").as("nb"))), "type_b")
+      .crossJoin(nS)
+      .withColumn("lift", round(
+        (col("n_ab").cast("double") * col("n_sessions")) /
+          (col("na").cast("double") * col("nb")), 6))
+      .select("type_a", "type_b", "n_ab", "lift")
+      .orderBy("type_a", "type_b")
+  }
+
   /** X74 behavioral-diversity histogram: Shannon entropy of each user's
     * event-type mix, bucketed. The per-user entropy is a FIXED-ORDER
     * expression tree over conditional counts (click, error, purchase,
@@ -1293,6 +1329,7 @@ object SparkEntry {
     "q77_collocations" -> collocations _,
     "q78_head_coverage" -> headCoverage _,
     "q79_user_entropy" -> userEntropy _,
+    "q80_type_affinity" -> typeAffinity _,
   )
 
   private val stopwordsSqlList: String =
@@ -2552,6 +2589,40 @@ object SparkEntry {
         |SELECT bin, count(*) AS n_users,
         |  round(CAST(sum(CAST(h AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_entropy
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q80_type_affinity" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events
+        |), l AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > 600000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM l
+        |), st AS (
+        |  SELECT DISTINCT user_id, session_seq, event_type FROM s
+        |), ns AS (
+        |  SELECT count(*) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, session_seq FROM st)
+        |), pt AS (
+        |  SELECT event_type, count(*) AS n_t FROM st GROUP BY event_type
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type
+        |)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |  round((CAST(p.n_ab AS DOUBLE) * ns.n_sessions)
+        |    / (CAST(a.n_t AS DOUBLE) * b.n_t), 6) AS lift
+        |FROM pairs p
+        |JOIN pt a ON p.type_a = a.event_type
+        |JOIN pt b ON p.type_b = b.event_type, ns
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the
