@@ -85,6 +85,21 @@ class PlanAssertSpec extends AnyFunSuite {
       s"expected an aggregate-based plan:\n${plan.take(3000)}")
   }
 
+  test("q80 affinity: per-type tables broadcast; no cartesian in the pair join") {
+    val plan = planOf("q80_type_affinity")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"type-count sides must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join must be keyed on (user, session):\n${plan.take(3000)}")
+  }
+
+  test("q78 head coverage: ranking window reads the term table, events prune to two columns") {
+    val plan = planOf("q78_head_coverage")
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>") ||
+      plan.contains("ReadSchema: struct<lang:string,text:string>"),
+      s"documents must prune to (lang, text):\n${plan.take(3000)}")
+  }
+
   test("q59 mixture weights: totals ride along as a broadcast, no global window") {
     val plan = planOf("q59_domain_mixture")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
