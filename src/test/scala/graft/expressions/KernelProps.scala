@@ -1,0 +1,72 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the codegen kernels against naive reference
+  * implementations — pure JVM, no Spark session, so hundreds of cases
+  * cost milliseconds. A counterexample here is a silent wrong answer in
+  * every query the kernel backs. */
+object KernelProps extends Properties("kernels") {
+
+  private val strGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('é')))
+      .map(_.mkString.take(60))
+
+  property("distinctCharNgrams matches the naive code-point windowing") =
+    forAll(strGen, Gen.chooseNum(1, 5)) { (s, n) =>
+      val got = TextKernels.distinctCharNgrams(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val cps = s.codePoints().toArray
+      val want = (0 to cps.length - n)
+        .map(i => new String(cps, i, n)).distinct
+      got == want
+    }
+
+  property("regexCount equals the matcher loop for arbitrary safe patterns") =
+    forAll(strGen, Gen.oneOf("[a-z]+", "[0-9]", "x*", "\\s")) { (s, p) =>
+      val pat = java.util.regex.Pattern.compile(p)
+      val m = pat.matcher(s)
+      var c = 0L
+      while (m.find()) c += 1
+      TextKernels.regexCount(UTF8String.fromString(s), pat) == c
+    }
+
+  private val sortedLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted.toArray)
+
+  property("sortedIntersectCount equals set-intersection size") =
+    forAll(sortedLongs, sortedLongs) { (a, b) =>
+      HashKernels.sortedIntersectCount(
+        new GenericArrayData(a.map(Long.box(_): Any)),
+        new GenericArrayData(b.map(Long.box(_): Any))) ==
+        a.toSet.intersect(b.toSet).size.toLong
+    }
+
+  property("simhashBits of identical hash arrays collide; empty gives 0") =
+    forAll(Gen.listOf(Gen.long).map(_.toArray)) { hs =>
+      val arr = new GenericArrayData(hs.map(Long.box(_): Any))
+      val a = HashKernels.simhashBits(arr, 30)
+      val b = HashKernels.simhashBits(arr, 30)
+      a == b && (hs.nonEmpty || a == 0L) && (a >> 30) == 0L
+    }
+
+  property("minhash slots never increase when the input set grows") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.nonEmptyListOf(Gen.long)) { (xs, extra) =>
+      val a = Dedup2.affine(4)
+      val base = HashKernels.minhashSlots(
+        new GenericArrayData(xs.map(Long.box(_): Any)), a._1, a._2)
+      val grown = HashKernels.minhashSlots(
+        new GenericArrayData((xs ++ extra).map(Long.box(_): Any)), a._1, a._2)
+      (0 until 4).forall(i => grown.getLong(i) <= base.getLong(i))
+    }
+
+  private object Dedup2 {
+    def affine(k: Int): (Array[Long], Array[Long]) = (
+      Array.tabulate(k)(i => graft.operators.Dedup.affineA(i)),
+      Array.tabulate(k)(i => graft.operators.Dedup.affineB(i)))
+  }
+}
