@@ -86,6 +86,57 @@ object Bench {
     (nVec, buildSec, 200L, searchSec)
   }
 
+  /** Production ANN configuration: pruned probe (nProbe << nCells), the
+    * path a user actually serves from — q56's oracle run deliberately
+    * probes every cell so it can be hash-compared to brute force, which
+    * makes it the SLOWEST configuration; this phase times the fast one
+    * and reports recall@k against exact brute-force cosine so the
+    * speed/recall trade is on the record (the same trade FAISS exposes
+    * via efSearch — reference faiss_builder.py:50-53). */
+  def annPrunedThroughput(spark: SparkSession, nVec: Long = 50000L,
+      dim: Int = 64, nCells: Int = 64, nProbe: Int = 4,
+      k: Int = 10): (Double, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_annp").toString + "/ivf"
+    // Clustered corpus: per-cluster center + 50% noise. IVF's recall
+    // contract assumes clusterable data (real embedding corpora are);
+    // on UNIFORM random vectors a query's true neighbors scatter across
+    // cells and no coarse quantizer can prune — measured recall@10 was
+    // 0.30 there, vs the clustered shape below where pruned probing is
+    // actually exercised the way production embeddings exercise it.
+    val cluster = col("id") % nCells
+    def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed * dim + i), lit(1000)).cast("double") / 500.0 - 1.0
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (u(cluster, i) + u(col("id") + 7919L * nVec, i) * 0.5)
+          .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    graft.index.VectorIndex.build(emb, "vec_id", "embedding", nCells, dir)
+    val queries = emb.limit(200).select(col("vec_id").as("query_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
+      .localCheckpoint(true)
+    def searchOnce(): Double = {
+      val t1 = System.nanoTime()
+      val got = graft.index.VectorIndex.search(spark, dir, queries, k, nProbe).count()
+      require(got > 0, "pruned ann search returned no rows")
+      (System.nanoTime() - t1) / 1e9
+    }
+    searchOnce() // warmup: codegen + centroid read
+    val searchSec = math.min(searchOnce(), searchOnce())
+    val qps = 200.0 / searchSec
+    // recall@k vs exact brute force over the same corpus — measured once,
+    // outside the timed window
+    val approx = graft.index.VectorIndex.search(spark, dir, queries, k, nProbe)
+      .select("query_id", "neighbor_id")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("nv"))
+    val exact = graft.operators.Similarity.topKExact(queries, corpus, k)
+      .select("query_id", "neighbor_id")
+    val denom = exact.count()
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+    (qps, hits.toDouble / denom)
+  }
+
   /** Full seven-category quality assessment (incl. embeddings and the
     * MinHash near-dup pass the reference SKIPS above 10k segments) over a
     * synthesized corpus at the baseline's published scale — directly
@@ -161,6 +212,9 @@ object Bench {
       case "ann" =>
         val (nVec, buildSec, nQ, searchSec) = annThroughput(spark)
         f"""{"vectors":$nVec,"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"search_queries":$nQ,"search_sec":$searchSec%.3f,"search_queries_per_sec":${(nQ / searchSec).toLong}}"""
+      case "ann_pruned" =>
+        val (qps, recall) = annPrunedThroughput(spark)
+        f"""{"qps":${qps.toLong},"recall":$recall%.3f}"""
       case "quality" =>
         val (nS, nB, sec) = qualityAssessThroughput(spark)
         f"""{"spans":$nS,"beats":$nB,"sec":$sec%.3f,"baseline_sec":200.46}"""
@@ -224,8 +278,25 @@ object Bench {
       .map(j => s""","ingest":$j""").getOrElse("")
     val annJson = forkPhase("ann")
       .map(j => s""","ann":$j""").getOrElse("")
+    val annPrunedJson = forkPhase("ann_pruned")
+      .map(j => s""","ann_pruned":$j""").getOrElse("")
     val qaJson = forkPhase("quality")
       .map(j => s""","quality_assess":$j""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson$annJson$qaJson}""")
+    val phases = ingestJson + annJson + annPrunedJson + qaJson
+
+    // Full artifact (long query names) goes to a FILE: round-5's official
+    // record lost q01-q15 because the driver captures only the stdout
+    // tail and the full-name line overflowed it. The stdout line below
+    // carries the SAME numbers under short keys (q01..qNN) so it stays
+    // well under the capture window and the permanent record never again
+    // depends on log-tail length.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$phases}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    val shortQs = qs.replaceAll("\"(q[0-9]+)_[a-z0-9_]+\":", "\"$1\":")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$phases,"detail":"$outFile"}""")
   }
 }

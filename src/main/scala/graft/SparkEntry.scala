@@ -1019,14 +1019,22 @@ object SparkEntry {
 
   /** X74 behavioral-diversity histogram: Shannon entropy of each user's
     * event-type mix, bucketed. The per-user entropy is a FIXED-ORDER
-    * expression tree over conditional counts (click, error, purchase,
-    * signup, view in that order) — an aggregated Σ p·ln p would sum in
-    * nondeterministic order and drift in the last ulp cross-engine. */
+    * expression tree over conditional counts (distinct event types in
+    * sorted order) — an aggregated Σ p·ln p would sum in nondeterministic
+    * order and drift in the last ulp cross-engine. The type vocabulary is
+    * collected from the data, not compiled in: event types are a bounded
+    * model object (a handful of values however large the corpus), so the
+    * one-column distinct-collect is the same class of driver round-trip
+    * as thresholds or sampled centroids — and a new event type showing up
+    * in production is counted instead of silently vanishing. */
   def userEntropy(spark: SparkSession, dir: String): DataFrame = {
     def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val perUser = Tables.events(spark, dir).groupBy("user_id")
-      .agg(n(types.head), types.tail.map(n): _*)
+    val events = Tables.events(spark, dir)
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(types.nonEmpty, "events table has no event types")
+    val perUser = events.groupBy("user_id")
+      .agg(n(types.head), types.tail.map(n).toSeq: _*)
       .withColumn("n_all", types.map(t => col(s"n_$t")).reduce(_ + _))
     def term(t: String) = {
       val p = col(s"n_$t").cast("double") / col("n_all")
