@@ -100,6 +100,54 @@ class PlanAssertSpec extends AnyFunSuite {
       s"documents must prune to (lang, text):\n${plan.take(3000)}")
   }
 
+  test("q27 langid: one explode (quarter-sample training side); profile broadcasts") {
+    val plan = planOf("q27_langid")
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      s"only the sampled TRAINING side may explode ngrams; classification " +
+        s"must stay one gram-set row per doc:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("IdentityBroadcastMode"),
+      s"the per-language gram profile (langs x 50 grams, bounded) must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in langid justifies a sort-merge shuffle join:\n${plan.take(3000)}")
+  }
+
+  test("q52 repetition: every shuffle is doc-keyed (no hot gram reducer); top-10 avoids global sort") {
+    val plan = planOf("q52_repetition")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("doc_id")),
+      s"gram aggregations must shuffle on (doc_id, gram), never gram alone:\n$exchanges")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global Sort + limit:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the per-doc rollups are broadcast-sized; no shuffle join expected:\n${plan.take(3000)}")
+  }
+
+  test("q56 ivf search: probed cells dynamically prune the assigned-file partitions") {
+    val plan = planOf("q56_knn_ivf")
+    assert(plan.contains("dynamicpruningexpression"),
+      s"the cell_id partition filter must come from the probed-cell broadcast (DPP), " +
+        s"so unprobed cells are never read:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set joins the corpus as a broadcast on cell_id:\n${plan.take(3000)}")
+  }
+
+  test("q64 retention: no Expand; cohort sizes ride along as a broadcast") {
+    val plan = planOf("q64_retention")
+    assert(!plan.contains("Expand"),
+      s"distinct-per-cohort must come from pre-aggregation, not count_distinct Expand:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes (one row per week) must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("q72 as-of join: union + single keyed window, no join operator at all") {
+    val plan = planOf("q72_asof_join")
+    assert(plan.contains("Union") && "Window \\[last".r.findAllIn(plan).size == 1,
+      s"the as-of must be one union + one keyed last-value window:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no range/cartesian join may sneak back in:\n${plan.take(3000)}")
+  }
+
   test("q59 mixture weights: totals ride along as a broadcast, no global window") {
     val plan = planOf("q59_domain_mixture")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
