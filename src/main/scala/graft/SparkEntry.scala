@@ -296,8 +296,10 @@ object SparkEntry {
   def knnExact(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // the selective query side goes through the file-skipping read: on a
+    // multi-file layout only files whose footer range covers [0, 9] open
+    val q = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 9L)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
     graft.operators.Similarity.topKExact(q, c, 5)
       .orderBy("query_id", "rnk")
@@ -319,7 +321,7 @@ object SparkEntry {
         Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16, tmp)
       tmp
     })
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+    val q = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 9L)
       .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
     graft.index.VectorIndex.search(spark, idx, q, k = 5, nProbe = 16)
       .select("query_id", "neighbor_id", "sim", "rnk")
@@ -746,8 +748,9 @@ object SparkEntry {
   def labelLeakage(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"), col("label"))
-    val q = emb.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val q = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 99L)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"),
+        col("label").as("qlabel"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("label").as("nlabel"))
     val knn = graft.operators.Similarity.topKExact(
       q.select("query_id", "qv"), c.select("neighbor_id", "nv"), 5)

@@ -28,6 +28,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** Selective numeric-range read with FILE-level skipping: parquet
+    * footer min/max stats shrink the file list before the scan starts
+    * ([[graft.ingest.FileStats.prunedRead]]), then the row-level range
+    * filter is applied on top (file pruning is a superset guarantee).
+    * On the driver's single-file tables this degrades to the plain
+    * pushed-filter scan at the cost of one footer read; on a versioned
+    * multi-file layout (the 100 TB shape — thousands of files, ranges
+    * narrowed by Z-ordering) the planner never even lists the skipped
+    * files. Bounds are Longs so the row filter stays uncast and keeps
+    * reaching the parquet reader as a pushed filter. */
+  def readRange(spark: SparkSession, dir: String, name: String,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (pruned, _, _) = graft.ingest.FileStats.prunedRead(
+      spark, path(dir, name), column, lo.toDouble, hi.toDouble)
+    pruned.filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** `ts` is surfaced as LongType microseconds since epoch.
     *
     * The file stores nanosecond precision; Spark 4 reads it as long ns

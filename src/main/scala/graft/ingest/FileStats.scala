@@ -86,11 +86,17 @@ object FileStats {
     }.map(_.path)
     require(stats.nonEmpty, s"no parquet files under $dir")
     // basePath keeps hive partition columns intact when the kept files
-    // live under key=value subdirectories of `dir`
+    // live under key=value subdirectories of `dir` — only legal (and
+    // only meaningful) when `dir` is a directory, not a bare file
+    val p2 = new Path(dir)
+    val reader =
+      if (p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p2).isDirectory)
+        spark.read.option("basePath", dir)
+      else spark.read
     val df =
-      if (keep.isEmpty)
-        spark.read.option("basePath", dir).parquet(stats.head.path).limit(0)
-      else spark.read.option("basePath", dir).parquet(keep: _*)
+      if (keep.isEmpty) reader.parquet(stats.head.path).limit(0)
+      else reader.parquet(keep: _*)
     (df, keep.length, stats.length)
   }
 }
