@@ -17,7 +17,15 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val spark = GraftSession.create()
-    try args(0) match {
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Command dispatch on a caller-owned session — `main` wraps this with
+    * session lifecycle; integration tests drive it on the shared test
+    * session (stopping that from inside `main` would kill every suite
+    * after it). */
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    args(0) match {
       case "ingest" =>
         val Array(_, in, out) = args.take(3)
         val (norm, errors) = Ingest.ingestDirectory(spark, in)
@@ -33,6 +41,7 @@ object Main {
 
       case "materialize" =>
         val Array(_, base) = args.take(2)
+        val encoder = chooseEncoder(args.drop(2))
         val utts = spark.read.parquet(s"$base/normalized")
         val spansRaw = Spans.enrichWithRoles(Spans.generate(utts), Map.empty)
         // F5 duration guardrail between steps (drop + log top offenders)
@@ -42,13 +51,13 @@ object Main {
           System.err.println(s"[guardrail] dropped spans: ${guard.topOffenders.mkString(", ")}")
         guard.kept.write.mode("overwrite").parquet(s"$base/spans")
         val spansR = spark.read.parquet(s"$base/spans")
-        val spanEmb = Embedder.embed(spansR, "span_id", "text", "span", HashEncoder())
+        val spanEmb = Embedder.embed(spansR, "span_id", "text", "span", encoder)
         Embedder.store(spanEmb, s"$base/span_embeddings")
         val beats = Beats.generateFromDf(spansR,
           Some(spark.read.parquet(s"$base/span_embeddings/embeddings.parquet")))
         beats.write.mode("overwrite").parquet(s"$base/beats")
         val beatsR = spark.read.parquet(s"$base/beats")
-        val beatEmb = Embedder.embed(beatsR, "beat_id", "text", "beat", HashEncoder())
+        val beatEmb = Embedder.embed(beatsR, "beat_id", "text", "beat", encoder)
         Embedder.store(beatEmb, s"$base/beat_embeddings")
         val sections = Sections.generateFromDf(beatsR,
           Some(spark.read.parquet(s"$base/beat_embeddings/embeddings.parquet")))
@@ -195,13 +204,44 @@ object Main {
 
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
-    } finally spark.stop()
+    }
+  }
+
+  /** Provider-chain encoder selection for `materialize`, mirroring the
+    * reference's try-providers-in-order-then-fall-back behavior
+    * (reference: src/lakehouse/embeddings/models.py:87-348): an external
+    * encoder command (`--encoder-cmd`, line protocol of
+    * [[graft.embed.ProcessEncoder]]) is probed ONCE at selection time
+    * with a single text; if the probe fails — missing binary, wrong
+    * protocol, bad dim — the chain falls back to the deterministic
+    * [[HashEncoder]] and says so, instead of failing mid-pipeline on an
+    * executor. */
+  private[cli] def chooseEncoder(flags: Array[String]): graft.embed.TextBatchEncoder = {
+    val kv = flags.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val dim = kv.get("--encoder-dim").map(_.toInt).getOrElse(384)
+    kv.get("--encoder-cmd") match {
+      case None => HashEncoder(dim)
+      case Some(cmd) =>
+        val pe = graft.embed.ProcessEncoder(Seq("/bin/sh", "-c", cmd), dim)
+        try {
+          val probe = pe.encode(Seq("encoder probe"))
+          require(probe.head.length == dim)
+          pe
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[encoder] '$cmd' failed probe (${e.getMessage}); falling back to HashEncoder($dim)")
+            HashEncoder(dim)
+        }
+    }
   }
 
   private def usage(): Unit = System.err.println(
     """usage: graft.cli.Main <command> [args]
       |  ingest <inputDir> <lakeDir>
-      |  materialize <lakeDir>
+      |  materialize <lakeDir> [--encoder-cmd <cmd>] [--encoder-dim <d>]
       |  catalog <lakeDir>
       |  validate <lakeDir>
       |  quality <lakeDir> [thresholdsConfig]
