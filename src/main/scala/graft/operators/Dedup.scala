@@ -67,7 +67,13 @@ object Dedup {
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
     val a = bandsDf.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
     val b = bandsDf.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_id", "band_key"))
+    // the banding key IS the parallelism: a broadcast self-join would
+    // serialize candidate generation into however few partitions the
+    // SCAN happened to produce (one, for a single <128 MB file — measured
+    // as a 1-thread 10-minute stall at sf1), and at cluster scale would
+    // defeat the skew-spreading the band key exists for. Force the
+    // shuffle so each (band, signature) bucket lands on its own reducer.
+    a.hint("shuffle_hash").join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -88,7 +94,8 @@ object Dedup {
     val base = df.select(col(idCol).as("_id"), textCol.as("_t"), blockExpr.as("_blk"))
     val a = base.select(col("_blk"), col("_id").as("id_a"), col("_t").as("t_a"))
     val b = base.select(col("_blk"), col("_id").as("id_b"), col("_t").as("t_b"))
-    a.join(b, Seq("_blk"))
+    // see [[candidatePairs]]: block-key shuffle, never a broadcast
+    a.hint("shuffle_hash").join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
       .filter(col("dist") <= maxDist)
@@ -354,7 +361,9 @@ object Dedup {
       col(idCol).as("id_a"), col(fpCol).as("fp_a"))): _*)
     val b = chunked.select((blockCols.map(col) ++ Seq(col("chunk_id"), col("chunk_val"),
       col(idCol).as("id_b"), col(fpCol).as("fp_b"))): _*)
-    a.join(b, blockCols ++ Seq("chunk_id", "chunk_val"))
+    // same rationale as [[candidatePairs]]: the sub-key shuffle is the
+    // scale mechanism — never let the planner broadcast this self-join
+    a.hint("shuffle_hash").join(b, blockCols ++ Seq("chunk_id", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
       .filter(col("dist") <= maxDist)

@@ -100,6 +100,19 @@ class PlanAssertSpec extends AnyFunSuite {
       s"documents must prune to (lang, text):\n${plan.take(3000)}")
   }
 
+  test("q21 simhash pairs: the banded candidate self-join SHUFFLES on the band key") {
+    val plan = planOf("q21_simhash_pairs")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"a broadcast self-join serializes candidate generation into the scan's " +
+        s"partition count and defeats band-key skew spreading:\n${plan.take(3000)}")
+  }
+
+  test("q73 edit pairs: the blocked candidate self-join shuffles on the block key") {
+    val plan = planOf("q73_edit_pairs")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"blocked Levenshtein pairs must shuffle on _blk, not broadcast:\n${plan.take(3000)}")
+  }
+
   test("q27 langid: one explode (quarter-sample training side); profile broadcasts") {
     val plan = planOf("q27_langid")
     assert("Generate explode".r.findAllIn(plan).size == 1,
