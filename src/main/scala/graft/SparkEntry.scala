@@ -155,7 +155,7 @@ object SparkEntry {
     * (integrity.py:379-549). One summary row; dup detail table is empty on
     * this corpus (verified) but the group-by machinery is identical. */
   def dedupStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
       .withColumn("norm_text", TF.normalizeWs(col("text")))
       .filter(length(col("norm_text")) >= 10)
     val groups = docs.groupBy("norm_text").agg(count(lit(1)).as("n"))
@@ -168,7 +168,7 @@ object SparkEntry {
 
   /** A19 stopword-filtered top-20 terms (text_quality.py:394-492). */
   def topTerms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     docs.select(explode(TF.contentTokens(col("text"))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("n"))
@@ -182,7 +182,7 @@ object SparkEntry {
     * q10's unigrams. */
   def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     val stop = array(TF.stopwords.map(lit): _*)
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(TF.tokens(col("text")).as("_tk"))
       .filter(size(col("_tk")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("_tk")) - 2),
@@ -337,7 +337,7 @@ object SparkEntry {
     * (j=0.5 pairs collide at ~6% per band instead of ~13%). */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
         "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
@@ -386,7 +386,7 @@ object SparkEntry {
     * making Σdf² worse than n²·merge, so the dense shape wins here.) */
   def jaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.TextExprs.register(spark)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
       .select(col("lang"), col("doc_id"), TF.tokens(col("text")).as("tk"))
       .select(col("lang"), col("doc_id"),
         graft.expressions.TextExprs.xx_sorted_hash(
@@ -435,7 +435,7 @@ object SparkEntry {
 
   /** Self-trained char-trigram language-ID confusion matrix. */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     // profiles train on a deterministic quarter-sample (mirrored in the
     // oracle); classification still covers every document
     val pred = TextAnalysis.langIdByTrigramProfile(docs, "doc_id", col("text"), "lang",
@@ -852,7 +852,7 @@ object SparkEntry {
     * share of all word bigrams taken by the most frequent one
     * ([[graft.operators.TextAnalysis.topNgramMass]]). */
   def repetitionTop(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.topNgramMass(Tables.documents(spark, dir), "doc_id", col("text"), 2)
+    TextAnalysis.topNgramMass(Tables.documentsSpread(spark, dir), "doc_id", col("text"), 2)
       .select(col("doc_id"), col("n_grams"), col("top_gram"), col("top_n"),
         round(col("top_fraction"), 6).as("top_fraction"))
       .orderBy(col("top_fraction").desc, col("doc_id")).limit(10)
@@ -941,7 +941,7 @@ object SparkEntry {
     * exact integer count (PMI is a derived display value), unigram
     * tables join keyed on the word. */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir).select(TF.tokens(col("text")).as("tk"))
+    val toks = Tables.documentsSpread(spark, dir).select(TF.tokens(col("text")).as("tk"))
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("nw"))
     val totals = broadcast(uni.agg(
@@ -970,7 +970,7 @@ object SparkEntry {
     * division; the ranking window runs over the vocabulary-sized term
     * table, not tokens. */
   def headCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(spark, dir)
+    val terms = Tables.documentsSpread(spark, dir)
       .select(col("lang"), explode(TF.tokens(col("text"))).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("nw"))
     val w = Window.partitionBy("lang").orderBy(col("nw").desc, col("w"))
@@ -1060,15 +1060,15 @@ object SparkEntry {
 
   /** X61 cross-language contamination ([[Corpus.crossLangContent]]). */
   def crossLangContent(spark: SparkSession, dir: String): DataFrame =
-    Corpus.crossLangContent(Tables.documents(spark, dir))
+    Corpus.crossLangContent(Tables.documentsSpread(spark, dir))
 
   /** X68 per-source type-token ratio ([[Corpus.typeTokenRatio]]). */
   def typeTokenRatio(spark: SparkSession, dir: String): DataFrame =
-    Corpus.typeTokenRatio(Tables.documents(spark, dir))
+    Corpus.typeTokenRatio(Tables.documentsSpread(spark, dir))
 
   /** X69 per-source bigram novelty ([[Corpus.sourceNovelty]]). */
   def sourceNovelty(spark: SparkSession, dir: String): DataFrame =
-    Corpus.sourceNovelty(Tables.documents(spark, dir))
+    Corpus.sourceNovelty(Tables.documentsSpread(spark, dir))
 
   /** X62 per-source length-distribution drift: chi-square of each
     * source's token-length histogram against the corpus-wide
@@ -1104,7 +1104,7 @@ object SparkEntry {
     * with a recursive CTE over the same pair pipeline. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
       "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
     Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
@@ -1123,7 +1123,7 @@ object SparkEntry {
   /** X33 quality-decile curriculum sampling (per-lang ntile + poly-hash
     * deterministic keep). */
   def curriculumDeciles(spark: SparkSession, dir: String): DataFrame =
-    Corpus.curriculumDeciles(Tables.documents(spark, dir))
+    Corpus.curriculumDeciles(Tables.documentsSpread(spark, dir))
 
   /** X34 domain-mixture reweighting (uniform target, capped weights). */
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
@@ -1131,11 +1131,11 @@ object SparkEntry {
 
   /** X35 boilerplate word-bigram stats (df > 25% of docs ⇒ boilerplate). */
   def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
-    Corpus.boilerplateStats(Tables.documents(spark, dir))
+    Corpus.boilerplateStats(Tables.documentsSpread(spark, dir))
 
   /** X36 top-5 TF-IDF terms per language (distinct+count df, no Expand). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
-    Corpus.tfidfTopTerms(Tables.documents(spark, dir))
+    Corpus.tfidfTopTerms(Tables.documentsSpread(spark, dir))
 
   /** X37 token-budget sequence-packing stats (512-token packs). */
   def packingStats(spark: SparkSession, dir: String): DataFrame =

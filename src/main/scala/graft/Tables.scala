@@ -46,6 +46,13 @@ object Tables {
     pruned.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** [[documents]] through [[graft.core.Par.spread]] — for stage-1-heavy
+    * text kernels (language ID, shingling, explode-based token counting,
+    * collocations) that would otherwise run their whole first stage on
+    * the scan's partition count (1 on single-row-group files). */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Par.spread(documents(spark, dir))
+
   /** `ts` is surfaced as LongType microseconds since epoch.
     *
     * The file stores nanosecond precision; Spark 4 reads it as long ns

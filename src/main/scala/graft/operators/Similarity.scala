@@ -30,9 +30,13 @@ object Similarity {
       "switch to the IVF path (VectorIndex.build + VectorIndex.search) for bulk query sets")
     VectorExprs.register(queries.sparkSession)
     // norms once per vector (columns, so they survive the join), codegen
-    // dot per pair: dot/(sqrt·sqrt) keeps oracle-bit-exact association
+    // dot per pair: dot/(sqrt·sqrt) keeps oracle-bit-exact association.
+    // The |Q|·n dot products all run in the corpus-side stage (the query
+    // side broadcasts), so that stage must not inherit a 1-split scan's
+    // parallelism — spread it first (no-op on well-split inputs).
     val q = queries.withColumn("_qn", sqrt(VectorExprs.vec_dot(col("qv"), col("qv"))))
-    val c = corpus.withColumn("_nn", sqrt(VectorExprs.vec_dot(col("nv"), col("nv"))))
+    val c = graft.core.Par.spread(corpus)
+      .withColumn("_nn", sqrt(VectorExprs.vec_dot(col("nv"), col("nv"))))
     val joined = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
     val sims = joined.select(
       col("query_id"), col("neighbor_id"),
