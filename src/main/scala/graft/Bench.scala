@@ -66,6 +66,14 @@ object Bench {
       // eager: the corpus must EXIST before the build is timed (the
       // baseline's FAISS number doesn't include generating the vectors)
       .localCheckpoint(true)
+    // same methodology as the search below and the query suite: one
+    // untimed warmup build (Catalyst analysis + codegen JIT of the
+    // build plan shapes — ~3.5 s of the ~4.8 s cold time, measured in
+    // tools/AnnBuildProbe), then time a full fresh build. Steady-state
+    // is what the baseline measures too: FAISS's C++ is compiled ahead
+    // of time, so its build numbers never include compiler warmup.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_annw").toString + "/ivf"
+    graft.index.VectorIndex.build(emb, "vec_id", "embedding", nCells = 32, warmDir)
     val t0 = System.nanoTime()
     graft.index.VectorIndex.build(emb, "vec_id", "embedding", nCells = 32, dir)
     val buildSec = (System.nanoTime() - t0) / 1e9
