@@ -212,11 +212,15 @@ object Dedup {
     * themselves). */
   def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 15,
-      driverThreshold: Int = 100000): DataFrame = {
+      driverThreshold: Int = 1000000): DataFrame = {
     // scale-adaptive: near-dup pair sets are usually a sliver of the
     // corpus. Below the threshold a driver-side union-find answers in one
     // collect instead of paying a distributed join round per graph
     // diameter; above it, the label-propagation loop below scales out.
+    // The threshold is a PAIR count: 1M pairs ≈ 16 MB collected and a
+    // ≤2M-entry LongMap (~50 MB) — a bounded model object, while each
+    // distributed round below costs 3 joins + an agg + a checkpoint
+    // (~1 s/round of fixed latency even on trivial data).
     // (Driver path only for integral ids; other id types go distributed.)
     val integralIds = Seq(idACol, idBCol).forall { c =>
       pairs.schema(c).dataType match {
@@ -229,7 +233,8 @@ object Dedup {
       val smallSample = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
         .limit(driverThreshold + 1).collect()
       if (smallSample.length <= driverThreshold) {
-        val parent = scala.collection.mutable.Map[Long, Long]()
+        // LongMap: primitive keys, no boxing — the map may hold 2×pairs entries
+        val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = { // iterative: no stack risk on long chains
           var root = x
           while (parent.getOrElse(root, root) != root) root = parent(root)
