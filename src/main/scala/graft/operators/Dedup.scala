@@ -149,6 +149,12 @@ object Dedup {
       .join(sig.select(col(idCol).as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a")), "id_a")
       .join(sig.select(col(idCol).as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b")), "id_b")
     withSets
+      // exact size bound: J = I/(sa+sb−I) with I ≤ min(sa,sb) implies
+      // J ≤ min/max, so a pair with >1/t length disparity can never
+      // reach the threshold — drop it BEFORE the two-pointer merge.
+      // Only removes pairs the jac filter below would remove anyway.
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .withColumn("inter",
         graft.expressions.HashFunctions.sorted_intersect_count(col("ha"), col("hb")))
       .withColumn("jac",
