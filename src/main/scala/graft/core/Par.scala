@@ -40,6 +40,7 @@ object Par {
     * runs and retries.
     */
   def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // partitioning is the source's to decide
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val minBytes = spark.conf

@@ -44,6 +44,12 @@ class ParSpec extends AnyFunSuite {
       "spread must be a no-op under spark.graft.spread.minBytes")
   }
 
+  test("streaming input passes through untouched (no .rdd on unstarted streams)") {
+    val stream = spark.readStream.format("rate").load()
+    val out = Par.spread(stream)
+    assert(out eq stream, "spread must be a no-op on streaming frames")
+  }
+
   test("projection still prunes through the spread to the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_par").toString
     spark.range(0, 100)
