@@ -35,6 +35,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("size-bound pre-filter keeps qualifying containment pairs, drops sub-threshold ones") {
+    // shingles(B) ⊃ shingles(A) makes J = |A|/|B| exactly — the size
+    // bound's equality case. A↔C sits just above threshold 0.5 and must
+    // survive the filter; A↔B sits just below and must be dropped.
+    val a = (1 to 11).map(i => s"w$i").mkString(" ")            // 10 bigrams
+    val b = a + " " + (1 to 12).map(i => s"x$i").mkString(" ")  // 22 bigrams, J=10/22
+    val c = a + " " + (1 to 8).map(i => s"y$i").mkString(" ")   // 18 bigrams, J=10/18
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", col("text"),
+        shingleWords = 2, k = 12, bands = 12, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    assert(pairs.contains((1L, 3L)), s"J=10/18 pair must survive the size bound: $pairs")
+    assert(math.abs(pairs((1L, 3L)) - 10.0 / 18.0) < 1e-12)
+    assert(!pairs.contains((1L, 2L)), "J=10/22 is below threshold and must be dropped")
+  }
+
   test("jaccard is exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

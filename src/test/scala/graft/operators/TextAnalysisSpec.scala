@@ -67,6 +67,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.topNgramMass(single, "doc_id", col("text"), 2).count() == 0)
   }
 
+  test("top-ngram mass matches a naive reference on a seeded random corpus, ties included") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("ax", "bo", "ce", "du") // tiny vocab forces count ties
+    val docs = (1L to 60L).map { id =>
+      id -> Array.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.topNgramMass(df, "doc_id", col("text"), 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[String]("top_gram"), r.getAs[Long]("top_n"))))
+      .toMap
+    val want = docs.map { case (id, text) =>
+      val tk = text.split(" ")
+      val grams = tk.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      // argmax by (count desc, gram asc) — the contract ties must follow
+      val (g, n) = counts.toSeq.minBy { case (gr, c) => (-c, gr) }
+      id -> ((grams.size.toLong, g, n))
+    }.toMap
+    assert(got == want)
+  }
+
   test("pii counters: emails, phone-like runs, digit chars") {
     val df = Seq(
       "contact me at jane.doe+spam@example.co.uk or +1 (555) 123-4567 room 42")
