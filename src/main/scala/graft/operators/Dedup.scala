@@ -235,8 +235,14 @@ object Dedup {
         case _ => false
       }
     }
+    // One materialization of the pair pipeline, shared by the threshold
+    // probe and (on the distributed path) both sides of the edge union —
+    // without it the caller's candidate-generation + verification
+    // pipeline re-executes up to 3x (measured: q54 at 20x data spent
+    // ~2.5 pipeline-equivalents here before this checkpoint).
+    val src = pairs.localCheckpoint(false)
     if (integralIds) {
-      val smallSample = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+      val smallSample = src.select(col(idACol).cast("long"), col(idBCol).cast("long"))
         .limit(driverThreshold + 1).collect()
       if (smallSample.length <= driverThreshold) {
         // LongMap: primitive keys, no boxing — the map may hold 2×pairs entries
@@ -254,13 +260,13 @@ object Dedup {
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
         val ids = smallSample.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-        val spark = pairs.sparkSession
+        val spark = src.sparkSession
         import spark.implicits._
         return ids.toSeq.map(id => (id, find(id))).toDF("id", "cluster_id")
       }
     }
-    val edges = pairs.select(col(idACol).as("id"), col(idBCol).as("nbr"))
-      .unionByName(pairs.select(col(idBCol).as("id"), col(idACol).as("nbr")))
+    val edges = src.select(col(idACol).as("id"), col(idBCol).as("nbr"))
+      .unionByName(src.select(col(idBCol).as("id"), col(idACol).as("nbr")))
       .distinct()
       .localCheckpoint(false)
     var labels = edges.select(col("id")).distinct()
