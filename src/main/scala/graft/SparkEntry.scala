@@ -1054,6 +1054,42 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** X77 leakage-safe group-aware split: every event of a user lands in
+    * the same train/val/test split, so user-level signal can never leak
+    * across the boundary (the group-wise analog of the reference's
+    * episode-scoped dataset splits). Assignment is a map-only LCG
+    * scramble of the group key — deterministic, engine-agnostic, no
+    * shuffle beyond the one report agg. */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = (col("user_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+    val s = Tables.events(spark, dir)
+      .withColumn("split",
+        when(h % 10 < 8, lit("train"))
+          .when(h % 10 === 8, lit("val"))
+          .otherwise(lit("test")))
+    val tot = s.agg(count(lit(1)).as("n_all"))
+    s.groupBy("split")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pct_events",
+        round(col("n_events").cast("double") * 100 / col("n_all"), 6))
+      .drop("n_all")
+      .orderBy("split")
+  }
+
+  /** X78 unigram-LM fluency buckets ([[Corpus.perplexityBuckets]]). */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    Corpus.perplexityBuckets(Tables.documentsSpread(spark, dir))
+
+  /** X79 DSIR importance weights ([[Corpus.importanceWeights]]). */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame =
+    Corpus.importanceWeights(Tables.documentsSpread(spark, dir))
+
+  /** X80 p95 truncation audit ([[Corpus.truncationAudit]]). */
+  def truncationAudit(spark: SparkSession, dir: String): DataFrame =
+    Corpus.truncationAudit(Tables.documentsSpread(spark, dir))
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1341,6 +1377,10 @@ object SparkEntry {
     "q78_head_coverage" -> headCoverage _,
     "q79_user_entropy" -> userEntropy _,
     "q80_type_affinity" -> typeAffinity _,
+    "q81_group_split" -> groupSplit _,
+    "q82_perplexity_buckets" -> perplexityBuckets _,
+    "q83_importance_weights" -> importanceWeights _,
+    "q84_truncation_audit" -> truncationAudit _,
   )
 
   private val stopwordsSqlList: String =
@@ -2634,6 +2674,85 @@ object SparkEntry {
         |JOIN pt a ON p.type_a = a.event_type
         |JOIN pt b ON p.type_b = b.event_type, ns
         |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    "q81_group_split" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 10 < 8
+        |           THEN 'train'
+        |         WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 10 = 8
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM events
+        |), t AS (SELECT count(*) AS n_all FROM events)
+        |SELECT s.split, count(DISTINCT s.user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  round(CAST(count(*) AS DOUBLE) * 100 / t.n_all, 6) AS pct_events
+        |FROM s, t GROUP BY s.split, t.n_all ORDER BY s.split""".stripMargin,
+
+    "q82_perplexity_buckets" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, source, unnest($toksSql) AS tok FROM documents
+        |), c AS (
+        |  SELECT tok, count(*) AS nw FROM tk GROUP BY tok
+        |), t AS (
+        |  SELECT CAST(sum(nw) AS BIGINT) AS n_tokens, count(*) AS v FROM c
+        |), lm AS (
+        |  SELECT tok, round(-ln((nw + 1.0) / (n_tokens + v)), 6) AS nll
+        |  FROM c, t
+        |), d AS (
+        |  SELECT tk.doc_id, tk.source,
+        |    CAST(sum(CAST(lm.nll AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS score
+        |  FROM tk JOIN lm USING (tok) GROUP BY tk.doc_id, tk.source
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(20,12))) AS DOUBLE)
+        |    / count(*), 6) AS avg_nll,
+        |  round(min(score), 6) AS min_nll,
+        |  round(max(score), 6) AS max_nll
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q83_importance_weights" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents
+        |), st AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+        |  FROM tk GROUP BY tok
+        |), t AS (
+        |  SELECT CAST(sum(nt) AS BIGINT) AS t_total,
+        |    CAST(sum(nr) AS BIGINT) AS r_total, count(*) AS v FROM st
+        |), ratio AS (
+        |  SELECT tok, round(ln(((nt + 1.0) / (t_total + v))
+        |    / ((nr + 1.0) / (r_total + v))), 6) AS w_lr
+        |  FROM st, t
+        |)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(ratio.w_lr AS DECIMAL(20,12))) AS DOUBLE), 6)
+        |    AS score
+        |FROM tk JOIN ratio USING (tok) WHERE tk.lang <> 'en'
+        |GROUP BY tk.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q84_truncation_audit" ->
+      s"""WITH lens AS (
+        |  SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS ntok
+        |  FROM documents
+        |), caps AS (
+        |  SELECT source, quantile_cont(ntok, 0.95) AS p95
+        |  FROM lens GROUP BY source
+        |)
+        |SELECT l.source, count(*) AS n_docs,
+        |  CAST(sum(l.ntok) AS BIGINT) AS total_tokens,
+        |  round(max(c.p95), 6) AS p95_tokens,
+        |  CAST(sum(CASE WHEN l.ntok > CAST(ceiling(c.p95) AS BIGINT)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(sum(CASE WHEN l.ntok > CAST(ceiling(c.p95) AS BIGINT)
+        |    THEN l.ntok - CAST(ceiling(c.p95) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped
+        |FROM lens l JOIN caps c ON l.source = c.source
+        |GROUP BY l.source ORDER BY l.source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -331,6 +331,106 @@ object Corpus {
       .drop("cum")
   }
 
+  // ---- LM-based selection scoring (q82, q83) ------------------------
+
+  /** X78 fluency scoring with a self-trained unigram LM (the public
+    * CCNet / Wikipedia-LM perplexity-filter recipe, reduced to unigrams
+    * so the model is exactly recomputable by the SQL oracle): every
+    * token's negative log-likelihood under add-one smoothing over the
+    * corpus vocabulary, averaged per document, then summarized per
+    * source. The LM is a vocabulary-sized frame — bounded model state —
+    * and rides to the scoring join on the token key; per-doc scores
+    * reduce on doc_id, the report on source. No global window anywhere.
+    *
+    * Exactness: per-token NLL rounds to 6 dp before any cross-row sum,
+    * per-doc sums go through DECIMAL(20,12) (order-independent), the
+    * per-doc mean is one double division of exact parts, and the
+    * source-level mean re-rounds the doc score to 6 dp first so both
+    * engines aggregate identical doubles. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("source"), explode(toks).as("tok"))
+    val counts = tk.groupBy("tok").agg(count(lit(1)).as("nw"))
+    val tot = counts.agg(sum(col("nw")).as("n_tokens"), count(lit(1)).as("v"))
+    val lm = counts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(-log((col("nw") + lit(1)).cast("double") /
+          (col("n_tokens") + col("v"))), 6).as("nll"))
+    val perDoc = tk.join(lm, "tok")
+      .groupBy("doc_id", "source")
+      .agg(
+        (sum(col("nll").cast("decimal(20,12)")).cast("double") / count(lit(1)))
+          .as("score"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(dmean(round(col("score"), 6)), 6).as("avg_nll"),
+        round(min(col("score")), 6).as("min_nll"),
+        round(max(col("score")), 6).as("max_nll"))
+      .orderBy("source")
+  }
+
+  /** X79 DSIR-style importance weights (public method: Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * hashed-ngram feature LM ratio; here the features are the unigram
+    * tokens themselves so the oracle can recompute them). Documents
+    * outside the target domain score by the summed log-ratio of
+    * add-one-smoothed token probabilities under the target (`lang =
+    * targetLang`) vs the raw (rest) distribution; the top-k highest
+    * scorers are the raw docs that look most like the target — the
+    * resampling candidates. Feature stats are one token-keyed agg over
+    * the corpus; totals are a broadcast row; scoring is a token-keyed
+    * join that reduces straight onto doc_id. */
+  def importanceWeights(
+      docs: DataFrame, targetLang: String = "en", k: Int = 25): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+    val st = tk.groupBy("tok").agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("lang") =!= targetLang, 1L).otherwise(0L)).as("nr"))
+    val tot = st.agg(
+      sum(col("nt")).as("t_total"), sum(col("nr")).as("r_total"),
+      count(lit(1)).as("v"))
+    val ratio = st.crossJoin(broadcast(tot))
+      .select(col("tok"), round(log(
+        ((col("nt") + lit(1)).cast("double") / (col("t_total") + col("v"))) /
+        ((col("nr") + lit(1)).cast("double") / (col("r_total") + col("v")))), 6)
+        .as("w_lr"))
+    tk.filter(col("lang") =!= targetLang)
+      .join(ratio, "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("w_lr").cast("decimal(20,12)")).cast("double"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ---- truncation audit (q84) ---------------------------------------
+
+  /** X80 length-truncation audit: what a per-source p95 token cap would
+    * cost. Caps are a source-keyed exact interpolated percentile (20
+    * rows — broadcast back), the audit one more source-keyed agg; all
+    * token arithmetic stays integral until the displayed percentile.
+    * The operational use is sizing max-sequence-length truncation
+    * policies per corpus slice before tokenizing 100 TB. */
+  def truncationAudit(docs: DataFrame): DataFrame = {
+    val lens = docs.select(
+      col("source"), col("doc_id"), TF.tokenCount(col("text")).cast("long").as("ntok"))
+    val caps = lens.groupBy("source")
+      .agg(percentile(col("ntok"), lit(0.95)).as("p95"))
+    lens.join(broadcast(caps), "source")
+      .withColumn("cap", ceil(col("p95")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        round(max(col("p95")), 6).as("p95_tokens"),
+        sum(when(col("ntok") > col("cap"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(when(col("ntok") > col("cap"), col("ntok") - col("cap"))
+          .otherwise(0L)).as("tokens_dropped"))
+      .orderBy("source")
+  }
+
   def packingStats(docs: DataFrame, budget: Int = 512): DataFrame = {
     val packed = packAssignments(docs, budget)
 

@@ -118,6 +118,63 @@ class CorpusSpec extends AnyFunSuite {
     assert(big1 > 30 && big1 < 70, s"big kept $big1 of 90")
   }
 
+  test("perplexity: sources of corpus-common tokens score lower NLL than rare-token sources") {
+    // 8 docs of the same common tokens vs 2 docs of singleton tokens: the
+    // unigram LM assigns the common tokens much higher probability.
+    val common = (1L to 8L).map(i => (i, "alpha beta gamma alpha beta", "en", "common"))
+    val rare = Seq(
+      (9L, "qq ww ee rr tt", "en", "rare"),
+      (10L, "yy uu ii oo pp", "en", "rare"))
+    val out = Corpus.perplexityBuckets(docs(common ++ rare: _*))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("common").getAs[Long]("n_docs") == 8)
+    assert(out("rare").getAs[Long]("n_docs") == 2)
+    assert(out("common").getAs[Double]("avg_nll") < out("rare").getAs[Double]("avg_nll"))
+    assert(out("common").getAs[Double]("min_nll") <= out("common").getAs[Double]("max_nll"))
+  }
+
+  test("importance weights: raw docs wearing target-domain tokens outrank the rest") {
+    // Target (en) vocabulary is {spark, scala}; raw doc 20 uses it, raw
+    // doc 21 does not — DSIR log-ratio must rank 20 first with score > 0.
+    val d = docs(
+      (1L, "spark scala spark scala spark", "en", "s0"),
+      (2L, "spark scala catalyst", "en", "s0"),
+      (20L, "spark scala spark", "de", "s0"),
+      (21L, "der die das und", "de", "s0"))
+    val out = Corpus.importanceWeights(d).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 21L)) // desc by score
+    assert(out.head.getAs[Double]("score") > 0.0)
+    assert(out.last.getAs[Double]("score") < 0.0)
+    assert(out.head.getAs[Long]("n_tokens") == 3)
+  }
+
+  test("truncation audit: interpolated p95 cap, only the outlier pays") {
+    // Lengths 1..19 and one 1000-token doc: p95 sits at rank 18.05 →
+    // 19 + 0.05·(1000-19) = 68.05, cap ceil = 69, only the outlier is cut.
+    val d = docs(((1L to 19L).map(i =>
+      (i, Seq.fill(i.toInt)("w").mkString(" "), "en", "s0")) :+
+      (20L, Seq.fill(1000)("w").mkString(" "), "en", "s0")): _*)
+    val r = Corpus.truncationAudit(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 20)
+    assert(r.getAs[Long]("total_tokens") == 190 + 1000)
+    assert(math.abs(r.getAs[Double]("p95_tokens") - 68.05) < 1e-9)
+    assert(r.getAs[Long]("n_truncated") == 1)
+    assert(r.getAs[Long]("tokens_dropped") == 1000 - 69)
+  }
+
+  test("group split: every user lands in exactly one split, totals conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.groupSplit(spark, dir).collect()
+    assert(out.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    val events = graft.Tables.events(spark, dir)
+    assert(out.map(_.getAs[Long]("n_events")).sum == events.count())
+    // group-awareness: split is a function of user_id, so the per-split
+    // distinct-user counts must sum to the global distinct-user count
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      events.select("user_id").distinct().count())
+    assert(math.abs(out.map(_.getAs[Double]("pct_events")).sum - 100.0) < 1e-6)
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")
