@@ -1090,6 +1090,17 @@ object SparkEntry {
   def truncationAudit(spark: SparkSession, dir: String): DataFrame =
     Corpus.truncationAudit(Tables.documentsSpread(spark, dir))
 
+  /** X81 SemDeDup over the embeddings table
+    * ([[graft.operators.Similarity.semanticDedup]]): per-vector cluster
+    * assignment + keep flag, plus no oracle — IVF cell assignment is not
+    * SQL-recomputable, so the driver records the weaker rows-only check
+    * and the semantics are unit-gated in SimilaritySpec. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity
+      .semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+      .orderBy("vec_id")
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1381,6 +1392,7 @@ object SparkEntry {
     "q82_perplexity_buckets" -> perplexityBuckets _,
     "q83_importance_weights" -> importanceWeights _,
     "q84_truncation_audit" -> truncationAudit _,
+    "q85_semantic_dedup" -> semanticDedup _,
   )
 
   private val stopwordsSqlList: String =

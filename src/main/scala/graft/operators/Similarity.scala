@@ -278,6 +278,33 @@ object Similarity {
       idCol, vecCol, threshold, blockCols = Seq("cell_id"))
       .select("id_a", "id_b", "sim")
   }
+
+  /** X81 SemDeDup — semantic deduplication over embeddings (public
+    * method: Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication": cluster the embedding
+    * space, drop all-but-one of each within-cluster near-identical
+    * group). Candidates come from [[cosinePairsAboveIvf]] (cell-bucketed
+    * exact cosine — Σ cell², never corpus²), components close via
+    * [[Dedup.nearDupClusters]] (pointer-jumping label propagation), and
+    * the kept representative is the component's min id. Returns every
+    * input row with its `cluster_id` and a `keep` flag — the apply form
+    * is one filter on `keep`.
+    *
+    * Recall caveat (inherent to SemDeDup itself, which also only
+    * compares within clusters): duplicate pairs straddling a cell
+    * boundary are missed; raise nCells for tighter cells or union runs
+    * over two seeds. Measured on clustered data in SimilaritySpec. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16): DataFrame = {
+    val pairs = cosinePairsAboveIvf(df, idCol, vecCol, threshold, nCells)
+    val clusters = Dedup.nearDupClusters(pairs)
+    df.join(
+        clusters.select(col("id").cast("long").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .withColumn("keep", col("cluster_id") === col(idCol).cast("long"))
+  }
 }
 
 /** JVM-side kernels for [[Similarity.topPairsExactBlocked]]. Kept free of

@@ -145,4 +145,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semanticDedup keeps one representative per blob, singletons survive") {
+    // two tight blobs of 6 near-identical vectors + two far singletons:
+    // each blob collapses to its min id, singletons are their own cluster
+    val blobs = for (b <- 0 until 2; i <- 0 until 6) yield {
+      val base = Array.fill(8)(0.0)
+      base(b) = 10.0
+      base(7) = i * 0.001 // nudge, cosine stays > 0.999
+      (b.toLong * 100 + i, base.toSeq)
+    }
+    val singles = Seq(
+      (500L, Seq(0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0)),
+      (600L, Seq(0.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0)))
+    val df = (blobs ++ singles).toDF("vid", "vec")
+    // nCells = 2: a tight blob always lands whole in whichever cell its
+    // centroid-nearest side is — splitting a blob across cells is the
+    // documented boundary-recall caveat, not what this test pins
+    val out = Similarity.semanticDedup(df, "vid", "vec",
+        threshold = 0.999, nCells = 2)
+      .select("vid", "cluster_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 14)                       // every input row present
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept == Set(0L, 100L, 500L, 600L))      // min id per blob + singletons
+    // every member of blob b carries the blob's min id as its cluster
+    for ((vid, cid, _) <- out if vid < 500L)
+      assert(cid == (vid / 100) * 100, s"vid $vid → cluster $cid")
+    // apply form: filtering on keep dedups exactly to 4 rows
+    assert(out.count(_._3) == 4)
+  }
 }
