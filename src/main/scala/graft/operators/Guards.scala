@@ -31,4 +31,23 @@ object Guards {
           s"~${n / 2 * n} comparisons. $alternative, or raise maxRows explicitly.")
     n
   }
+
+  /** Guard-and-materialize in one pass, for a side that is about to be
+    * broadcast anyway: Spark would collect it to the driver per action
+    * regardless, so a separate count job just duplicates that work (it
+    * showed up as ~30% of exact-kNN latency). Collects at most
+    * maxRows + 1 rows (early-exit limit), throws past the cap, and
+    * returns the rows so the caller can re-plan the side as a local
+    * relation — leaving the main job as the only Spark action. */
+  def collectAtMost(df: DataFrame, maxRows: Long, op: String,
+      alternative: String): Array[org.apache.spark.sql.Row] = {
+    val bounded =
+      if (maxRows >= Int.MaxValue - 1) df else df.limit(maxRows.toInt + 1)
+    val rows = bounded.collect()
+    if (rows.length > maxRows)
+      throw new IllegalArgumentException(
+        s"$op: input exceeds $maxRows rows (guard); the exact all-pairs contract " +
+          s"is quadratic past this point. $alternative, or raise maxRows explicitly.")
+    rows
+  }
 }
