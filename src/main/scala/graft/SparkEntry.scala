@@ -1095,11 +1095,18 @@ object SparkEntry {
     * assignment + keep flag, plus no oracle — IVF cell assignment is not
     * SQL-recomputable, so the driver records the weaker rows-only check
     * and the semantics are unit-gated in SimilaritySpec. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // cells sized to ~256 vectors so within-cell pair work stays
+    // Σ cell² ≈ n·256 — the SemDeDup-paper clustering regime — instead
+    // of degenerating toward corpus² when n outgrows a fixed cell count
+    // (the count is parquet-metadata-only)
+    val nCells = math.max(8L, emb.count() / 256L).toInt
     graft.operators.Similarity
-      .semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .semanticDedup(emb, "vec_id", "embedding", nCells = nCells)
       .select(col("vec_id"), col("cluster_id"), col("keep"))
       .orderBy("vec_id")
+  }
 
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =

@@ -23,31 +23,22 @@ object Guards {
     * The count collapses to a column-pruned scan (metadata-only on
     * parquet sources), so the extra pass is cheap relative to the O(n²)
     * work it protects. */
+  /** Count-and-check with BOUNDED work: counts through limit(max + 1),
+    * which plans LocalLimit per partition — every partition early-exits
+    * at max + 1 rows, in parallel — instead of a full count of an input
+    * that may be arbitrarily large. (A fused guard that collect()ed the
+    * side for its broadcast was tried and reverted: executeCollect's
+    * incremental-limit path populates upstream caches with crippled
+    * parallelism, costing far more on derived inputs than the counting
+    * job it saved.) */
   def requireAtMost(df: DataFrame, maxRows: Long, op: String, alternative: String): Long = {
-    val n = df.count()
-    if (n > maxRows)
-      throw new IllegalArgumentException(
-        s"$op: input has $n rows (guard: $maxRows); the exact all-pairs contract would cost " +
-          s"~${n / 2 * n} comparisons. $alternative, or raise maxRows explicitly.")
-    n
-  }
-
-  /** Guard-and-materialize in one pass, for a side that is about to be
-    * broadcast anyway: Spark would collect it to the driver per action
-    * regardless, so a separate count job just duplicates that work (it
-    * showed up as ~30% of exact-kNN latency). Collects at most
-    * maxRows + 1 rows (early-exit limit), throws past the cap, and
-    * returns the rows so the caller can re-plan the side as a local
-    * relation — leaving the main job as the only Spark action. */
-  def collectAtMost(df: DataFrame, maxRows: Long, op: String,
-      alternative: String): Array[org.apache.spark.sql.Row] = {
     val bounded =
       if (maxRows >= Int.MaxValue - 1) df else df.limit(maxRows.toInt + 1)
-    val rows = bounded.collect()
-    if (rows.length > maxRows)
+    val n = bounded.count()
+    if (n > maxRows)
       throw new IllegalArgumentException(
         s"$op: input exceeds $maxRows rows (guard); the exact all-pairs contract " +
           s"is quadratic past this point. $alternative, or raise maxRows explicitly.")
-    rows
+    n
   }
 }

@@ -26,22 +26,15 @@ object Similarity {
     * path. */
   def topKExact(queries: DataFrame, corpus: DataFrame, k: Int,
       roundDp: Int = 6, maxQueries: Long = 10000L): DataFrame = {
-    // guard + broadcast materialization fused: the query side is collected
-    // to the driver here (bounded by the guard), checked, and re-planned
-    // as a local relation — so the broadcast costs no scan job and the
-    // guard costs no count job; the corpus-side join is the only action.
-    val spark = queries.sparkSession
-    val qRows = Guards.collectAtMost(queries, maxQueries, "topKExact",
+    Guards.requireAtMost(queries, maxQueries, "topKExact",
       "switch to the IVF path (VectorIndex.build + VectorIndex.search) for bulk query sets")
-    val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), queries.schema)
-    VectorExprs.register(spark)
+    VectorExprs.register(queries.sparkSession)
     // norms once per vector (columns, so they survive the join), codegen
     // dot per pair: dot/(sqrt·sqrt) keeps oracle-bit-exact association.
     // The |Q|·n dot products all run in the corpus-side stage (the query
     // side broadcasts), so that stage must not inherit a 1-split scan's
     // parallelism — spread it first (no-op on well-split inputs).
-    val q = qLocal.withColumn("_qn", sqrt(VectorExprs.vec_dot(col("qv"), col("qv"))))
+    val q = queries.withColumn("_qn", sqrt(VectorExprs.vec_dot(col("qv"), col("qv"))))
     val c = graft.core.Par.spread(corpus)
       .withColumn("_nn", sqrt(VectorExprs.vec_dot(col("nv"), col("nv"))))
     val joined = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
