@@ -168,4 +168,39 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"no window needed — shares come from the broadcast total:\n${plan.take(3000)}")
   }
+
+  test("q81 group split: split is a pure map — no window, only the broadcast total join") {
+    val plan = planOf("q81_group_split")
+    assert(!plan.contains("Window"),
+      s"split assignment must be computed per row, not via a window:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the only join is the 1-row broadcast total:\n${plan.take(3000)}")
+  }
+
+  test("q82 perplexity: LM totals broadcast; scoring never sorts the corpus") {
+    val plan = planOf("q82_perplexity_buckets")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row vocab totals must ride as a broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"per-doc and per-source reductions are aggs, not windows:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>") ||
+      plan.contains("ReadSchema: struct<doc_id:bigint,text:string") ,
+      s"the documents scan must prune to the scored columns:\n${plan.take(3000)}")
+  }
+
+  test("q83 importance weights: top-k is TakeOrdered, not a global sort") {
+    val plan = planOf("q83_importance_weights")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 selection must not plan a global Sort + limit:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"doc scores reduce by agg, not a window:\n${plan.take(3000)}")
+  }
+
+  test("q84 truncation audit: per-source caps broadcast back onto the lengths") {
+    val plan = planOf("q84_truncation_audit")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 20-row caps frame must broadcast, never shuffle the lengths:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"the percentile is an agg over sources, not a window:\n${plan.take(3000)}")
+  }
 }
