@@ -1108,6 +1108,10 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** X82 sliding-window chunking audit ([[Corpus.chunkingStats]]). */
+  def chunkingStats(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chunkingStats(Tables.documentsSpread(spark, dir))
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1400,6 +1404,7 @@ object SparkEntry {
     "q83_importance_weights" -> importanceWeights _,
     "q84_truncation_audit" -> truncationAudit _,
     "q85_semantic_dedup" -> semanticDedup _,
+    "q86_chunking_stats" -> chunkingStats _,
   )
 
   private val stopwordsSqlList: String =
@@ -2772,6 +2777,31 @@ object SparkEntry {
         |    AS tokens_dropped
         |FROM lens l JOIN caps c ON l.source = c.source
         |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
+    "q86_chunking_stats" ->
+      s"""WITH lens AS (
+        |  SELECT source, CAST(len($toksSql) AS BIGINT) AS ntok FROM documents
+        |), c AS (
+        |  SELECT source, ntok,
+        |    CASE WHEN ntok <= 64 THEN 1
+        |         ELSE CAST(ceiling((ntok - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |  FROM lens
+        |), t AS (
+        |  SELECT source, ntok, n_chunks,
+        |    CASE WHEN ntok <= 64 THEN ntok
+        |         ELSE (n_chunks - 1) * 64 + (ntok - (n_chunks - 1) * 48)
+        |         END AS chunk_toks
+        |  FROM c
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi_chunk,
+        |  CAST(sum(chunk_toks) AS BIGINT) AS chunk_tokens,
+        |  round(CAST(sum(chunk_toks) AS DOUBLE) / CAST(sum(ntok) AS BIGINT), 6)
+        |    AS inflation
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

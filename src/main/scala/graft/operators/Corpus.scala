@@ -405,6 +405,60 @@ object Corpus {
       .limit(k)
   }
 
+  // ---- sliding-window chunking (q86) --------------------------------
+
+  /** X82 sliding-window chunk layout for long documents (the standard
+    * RAG / context-window preparation: fixed `size`-token windows every
+    * `stride` tokens, so consecutive chunks overlap by size − stride).
+    * Returns one row per chunk with its token offsets — map-only: an
+    * explode over a per-doc `sequence(0, n_chunks−1)`, no shuffle at
+    * all, so it scales with the scan. */
+  def slidingChunks(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= size, s"need 0 < stride <= size, got $stride/$size")
+    docs
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .withColumn("ntok", size_(col("tk")))
+      .withColumn("n_chunks",
+        when(col("ntok") <= size, lit(1L))
+          .otherwise(ceil((col("ntok") - size).cast("double") / stride).cast("long") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_tokens", least(lit(size.toLong), col("ntok") - col("start_tok")))
+      .select(col("doc_id"), col("source"), col("chunk_id"),
+        col("start_tok"), col("chunk_tokens"))
+  }
+
+  /** Audit view of [[slidingChunks]] — per source: docs, chunks, the
+    * multi-chunk share, and the token inflation the overlap costs. The
+    * chunk count and token totals are CLOSED-FORM integer arithmetic on
+    * the per-doc token count (no explode), so the report costs one
+    * map + one source-keyed agg regardless of chunk fan-out. */
+  def chunkingStats(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= size, s"need 0 < stride <= size, got $stride/$size")
+    val lens = docs.select(col("source"), TF.tokenCount(col("text")).cast("long").as("ntok"))
+    val nChunks = when(col("ntok") <= size, lit(1L))
+      .otherwise(ceil((col("ntok") - size).cast("double") / stride).cast("long") + 1L)
+    val chunkToks = when(col("ntok") <= size, col("ntok"))
+      .otherwise((col("n_chunks") - 1) * size + (col("ntok") - (col("n_chunks") - 1) * stride))
+    lens
+      .withColumn("n_chunks", nChunks)
+      .withColumn("chunk_toks", chunkToks)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_multi_chunk"),
+        sum(col("chunk_toks")).as("chunk_tokens"),
+        round(sum(col("chunk_toks")).cast("double") / sum(col("ntok")), 6)
+          .as("inflation"))
+      .orderBy("source")
+  }
+
+  /** `size` shadowed by the chunk parameter above — Spark's array-length
+    * function under a local alias. */
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   // ---- truncation audit (q84) ---------------------------------------
 
   /** X80 length-truncation audit: what a per-source p95 token cap would

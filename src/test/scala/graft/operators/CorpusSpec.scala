@@ -175,6 +175,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(out.map(_.getAs[Double]("pct_events")).sum - 100.0) < 1e-6)
   }
 
+  test("sliding chunks: offsets tile the doc with the configured overlap, stats agree") {
+    // 100 tokens, size 10 / stride 8: chunks start at 0,8,…; last window
+    // must still reach the final token
+    val d = docs((1L, Seq.fill(100)("w").mkString(" "), "en", "s0"))
+    val chunks = Corpus.slidingChunks(d, size = 10, stride = 8)
+      .orderBy("chunk_id").collect()
+    val starts = chunks.map(_.getAs[Long]("start_tok"))
+    assert(starts.toSeq == starts.indices.map(_ * 8L))
+    // coverage: union of [start, start+len) is exactly [0, 100)
+    val covered = chunks.flatMap(r =>
+      r.getAs[Long]("start_tok") until
+        (r.getAs[Long]("start_tok") + r.getAs[Long]("chunk_tokens"))).toSet
+    assert(covered == (0L until 100L).toSet)
+    // closed-form stats match the exploded layout
+    val s = Corpus.chunkingStats(d, size = 10, stride = 8).collect().head
+    assert(s.getAs[Long]("n_chunks") == chunks.length)
+    assert(s.getAs[Long]("chunk_tokens") ==
+      chunks.map(_.getAs[Long]("chunk_tokens")).sum)
+    assert(s.getAs[Long]("n_multi_chunk") == 1)
+  }
+
+  test("sliding chunks: short and empty docs emit exactly one chunk") {
+    val d = docs(
+      (1L, "a b c", "en", "s0"),   // 3 tokens < size
+      (2L, "", "en", "s0"))        // empty
+    val chunks = Corpus.slidingChunks(d, size = 10, stride = 8).collect()
+    assert(chunks.length == 2)
+    assert(chunks.forall(_.getAs[Long]("chunk_id") == 0L))
+    val s = Corpus.chunkingStats(d, size = 10, stride = 8).collect().head
+    assert(s.getAs[Long]("n_chunks") == 2 && s.getAs[Long]("n_multi_chunk") == 0)
+    assert(s.getAs[Double]("inflation") == 1.0) // no overlap cost below size
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")
