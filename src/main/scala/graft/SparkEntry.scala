@@ -1112,6 +1112,10 @@ object SparkEntry {
   def chunkingStats(spark: SparkSession, dir: String): DataFrame =
     Corpus.chunkingStats(Tables.documentsSpread(spark, dir))
 
+  /** X83 cross-corpus incremental dedup ([[Corpus.crossCorpusDedup]]). */
+  def crossCorpusDedup(spark: SparkSession, dir: String): DataFrame =
+    Corpus.crossCorpusDedup(Tables.documentsSpread(spark, dir))
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1405,6 +1409,7 @@ object SparkEntry {
     "q84_truncation_audit" -> truncationAudit _,
     "q85_semantic_dedup" -> semanticDedup _,
     "q86_chunking_stats" -> chunkingStats _,
+    "q87_cross_corpus_dedup" -> crossCorpusDedup _,
   )
 
   private val stopwordsSqlList: String =
@@ -2802,6 +2807,36 @@ object SparkEntry {
         |  round(CAST(sum(chunk_toks) AS DOUBLE) / CAST(sum(ntok) AS BIGINT), 6)
         |    AS inflation
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q87_cross_corpus_dedup" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, source, $toksSql AS tk FROM documents
+        |), d AS (
+        |  SELECT doc_id, source, list_distinct($trigramsFromTkSql) AS grams
+        |  FROM t0
+        |), gx AS (
+        |  SELECT doc_id, unnest(grams) AS gm FROM d WHERE len(grams) > 0
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+        |  FROM gx a JOIN gx b USING (gm)
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |), ver AS (
+        |  SELECT DISTINCT c.id_new
+        |  FROM cand c
+        |  JOIN d da ON da.doc_id = c.id_new
+        |  JOIN d db ON db.doc_id = c.id_base
+        |  WHERE CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
+        |    / (len(da.grams) + len(db.grams)
+        |       - len(list_intersect(da.grams, db.grams))) >= 0.5
+        |)
+        |SELECT d.source, count(*) AS n_new,
+        |  CAST(sum(CASE WHEN ver.id_new IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  round(CAST(sum(CASE WHEN ver.id_new IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS drop_rate
+        |FROM d LEFT JOIN ver ON d.doc_id = ver.id_new
+        |WHERE d.doc_id % 2 = 1
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

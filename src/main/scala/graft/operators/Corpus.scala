@@ -459,6 +459,71 @@ object Corpus {
     * function under a local alias. */
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  // ---- cross-corpus incremental dedup (q87) -------------------------
+
+  /** X83 cross-corpus dedup: drop incoming docs that near-duplicate the
+    * EXISTING corpus (the incremental form every growing training set
+    * needs — new crawl slices dedup against what is already banked, not
+    * against themselves). Here the "new" slice is `doc_id % 2 = 1` and
+    * the base is the rest; in production the two sides are different
+    * tables.
+    *
+    * Candidates come from an exact inverted-index join (a new doc and a
+    * base doc pair up iff they share a distinct word n-gram — any pair
+    * with J ≥ τ > 0 must share one, so candidate generation loses
+    * nothing), then exact Jaccard verifies through the same sorted-hash
+    * two-pointer kernel as the self-dedup path, with the same provable
+    * size-ratio pre-filter. Scale note: the posting join's cost
+    * concentrates in high-document-frequency grams (boilerplate); at
+    * 100 TB either drop grams past a df cap (standard posting-list
+    * pruning — loses only pairs whose ONLY shared grams are boilerplate)
+    * or run the MinHash-banded sibling ([[Dedup.minhashNearDups]]) with
+    * the two corpora unioned and a side tag. */
+  def crossCorpusDedup(docs: DataFrame, shingleWords: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    graft.expressions.TextExprs.register(spark)
+    val shingled = docs
+      .select(col("doc_id"), col("source"), TF.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords).as("sh"))
+      .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
+      .withColumn("sz", size_(col("sh")))
+      // reused by both posting sides and both verification joins
+      .localCheckpoint(false)
+    val isNew = pmod(col("doc_id"), lit(2)) === 1
+    val newS = shingled.filter(isNew)
+    val baseS = shingled.filter(!isNew)
+    def postings(side: DataFrame, as: String) = side.filter(col("sz") > 0)
+      .select(col("doc_id").as(as), explode(col("sh")).as("g"))
+    val cand = postings(newS, "id_new")
+      .join(postings(baseS, "id_base"), "g")
+      .select("id_new", "id_base").distinct()
+    val dropped = cand
+      .join(newS.select(col("doc_id").as("id_new"),
+        col("hsh").as("ha"), col("sz").as("sz_a")), "id_new")
+      .join(baseS.select(col("doc_id").as("id_base"),
+        col("hsh").as("hb"), col("sz").as("sz_b")), "id_base")
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("inter",
+        graft.expressions.HashFunctions.sorted_intersect_count(col("ha"), col("hb")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_new").as("doc_id")).distinct()
+    newS.select(col("doc_id"), col("source"))
+      .join(dropped.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dropped"),
+        round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
+          .as("drop_rate"))
+      .orderBy("source")
+  }
+
   // ---- truncation audit (q84) ---------------------------------------
 
   /** X80 length-truncation audit: what a per-source p95 token cap would

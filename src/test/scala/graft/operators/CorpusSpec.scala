@@ -208,6 +208,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(s.getAs[Double]("inflation") == 1.0) // no overlap cost below size
   }
 
+  test("cross-corpus dedup: new docs matching the base are dropped; new-vs-new dups are not") {
+    // base = even ids, new = odd ids. Doc 1 copies base doc 2 verbatim →
+    // dropped. Docs 3 and 5 duplicate EACH OTHER but nothing in the base:
+    // incremental dedup must keep both (self-dedup is a separate pass).
+    val d = docs(
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (3L, "one two three four five six seven", "en", "s0"),
+      (5L, "one two three four five six seven", "en", "s0"),
+      (7L, "totally different words in this new document", "en", "s1"))
+    val out = Corpus.crossCorpusDedup(d)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s0").getAs[Long]("n_new") == 3)     // ids 1, 3, 5
+    assert(out("s0").getAs[Long]("n_dropped") == 1) // only id 1
+    assert(out("s1").getAs[Long]("n_dropped") == 0)
+    assert(out("s0").getAs[Double]("drop_rate") == 0.333333)
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")
