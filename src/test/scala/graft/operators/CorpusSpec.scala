@@ -226,6 +226,52 @@ class CorpusSpec extends AnyFunSuite {
     assert(out("s0").getAs[Double]("drop_rate") == 0.333333)
   }
 
+  test("chunking closed form equals the exploded layout for every length 0..120") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum => sm}
+    val d = docs((0L to 120L).map(i =>
+      (i, Seq.fill(i.toInt)("w").mkString(" "), "en", "s" + (i % 3))): _*)
+    for ((size, stride) <- Seq((16, 16), (16, 8), (10, 3), (64, 48))) {
+      val exploded = Corpus.slidingChunks(d, size, stride)
+        .groupBy("source")
+        .agg(cnt(lit(1)).as("n_chunks"), sm("chunk_tokens").as("chunk_tokens"))
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("chunk_tokens"))).toMap
+      val closed = Corpus.chunkingStats(d, size, stride).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("chunk_tokens"))).toMap
+      assert(exploded == closed, s"size=$size stride=$stride")
+    }
+  }
+
+  test("cross-corpus dedup matches a brute-force jaccard reference on random docs") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rows = (1L to 40L).map { i =>
+      val n = 3 + rng.nextInt(10)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "), "en", "s" + (i % 2))
+    }
+    def grams(text: String): Set[Seq[String]] = {
+      val tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.size < 3) Set.empty else tk.sliding(3).map(_.toSeq).toSet
+    }
+    val g = rows.map { case (id, t, _, _) => id -> grams(t) }.toMap
+    val expected = rows.filter(_._1 % 2 == 1).groupBy(_._4).map { case (src, rs) =>
+      src -> rs.count { case (idn, _, _, _) =>
+        rows.exists { case (idb, _, _, _) =>
+          idb % 2 == 0 && g(idn).nonEmpty && g(idb).nonEmpty && {
+            val i = (g(idn) & g(idb)).size
+            i.toDouble / (g(idn).size + g(idb).size - i) >= 0.5
+          }
+        }
+      }.toLong
+    }
+    val got = Corpus.crossCorpusDedup(docs(rows: _*)).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_dropped")).toMap
+    // only sources that actually contain new (odd-id) docs appear
+    assert(got == expected.filter { case (s, _) =>
+      rows.exists(r => r._4 == s && r._1 % 2 == 1) })
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")
