@@ -314,6 +314,16 @@ object SparkEntry {
     * dir (build throughput is measured separately in the bench ann
     * phase; the query measures search). */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // bench-harness convenience state, not library API: the per-dir temp
+  // indexes are reclaimed when the JVM exits rather than outliving it
+  locally {
+    sys.addShutdownHook {
+      ivfIndexDirs.values().forEach { d =>
+        try org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(d))
+        catch { case _: Exception => () }
+      }
+    }
+  }
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndexDirs.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
