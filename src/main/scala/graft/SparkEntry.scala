@@ -1126,6 +1126,64 @@ object SparkEntry {
   def crossCorpusDedup(spark: SparkSession, dir: String): DataFrame =
     Corpus.crossCorpusDedup(Tables.documentsSpread(spark, dir))
 
+  /** X85 embedding-space decontamination
+    * ([[graft.operators.Similarity.decontamByEmbedding]]): vectors
+    * vec_id < 20 stand in for the eval benchmark; any corpus vector
+    * within cosine 0.35 of one is flagged with its closest eval item. */
+  def embedDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VF.vecAsDouble(col("embedding")).as("v"))
+    val evalSet = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 19L)
+      .select(col("vec_id").as("eval_id"), VF.vecAsDouble(col("embedding")).as("eval_vec"))
+    graft.operators.Similarity
+      .decontamByEmbedding(emb, evalSet, "vec_id", "v", tau = 0.35)
+      .orderBy("vec_id")
+  }
+
+  /** X84 Misra–Gries heavy hitters
+    * ([[graft.operators.TextAnalysis.heavyHitters]]). Capacity 64k far
+    * exceeds the synthetic vocabulary, so the sketch runs in its exact
+    * regime and the DuckDB top-20 is a hash-exact oracle; the sketch
+    * bound (undercount ≤ N/(capacity+1)) is unit-tested separately. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.heavyHitters(Tables.documentsSpread(spark, dir))
+
+  /** X86 PSI distribution-drift monitor: Population Stability Index of
+    * each event type's value histogram, baseline (even event_id) vs
+    * current (odd). Fixed bin edges, Laplace-smoothed shares over the
+    * full type×bin grid so structurally-absent bins still contribute,
+    * per-term DECIMAL(20,12) cast before the sum (order-free addition —
+    * same device as q79). Everything after the first agg is
+    * bins×types-sized. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(0.0, 10.0, 25.0, 50.0, 100.0, 200.0)
+    val nBins = edges.size
+    val e = Tables.events(spark, dir)
+      .withColumn("bin", Stats.binIndex(col("value"), edges))
+      .withColumn("cur", pmod(col("event_id"), lit(2)) === 1)
+    val counts = e.groupBy("event_type", "bin").agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(spark.range(0, nBins.toLong).select(col("id").cast("int").as("bin")))
+    val tot = counts.groupBy("event_type").agg(sum("nb").as("tb"), sum("nc").as("tc"))
+    val full = grid.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("nb", "nc"))
+      .join(broadcast(tot), "event_type")
+    val pb = (col("nb").cast("double") + lit(0.5)) / (col("tb").cast("double") + lit(0.5 * nBins))
+    val pc = (col("nc").cast("double") + lit(0.5)) / (col("tc").cast("double") + lit(0.5 * nBins))
+    full.withColumn("term", (pc - pb) * log(pc / pb))
+      .groupBy("event_type")
+      .agg(max("tb").as("n_base"), max("tc").as("n_cur"),
+        round(sum(col("term").cast("decimal(20,12)")).cast("double"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** X87 deterministic weighted sampling ([[Corpus.weightedSample]]):
+    * top-20 documents by the Efraimidis–Spirakis key, weight = n_chars. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(Tables.documents(spark, dir))
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1420,6 +1478,10 @@ object SparkEntry {
     "q85_semantic_dedup" -> semanticDedup _,
     "q86_chunking_stats" -> chunkingStats _,
     "q87_cross_corpus_dedup" -> crossCorpusDedup _,
+    "q88_embed_decontam" -> embedDecontam _,
+    "q89_heavy_hitters" -> heavyHitters _,
+    "q90_psi_drift" -> psiDrift _,
+    "q91_weighted_sample" -> weightedSample _,
   )
 
   private val stopwordsSqlList: String =
@@ -2847,6 +2909,77 @@ object SparkEntry {
         |FROM d LEFT JOIN ver ON d.doc_id = ver.id_new
         |WHERE d.doc_id % 2 = 1
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q88_embed_decontam" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ev AS (
+        |  SELECT vec_id AS eval_id, v AS ev FROM c WHERE vec_id <= 19
+        |), p AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    list_dot_product(c.v, ev.ev)
+        |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev))) AS sim
+        |  FROM c CROSS JOIN ev
+        |), f AS (
+        |  SELECT vec_id, eval_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+        |  FROM p WHERE sim >= 0.35
+        |)
+        |SELECT vec_id, eval_id, round(sim, 6) AS sim
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q89_heavy_hitters" ->
+      s"""WITH t AS (
+        |  SELECT unnest($toksSql) AS token FROM documents
+        |)
+        |SELECT token, count(*) AS n FROM t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q90_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 0 THEN -1 WHEN value < 10 THEN 0
+        |         WHEN value < 25 THEN 1 WHEN value < 50 THEN 2
+        |         WHEN value < 100 THEN 3 WHEN value < 200 THEN 4
+        |         ELSE 5 END AS bin,
+        |    CAST(event_id % 2 AS INTEGER) AS cur
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM e GROUP BY event_type, bin
+        |), g AS (
+        |  SELECT t.event_type, CAST(b.bin AS INTEGER) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS bin) b
+        |), f AS (
+        |  SELECT g.event_type, g.bin,
+        |    coalesce(c.nb, 0) AS nb, coalesce(c.nc, 0) AS nc
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin
+        |), t AS (
+        |  SELECT event_type, CAST(sum(nb) AS BIGINT) AS tb,
+        |    CAST(sum(nc) AS BIGINT) AS tc
+        |  FROM f GROUP BY event_type
+        |), x AS (
+        |  SELECT f.event_type, t.tb, t.tc,
+        |    (CAST(f.nb AS DOUBLE) + 0.5) / (CAST(t.tb AS DOUBLE) + 3.0) AS pb,
+        |    (CAST(f.nc AS DOUBLE) + 0.5) / (CAST(t.tc AS DOUBLE) + 3.0) AS pc
+        |  FROM f JOIN t ON f.event_type = t.event_type
+        |)
+        |SELECT event_type, max(tb) AS n_base, max(tc) AS n_cur,
+        |  round(CAST(sum(CAST((pc - pb) * ln(pc / pb) AS DECIMAL(20,12))) AS DOUBLE), 6) AS psi
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q91_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |    round(ln(CAST((doc_id * 1103515245 + 12345) % 2147483647 + 1 AS DOUBLE)
+        |      / 2147483648.0) / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, w, es_key FROM s
+        |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -53,19 +53,32 @@ object Tables {
   def documentsSpread(spark: SparkSession, dir: String): DataFrame =
     graft.core.Par.spread(documents(spark, dir))
 
-  /** `ts` is surfaced as LongType microseconds since epoch.
-    *
-    * The file stores nanosecond precision; Spark 4 reads it as long ns
-    * (`nanosAsLong`), but DuckDB's parquet reader — the correctness
-    * oracle — truncates ns to µs on read, so sub-µs digits can never be
-    * compared. We standardize on truncated µs (`DIV 1000`) everywhere. */
+  /** `ts` is surfaced as LongType microseconds since epoch, whatever the
+    * file encodes — generations of the synthetic corpus have shipped both
+    * ns-precision INT64 (Spark 4 reads it as long ns under `nanosAsLong`;
+    * `DIV 1000` truncates to µs) and plain µs TIMESTAMP/TIMESTAMP_NTZ
+    * (`unix_micros` under the UTC session). Both land on the value DuckDB's
+    * `epoch_us(ts)` — the correctness oracle — computes for the same file,
+    * so all event-time arithmetic stays in exact integer µs either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // GraftSession sets this at build time; only touch session state for
-    // foreign sessions that would otherwise fail the read (a repeated
-    // conf.set would surprise concurrent users of a shared session)
+    // foreign sessions that would otherwise fail an ns-file read (a
+    // repeated conf.set would surprise concurrent users of a session)
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events").withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val df = read(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsMicros = df.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case TimestampType | TimestampNTZType =>
+        // NTZ→TZ cast reads the naive value in the session zone (UTC —
+        // GraftSession pins it), which is exactly epoch_us's convention
+        unix_micros(col("ts").cast("timestamp"))
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: unsupported type $other")
+    }
+    df.withColumn("ts", tsMicros)
   }
 
   /** Register every table as a temp view so `spark.sql("SELECT …")` works

@@ -550,6 +550,29 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** X87 deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES, public algorithm): the k rows with the
+    * largest u^(1/w) are a weight-proportional sample. Ranking happens on
+    * the monotone-equivalent log(u)/w (closest to zero wins) — no pow,
+    * numerically stable for large weights. u comes from the same LCG
+    * scramble as the stratified sampler (q29), so the sample is a pure
+    * function of doc_id that any engine reproduces bit-for-bit — re-runs
+    * and backfills pick identical training subsets.
+    *
+    * Scale shape: one map-only projection + TakeOrderedAndProject (no
+    * sort, no shuffle of the corpus — every partition ships only its own
+    * top-k candidates). */
+  def weightedSample(docs: DataFrame, weightCol: String = "n_chars",
+      k: Int = 20): DataFrame = {
+    val u = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L) + lit(1L))
+      .cast("double") / lit(2147483648.0)
+    docs.select(col("doc_id"), col("source"),
+        col(weightCol).cast("long").as("w"),
+        round(log(u) / col(weightCol).cast("double"), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def packingStats(docs: DataFrame, budget: Int = 512): DataFrame = {
     val packed = packAssignments(docs, budget)
 

@@ -47,6 +47,40 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** X85 embedding-space benchmark decontamination — the semantic sibling
+    * of the n-gram path ([[Corpus.decontaminate]], reference analog:
+    * eval-set leakage checks in quality/metrics/embedding.py): flag every
+    * corpus vector whose cosine against ANY eval vector reaches `tau`,
+    * reporting the closest eval item per flagged row. Catches paraphrased
+    * contamination that exact n-gram matching misses.
+    *
+    * Scale shape: the eval side is a benchmark — bounded by definition —
+    * and broadcasts; the corpus scans ONCE, map-only, with norms computed
+    * per side before the join. Rows are filtered to sim ≥ tau *before*
+    * the vec-keyed argmax agg, so the single shuffle carries only flagged
+    * pairs (≈ contamination rate × |corpus|), never the corpus itself.
+    * corpus: (idCol, vecCol); evalSet: (eval_id, eval_vec). */
+  def decontamByEmbedding(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      roundDp: Int = 6, maxEval: Long = 100000L): DataFrame = {
+    Guards.requireAtMost(evalSet, maxEval, "decontamByEmbedding",
+      "an eval benchmark is bounded; route corpus-vs-corpus similarity through cosinePairsAboveIvf")
+    VectorExprs.register(corpus.sparkSession)
+    val ev = evalSet.withColumn("_en", sqrt(VectorExprs.vec_dot(col("eval_vec"), col("eval_vec"))))
+    val c = graft.core.Par.spread(corpus)
+      .withColumn("_cn", sqrt(VectorExprs.vec_dot(col(vecCol), col(vecCol))))
+    c.crossJoin(broadcast(ev))
+      .select(col(idCol), col("eval_id"),
+        (VectorExprs.vec_dot(col(vecCol), col("eval_vec")) / (col("_cn") * col("_en"))).as("sim"))
+      .filter(col("sim") >= tau)
+      // argmax as min(struct): (−sim, eval_id) ascending == (sim desc,
+      // eval_id asc) — one agg, map-side combinable, no window
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("sim")).as("ns"), col("eval_id").as("e"))).as("_w"))
+      .select(col(idCol), col("_w.e").as("eval_id"),
+        round(-col("_w.ns"), roundDp).as("sim"))
+  }
+
   /** Deterministic IVF training: cells seeded by `hash(id) % nCells`,
     * then `iters` Lloyd steps. Returns (cell_id, centroid double[]).
     *

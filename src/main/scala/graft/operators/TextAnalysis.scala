@@ -154,6 +154,61 @@ object TextAnalysis {
   def digitCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[0-9]", ""))
 
+  /** X84 corpus heavy hitters via per-partition Misra–Gries sketches.
+    *
+    * The exact top-k (q10/q55) explodes every token into a corpus-sized
+    * shuffle — at 100 TB that shuffle IS the job. This operator never
+    * shuffles the token stream: each partition folds its documents into a
+    * bounded Misra–Gries map of at most `capacity` counters (the classic
+    * decrement-all eviction), and only the ≤ partitions×capacity surviving
+    * (token, count) entries reach the one final token-keyed agg.
+    *
+    * Guarantees (Misra–Gries, public): each partition undercounts any
+    * token by at most n_p/(capacity+1); summed over partitions the global
+    * undercount is ≤ N/(capacity+1), and no token with true frequency
+    * > N/(capacity+1) can be missing. When every partition's distinct
+    * token count stays ≤ capacity no eviction ever fires and the result
+    * is EXACT — the oracle runs in that regime; production picks capacity
+    * by the error budget, not the vocabulary.
+    *
+    * mapPartitions is deliberate: this is genuine per-partition imperative
+    * sketch state (a bounded hash map), the sanctioned RDD-ish escape
+    * hatch — everything before and after stays declarative.
+    * Tokenization matches [[TF.tokens]] (and the shared `toksSql`
+    * fragment) exactly: whitespace split, empties dropped. */
+  def heavyHitters(docs: DataFrame, textCol: String = "text",
+      k: Int = 20, capacity: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sketched = docs.select(col(textCol)).as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long](capacity * 2)
+      it.foreach { text =>
+        val arr = if (text == null) Array.empty[String] else text.split("\\s+")
+        var i = 0
+        while (i < arr.length) {
+          val t = arr(i)
+          if (t.nonEmpty) {
+            val cur = m.getOrDefault(t, 0L)
+            if (cur > 0L || m.size < capacity) m.put(t, cur + 1L)
+            else { // full and unseen: decrement every counter, drop zeros
+              val itr = m.entrySet().iterator()
+              while (itr.hasNext) {
+                val e = itr.next()
+                if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+        .asScala.map(e => (e.getKey, e.getValue))
+    }.toDF("token", "n")
+    sketched.groupBy("token").agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** Character-trigram profile language ID, self-trained:
     *  1. "train": top `profileSize` char trigrams per label from a labeled
     *     corpus (df with labelCol), ranked by frequency;

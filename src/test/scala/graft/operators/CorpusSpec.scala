@@ -272,6 +272,30 @@ class CorpusSpec extends AnyFunSuite {
       rows.exists(r => r._4 == s && r._1 % 2 == 1) })
   }
 
+  test("weighted sample: deterministic, ranked by the ES key, dominated by heavy docs") {
+    // doc_id 1..100 heavy (w=1000), 101..200 light (w=10)
+    val docs = (1L to 200L)
+      .map(i => (i, "s", if (i <= 100) 1000L else 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.weightedSample(docs, k = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 30)
+    val keys = out.map(_._3)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "es_key not descending")
+    // second run identical — the sample is a pure function of doc_id
+    val again = Corpus.weightedSample(docs, k = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == again.toSeq)
+    // 100x weight should essentially own the sample
+    assert(out.count(_._2 == 1000L) >= 25, s"heavy docs under-sampled: $out")
+    // spot-check the key formula on the top row
+    val (id, w, key) = out.head
+    val u = ((id * 1103515245L + 12345L) % 2147483647L + 1L).toDouble / 2147483648.0
+    val expect = BigDecimal(math.log(u) / w.toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(key - expect) < 1e-12, s"key=$key expect=$expect")
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")

@@ -96,6 +96,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
   }
 
+  test("embedding decontamination flags near-copies with their closest eval item, leaves clean rows out") {
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0)),  // exact copy of eval 1
+      (101L, Seq(0.9, 0.1)),  // near eval 1 (cos ~ 0.994)
+      (102L, Seq(0.0, 1.0)),  // exact copy of eval 2
+      (103L, Seq(-1.0, 0.0))) // anti-aligned: clean
+      .toDF("id", "v")
+    val ev = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("eval_id", "eval_vec")
+    val out = Similarity.decontamByEmbedding(corpus, ev, "id", "v", tau = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L))
+    assert(out(100L) == (1L, 1.0))
+    assert(out(102L) == (2L, 1.0))
+    assert(out(101L)._1 == 1L && math.abs(out(101L)._2 - 0.993884) < 1e-6)
+  }
+
+  test("decontamByEmbedding guards an unbounded eval side, naming the pair path") {
+    val df = Seq((1L, Seq(1.0))).toDF("id", "v")
+    val ev = Seq((1L, Seq(1.0)), (2L, Seq(0.5))).toDF("eval_id", "eval_vec")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.decontamByEmbedding(df, ev, "id", "v", tau = 0.5, maxEval = 1)
+    }
+    assert(err.getMessage.contains("cosinePairsAboveIvf"))
+  }
+
   test("zero-norm vectors are excluded from blocked top-pairs (no NaN)") {
     val df = Seq(
       (1L, Seq(0.0f, 0.0f, 0.0f)), // zero vector: cosine undefined

@@ -26,6 +26,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 4) // hello , world !
   }
 
+  test("heavy hitters: exact regime equals the explode-groupBy truth") {
+    val docs = Seq("a b a", "b c b a", "d d d d").toDF("text").repartition(3)
+    val got = TextAnalysis.heavyHitters(docs, k = 10, capacity = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("d", 4L), ("a", 3L), ("b", 3L), ("c", 1L)))
+  }
+
+  test("heavy hitters: tiny capacity never overcounts, keeps undercount within N/(c+1), never misses a true heavy hitter") {
+    // 50 "hot" + 30 unique singletons over 4 partitions; capacity 4
+    // bound: global undercount <= N/(c+1) = 80/5 = 16 < hot's true 50
+    val texts = Seq.fill(25)("hot hot") ++ (1 to 30).map(i => s"u$i")
+    val docs = texts.toDF("text").repartition(4)
+    val got = TextAnalysis.heavyHitters(docs, k = 1000, capacity = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = (Map("hot" -> 50L) ++ (1 to 30).map(i => s"u$i" -> 1L)).withDefaultValue(0L)
+    assert(got.contains("hot"), s"true heavy hitter evicted: $got")
+    assert(got("hot") >= 50L - 16L && got("hot") <= 50L, s"hot=${got("hot")}")
+    got.foreach { case (t, n) => assert(n <= truth(t), s"overcount on $t: $n > ${truth(t)}") }
+  }
+
   test("fingerprint is stable under whitespace/case variation only") {
     val df = Seq(("A  b", "a b", "a c")).toDF("x", "y", "z")
     val r = df.select(TextAnalysis.fingerprint(col("x")),
