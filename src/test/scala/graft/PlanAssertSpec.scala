@@ -203,4 +203,33 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"the percentile is an agg over sources, not a window:\n${plan.take(3000)}")
   }
+
+  test("q88 embed decontam: eval side broadcasts; no corpus shuffle join; no window") {
+    val plan = planOf("q88_embed_decontam")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the bounded eval set must broadcast onto the corpus scan:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus itself must never shuffle into the pair join:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"the per-vector argmax is a min(struct) agg, not a rank window:\n${plan.take(3000)}")
+  }
+
+  test("q89 heavy hitters: no token explode, no token-stream shuffle; top-k is TakeOrdered") {
+    val plan = planOf("q89_heavy_hitters")
+    assert(!plan.contains("Generate explode"),
+      s"the sketch must fold tokens inside mapPartitions — an explode means " +
+        s"the token stream became a corpus-sized frame again:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global Sort + limit:\n${plan.take(3000)}")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"exactly one shuffle (the bounded sketch-merge agg) is allowed:\n${plan.take(3000)}")
+  }
+
+  test("q91 weighted sample: map-only + TakeOrdered — no shuffle, no window, no join") {
+    val plan = planOf("q91_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k winners must come from TakeOrdered, not a global sort:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Window"),
+      s"the ES key is a pure row function — nothing may shuffle:\n${plan.take(3000)}")
+  }
 }
