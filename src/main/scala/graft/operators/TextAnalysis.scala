@@ -180,33 +180,42 @@ object TextAnalysis {
       k: Int = 20, capacity: Int = 1 << 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sketched = docs.select(col(textCol)).as[String].mapPartitions { it =>
-      val m = new java.util.HashMap[String, Long](capacity * 2)
-      it.foreach { text =>
-        val arr = if (text == null) Array.empty[String] else text.split("\\s+")
-        var i = 0
-        while (i < arr.length) {
-          val t = arr(i)
-          if (t.nonEmpty) {
-            val cur = m.getOrDefault(t, 0L)
-            if (cur > 0L || m.size < capacity) m.put(t, cur + 1L)
-            else { // full and unseen: decrement every counter, drop zeros
-              val itr = m.entrySet().iterator()
-              while (itr.hasNext) {
-                val e = itr.next()
-                if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
-              }
-            }
-          }
-          i += 1
-        }
-      }
-      scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
-        .asScala.map(e => (e.getKey, e.getValue))
-    }.toDF("token", "n")
+    val cap = capacity
+    val sketched = docs.select(col(textCol)).as[String]
+      .mapPartitions(it => mgSketch(it, cap)).toDF("token", "n")
     sketched.groupBy("token").agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+  }
+
+  /** One partition's Misra–Gries fold: a bounded map of ≤ `capacity`
+    * counters over the whitespace tokens of `texts`. Pure JVM (no Spark)
+    * so the sketch bound is property-testable directly
+    * (`TextKernelsProps`). */
+  private[operators] def mgSketch(texts: Iterator[String],
+      capacity: Int): Iterator[(String, Long)] = {
+    val m = new java.util.HashMap[String, Long]()
+    texts.foreach { text =>
+      val arr = if (text == null) Array.empty[String] else text.split("\\s+")
+      var i = 0
+      while (i < arr.length) {
+        val t = arr(i)
+        if (t.nonEmpty) {
+          val cur = m.getOrDefault(t, 0L)
+          if (cur > 0L || m.size < capacity) m.put(t, cur + 1L)
+          else { // full and unseen: decrement every counter, drop zeros
+            val itr = m.entrySet().iterator()
+            while (itr.hasNext) {
+              val e = itr.next()
+              if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+      .asScala.map(e => (e.getKey, e.getValue))
   }
 
   /** Character-trigram profile language ID, self-trained:
