@@ -151,7 +151,13 @@ object Main {
           "source_dup_rates" -> Corpus.sourceDupRates(docs),
           "cross_lang" -> Corpus.crossLangContent(docs),
           "type_token" -> Corpus.typeTokenRatio(docs),
-          "source_novelty" -> Corpus.sourceNovelty(docs))
+          "source_novelty" -> Corpus.sourceNovelty(docs),
+          "perplexity_buckets" -> Corpus.perplexityBuckets(docs),
+          "importance_weights" -> Corpus.importanceWeights(docs),
+          "truncation_audit" -> Corpus.truncationAudit(docs),
+          "chunking_stats" -> Corpus.chunkingStats(docs),
+          "weighted_sample" -> Corpus.weightedSample(docs),
+          "heavy_hitters" -> graft.operators.TextAnalysis.heavyHitters(docs))
         reports.foreach { case (name, df) =>
           df.write.mode("overwrite").parquet(s"$outDir/$name")
         }
