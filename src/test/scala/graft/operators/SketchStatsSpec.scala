@@ -8,6 +8,21 @@ import graft.SparkTestSession
 class SketchStatsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("distributed count-min build equals the single-fold sketch and bounds real counts") {
+    import spark.implicits._
+    val keys = (1 to 400).map(i => s"k${i % 37}") ++ Seq.fill(100)("hot")
+    val df = keys.toDF("k").repartition(7)
+    val s = CountMin.build(df, "k", width = 256, depth = 4)
+    val whole = keys.foldLeft(CountMin.empty(256, 4))((acc, k) => acc.add(k))
+    assert(s.counts.sameElements(whole.counts) && s.n == 500L,
+      "partitioned build must equal the order-free single fold")
+    assert(s.estimate("hot") >= 100L && s.estimate("hot") <= 500L,
+      s"hot=${s.estimate("hot")}")
+    val est = CountMin.estimates(spark, s, Seq("hot", "k1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") == s.estimate("hot") && est("k1") >= 11L)
+  }
+
   test("approx stats land within documented error of the exact answers") {
     // skewed data: squares of 0..19999, 5000 distinct keys
     val df = spark.range(20000).select(
