@@ -304,7 +304,11 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    // stdout stays compact: short keys AND 2dp values (the file keeps
+    // full names + 3dp) so the line sits well inside a ~2 KB tail even
+    // as the query surface grows
     val shortQs = qs.replaceAll("\"(q[0-9]+)_[a-z0-9_]+\":", "\"$1\":")
+      .replaceAll("([0-9]+\\.[0-9]{2})[0-9]+", "$1")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$phases,"detail":"$outFile"}""")
   }
 }

@@ -1,0 +1,29 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The `curate` command end to end on the synthetic documents table:
+  * every report in the suite lands as a readable non-empty parquet —
+  * the CLI surface must track the operator inventory, not trail it.
+  */
+class CurateCliSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("curate writes the full report suite") {
+    val outDir = Files.createTempDirectory("graft_curate_out").toString
+    Main.run(spark, Array("curate", "/root/testdata/sf0.001/documents.parquet", outDir))
+    val expected = Seq("decontamination", "curriculum_deciles", "domain_mixture",
+      "boilerplate", "tfidf_terms", "packing_stats", "pack_assignments",
+      "source_dup_rates", "cross_lang", "type_token", "source_novelty",
+      "perplexity_buckets", "importance_weights", "truncation_audit",
+      "chunking_stats", "weighted_sample", "heavy_hitters")
+    expected.foreach { name =>
+      val df = spark.read.parquet(s"$outDir/$name")
+      assert(df.count() > 0, s"$name report is empty")
+    }
+  }
+}
