@@ -12,7 +12,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries ns-precision timestamps; read them as long
+      // older events.parquet generations carry ns-precision timestamps;
+      // read those as long ns (µs TIMESTAMP generations are unaffected —
+      // Tables.events normalizes both to µs longs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // date-stem episode_ids (S6 fallback) are numeric-looking: type
       // inference would read the partition column back as INT and break

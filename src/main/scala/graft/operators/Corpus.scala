@@ -331,6 +331,43 @@ object Corpus {
       .drop("cum")
   }
 
+  /** X90 first-fit-decreasing bin packing — the HARD-CAP packing
+    * contract beside [[packAssignments]]' concat-then-chunk layout:
+    * every doc stays whole AND no pack exceeds `budget` (oversize docs
+    * get a singleton pack), waste within the classic FFD 11/9·OPT+6/9
+    * bound of optimal (Johnson's bound, public).
+    *
+    * Packing is inherently sequential, so it runs per PARTITION via
+    * mapPartitions (the same sanctioned imperative seam as the
+    * Misra–Gries sketch): each partition sorts its docs by (ntok desc,
+    * doc_id) and folds them through a first-fit scan; partitions pack
+    * independently and in parallel, so pack ids are (partition, local)
+    * pairs and the operator scales horizontally — a global FFD would
+    * serialize the corpus through one node for a fill gain that
+    * vanishes at thousands of docs per partition. Deterministic for a
+    * fixed partitioning (the caller pre-partitions by a stable key,
+    * e.g. lang, when reproducible packs matter).
+    * Returns (doc_id, ntok, pack_part, pack_local). */
+  def packFirstFitDecreasing(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), TF.tokenCount(col("text")).cast("long").as("ntok"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val ds = it.toArray.sortBy { case (id, n) => (-n, id) }
+        val packTok = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (id, n) =>
+          var i = 0
+          while (i < packTok.length && packTok(i) + n > budget) i += 1
+          if (i == packTok.length) packTok += 0L
+          packTok(i) += n
+          (id, n, part, i)
+        }
+      }
+      .toDF("doc_id", "ntok", "pack_part", "pack_local")
+  }
+
   // ---- LM-based selection scoring (q82, q83) ------------------------
 
   /** X78 fluency scoring with a self-trained unigram LM (the public

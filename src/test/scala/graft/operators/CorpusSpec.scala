@@ -296,6 +296,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(key - expect) < 1e-12, s"key=$key expect=$expect")
   }
 
+  test("FFD packing: docs whole, hard cap respected, optimal fill on the skewed layout") {
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val docs = (Seq(300, 300, 300, 212, 212, 212, 100, 100, 100).zipWithIndex
+      .map { case (n, i) => doc(i.toLong, n) })
+      .toDF("doc_id", "text").coalesce(1)
+    val out = Corpus.packFirstFitDecreasing(docs, budget = 512).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.length == 9, "every doc assigned exactly once")
+    val byPack = out.groupBy(t => (t._3, t._4)).view.mapValues(_.map(_._2).sum).toMap
+    assert(byPack.values.forall(_ <= 512L), s"pack over budget: $byPack")
+    // FFD pairs each 300 with a 212 and gathers the 100s: 4 packs total
+    // (3 x 512 exactly + one 300)
+    assert(byPack.size == 4, s"expected the optimal 4 packs: $byPack")
+    assert(byPack.values.count(_ == 512L) == 3)
+  }
+
+  test("FFD packing: an oversize doc gets a singleton pack; nothing joins it") {
+    val docs = Seq(
+      (1L, Seq.fill(25)("w").mkString(" ")),
+      (2L, Seq.fill(4)("w").mkString(" ")),
+      (3L, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+    val out = Corpus.packFirstFitDecreasing(docs, budget = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    val packOf = out.toMap
+    assert(packOf(2L) == packOf(3L), "small docs share a pack")
+    assert(packOf(1L) != packOf(2L), "the oversize doc packs alone")
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")
