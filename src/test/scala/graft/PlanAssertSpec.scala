@@ -225,6 +225,16 @@ class PlanAssertSpec extends AnyFunSuite {
       s"exactly one shuffle (the bounded sketch-merge agg) is allowed:\n${plan.take(3000)}")
   }
 
+  test("q90 psi drift: totals broadcast onto the bins-sized grid; no window; events scan pruned") {
+    val plan = planOf("q90_psi_drift")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type totals (types-sized) must broadcast onto the grid:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"PSI is an agg over the bounded grid, never a window:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"),
+      s"the events scan must prune to the three used columns:\n${plan.take(3000)}")
+  }
+
   test("q91 weighted sample: map-only + TakeOrdered — no shuffle, no window, no join") {
     val plan = planOf("q91_weighted_sample")
     assert(plan.contains("TakeOrderedAndProject"),
