@@ -151,7 +151,7 @@ object Bench {
     * comparable to BASELINE.md's 200-216 s for 81,115 spans / 63,374
     * beats. */
   def qualityAssessThroughput(spark: SparkSession,
-      nSpans: Long = 81115L, nBeats: Long = 63374L): (Long, Long, Double) = {
+      nSpans: Long = 81115L, nBeats: Long = 63374L): (Long, Long, Double, Map[String, Double]) = {
     def segments(n: Long, prefix: String, idName: String): org.apache.spark.sql.DataFrame =
       spark.range(n).select(
         format_string(s"${prefix}_%08d", col("id")).as(idName),
@@ -180,7 +180,7 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     require(a.metrics.contains("coverage_pct") && a.metrics.contains("near_dup_pct"),
       "assessment did not produce the full metric set")
-    (nSpans, nBeats, dt)
+    (nSpans, nBeats, dt, a.timings)
   }
 
   /** Warmup pass pays Catalyst analysis + whole-stage-codegen JIT per
@@ -224,8 +224,13 @@ object Bench {
         val (qps, recall) = annPrunedThroughput(spark)
         f"""{"qps":${qps.toLong},"recall":$recall%.3f}"""
       case "quality" =>
-        val (nS, nB, sec) = qualityAssessThroughput(spark)
-        f"""{"spans":$nS,"beats":$nB,"sec":$sec%.3f,"baseline_sec":200.46}"""
+        val (nS, nB, sec, timings) = qualityAssessThroughput(spark)
+        // per-category wall seconds so a composite-number regression is
+        // localizable (r6: a 2.8x phase swing with unchanged Quality.scala
+        // was unattributable from the single total)
+        val cats = timings.toSeq
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        f"""{"spans":$nS,"beats":$nB,"sec":$sec%.3f,"categories":$cats,"baseline_sec":200.46}"""
       case other => throw new IllegalArgumentException(s"unknown phase: $other")
     }
     println(Marker + json)
@@ -306,9 +311,11 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     // stdout stays compact: short keys AND 2dp values (the file keeps
     // full names + 3dp) so the line sits well inside a ~2 KB tail even
-    // as the query surface grows
-    val shortQs = qs.replaceAll("\"(q[0-9]+)_[a-z0-9_]+\":", "\"$1\":")
-      .replaceAll("([0-9]+\\.[0-9]{2})[0-9]+", "$1")
+    // as the query surface grows; values ROUND to 2dp (not truncate) so
+    // the stdout line agrees with the detail file's rounding
+    val shortQs0 = qs.replaceAll("\"(q[0-9]+)_[a-z0-9_]+\":", "\"$1\":")
+    val shortQs = "([0-9]+\\.[0-9]{3,})".r
+      .replaceAllIn(shortQs0, m => f"${m.group(1).toDouble}%.2f")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$phases,"detail":"$outFile"}""")
   }
 }

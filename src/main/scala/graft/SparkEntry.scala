@@ -1101,22 +1101,20 @@ object SparkEntry {
     Corpus.truncationAudit(Tables.documentsSpread(spark, dir))
 
   /** X81 SemDeDup over the embeddings table
-    * ([[graft.operators.Similarity.semanticDedup]]): per-vector cluster
-    * assignment + keep flag, plus no oracle — IVF cell assignment is not
-    * SQL-recomputable, so the driver records the weaker rows-only check
-    * and the semantics are unit-gated in SimilaritySpec. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    // cells sized to ~256 vectors so within-cell pair work stays
-    // Σ cell² ≈ n·256 — the SemDeDup-paper clustering regime — instead
-    // of degenerating toward corpus² when n outgrows a fixed cell count
-    // (the count is parquet-metadata-only)
-    val nCells = math.max(8L, emb.count() / 256L).toInt
+    * ([[graft.operators.Similarity.semanticDedupHyperplane]]): per-vector
+    * cluster assignment + keep flag. The sign-bit hyperplane quantizer
+    * makes every stage SQL-recomputable, so q85 carries a FULL hash
+    * oracle (cells → within-cell cosine pairs → recursive-CTE connected
+    * components in DuckDB); the learned-cell IVF variant
+    * ([[graft.operators.Similarity.semanticDedup]]) stays unit-gated in
+    * SimilaritySpec, since sampled-kmeans centroids are not
+    * SQL-recomputable. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity
-      .semanticDedup(emb, "vec_id", "embedding", nCells = nCells)
+      .semanticDedupHyperplane(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.95, nPlanes = 4)
       .select(col("vec_id"), col("cluster_id"), col("keep"))
       .orderBy("vec_id")
-  }
 
   /** X82 sliding-window chunking audit ([[Corpus.chunkingStats]]). */
   def chunkingStats(spark: SparkSession, dir: String): DataFrame =
@@ -1161,7 +1159,11 @@ object SparkEntry {
     val e = Tables.events(spark, dir)
       .withColumn("bin", Stats.binIndex(col("value"), edges))
       .withColumn("cur", pmod(col("event_id"), lit(2)) === 1)
-    val counts = e.groupBy("event_type", "bin").agg(
+    // bin = -1 (value below the first edge) must be excluded BEFORE the
+    // totals agg: the oracle derives totals from the grid-joined frame
+    // (bins 0..B-1 only), so a below-range value would diverge the
+    // smoothed shares between engines if it reached `tot`.
+    val counts = e.filter(col("bin") >= 0).groupBy("event_type", "bin").agg(
       sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
       sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
     val grid = e.select("event_type").distinct()
@@ -2854,6 +2856,44 @@ object SparkEntry {
         |    AS tokens_dropped
         |FROM lens l JOIN caps c ON l.source = c.source
         |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
+    // the full SemDeDup pipeline replayed in SQL: sign-bit hyperplane
+    // cells (deterministic — no trained model), within-cell exact cosine
+    // at the same 6-dp rounding, components via the same recursive-CTE
+    // min-label propagation as the q54 oracle, representative = min id
+    "q85_semantic_dedup" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cells AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell_id
+        |  FROM e0
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cells a JOIN cells b
+        |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |    >= 0.95
+        |), e AS (
+        |  SELECT id_a AS id, id_b AS nbr FROM p
+        |  UNION
+        |  SELECT id_b AS id, id_a AS nbr FROM p
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT id, id AS r FROM e
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT e0.vec_id,
+        |  CAST(coalesce(comp.cluster_id, e0.vec_id) AS BIGINT) AS cluster_id,
+        |  coalesce(comp.cluster_id, e0.vec_id) = e0.vec_id AS keep
+        |FROM e0 LEFT JOIN comp ON e0.vec_id = comp.id
+        |ORDER BY e0.vec_id""".stripMargin,
 
     "q86_chunking_stats" ->
       s"""WITH lens AS (

@@ -70,6 +70,45 @@ object CellKernels {
     }
     best
   }
+
+  /** Top-`nProbe` cell POSITIONS by (score desc, index asc) — the
+    * multi-cell generalization of [[nearestCell]], for IVF probe
+    * routing. O(cells·nProbe) selection: both are index-bounded model
+    * sizes (≤ a few hundred), so this is microseconds per row and stays
+    * branch-simple for codegen. */
+  def probeCells(v: ArrayData, cents: Array[Array[Double]], invNorms: Array[Double],
+      nProbe: Int): ArrayData = {
+    val m = cents.length
+    val d = v.numElements()
+    val scores = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cent = cents(c)
+      val n = math.min(d, cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * cent(i); i += 1 }
+      scores(c) = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      c += 1
+    }
+    val np = math.min(nProbe, m)
+    val out = new Array[Int](np)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < np) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < m) {
+        if (!used(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        i += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Map-only nearest-centroid assignment: the centroid table is a small
@@ -86,6 +125,27 @@ case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
     val nRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
     defineCodeGen(ctx, ev,
       v => s"graft.expressions.CellKernels.nearestCell($v, $cRef, $nRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Map-only IVF probe routing: top-`nProbe` cell positions per vector,
+  * ordered (score desc, position asc) — replaces the
+  * crossJoin(centroids) + window ranking, which cost a shuffle and an
+  * extra stage per search for what is a per-row argtop over a bounded
+  * model object. */
+case class ProbeCellsExpr(child: Expression, cents: Array[Array[Double]],
+    invNorms: Array[Double], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CellKernels.probeCells(v.asInstanceOf[ArrayData], cents, invNorms, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cells", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.CellKernels.probeCells($v, $cRef, $nRef, $nProbe)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -112,5 +172,17 @@ object VectorExprs {
     }
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(NearestCellExpr(ColumnShim.expression(v), cents, invNorms))
+  }
+
+  /** Top-`nProbe` cell positions of a double-array column, ordered
+    * (cosine desc, position asc). Same eager Column wrapping rationale as
+    * [[nearest_cell]]. */
+  def probe_cells(v: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
+    val invNorms = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) 1.0 / n else 0.0
+    }
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(ProbeCellsExpr(ColumnShim.expression(v), cents, invNorms, nProbe))
   }
 }

@@ -168,28 +168,59 @@ object VectorIndex {
     } finally fresh.unpersist()
   }
 
+  /** The coarse quantizer is a bounded model object (nCells rows) that a
+    * serving loop reads on EVERY batch — cache the collected copy keyed
+    * by the artifact's _SUCCESS mtime, so repeat searches skip the
+    * per-batch parquet job (FAISS likewise keeps the quantizer resident;
+    * a rebuild rewrites the marker and naturally invalidates the key). */
+  private val centroidCache =
+    new scala.collection.concurrent.TrieMap[(String, Long), (Seq[Int], Array[Array[Double]])]
+
+  private def loadCentroids(spark: SparkSession, p: Paths): (Seq[Int], Array[Array[Double]]) = {
+    def load(): (Seq[Int], Array[Array[Double]]) = {
+      val rows = spark.read.parquet(p.centroids).select("cell_id", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      (rows.map(_._1).toSeq, rows.map(_._2))
+    }
+    val marker = new org.apache.hadoop.fs.Path(p.centroids, "_SUCCESS")
+    val mtime =
+      try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(marker).getModificationTime
+      catch { case _: Exception => -1L }
+    if (mtime < 0) load()
+    else centroidCache.getOrElseUpdate((p.centroids, mtime), load())
+  }
+
   /** Search the persisted index: nProbe-cell pruned top-k per query.
-    * Partition pruning on cell_id means only the probed cells are read. */
+    * Partition pruning on cell_id means only the probed cells are read.
+    *
+    * Probe routing is MAP-ONLY: the centroid model rides into codegen
+    * ([[graft.expressions.VectorExprs.probe_cells]], same device as the
+    * build side's nearest_cell) instead of the former
+    * crossJoin(centroids) + window ranking — that shape cost a shuffle,
+    * an extra stage, and a centroid parquet job per search, which is
+    * exactly the fixed overhead that made pruned probing slower than
+    * brute force at bench scale (r6 finding). */
   def search(spark: SparkSession, outDir: String, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
     graft.expressions.VectorExprs.register(spark)
     import graft.expressions.VectorExprs.vec_dot
     val p = Paths(outDir)
-    val cents = spark.read.parquet(p.centroids)
-    // corpus norms were precomputed at build time; query norms are 200
-    // sqrt-dots — both stay one-per-vector instead of one per
+    val (cellIds, centArr) = loadCentroids(spark, p)
+    // corpus norms were precomputed at build time; query norms are a
+    // handful of sqrt-dots — both stay one-per-vector instead of one per
     // (query, candidate) pair after the fan-out
     val corpus = restored(spark.read.parquet(p.assigned))
       .select(col("_id").as("neighbor_id"), col("_v").as("nv"), col("cell_id"), col("_nn"))
-    val qCells = {
-      val j = broadcast(queries).crossJoin(broadcast(cents))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-        .orderBy(graft.functions.VectorFunctions.cosine(col("qv"), col("centroid")).desc,
-          col("cell_id"))
-      j.withColumn("_r", row_number().over(w)).filter(col("_r") <= nProbe)
-        .select(col("query_id"), col("qv"), col("cell_id"))
-        .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
-    }
+    val qCells = queries
+      .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
+      .withColumn("_pi",
+        explode(graft.expressions.VectorExprs.probe_cells(col("qv"), centArr, nProbe)))
+      // the expression returns positions into the sorted cell list;
+      // translate back to the (possibly sparse) cell_id
+      .select(col("query_id"), col("qv"),
+        get(typedlit(cellIds), col("_pi")).as("cell_id"), col("_qn"))
     val cands = broadcast(qCells).join(corpus, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
     val sims = cands

@@ -355,17 +355,64 @@ object Corpus {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val part = org.apache.spark.TaskContext.getPartitionId()
+        // the sort (the D in FFD) inherently buffers the partition; the
+        // FIT scan must not add an O(P) factor on top — FirstFitTree
+        // finds the leftmost fitting pack in O(log P), so a fat
+        // partition of short docs (P ~ n) costs O(n log n), not O(n²)
         val ds = it.toArray.sortBy { case (id, n) => (-n, id) }
-        val packTok = scala.collection.mutable.ArrayBuffer.empty[Long]
-        ds.iterator.map { case (id, n) =>
-          var i = 0
-          while (i < packTok.length && packTok(i) + n > budget) i += 1
-          if (i == packTok.length) packTok += 0L
-          packTok(i) += n
-          (id, n, part, i)
-        }
+        val ff = new FirstFitTree(budget.toLong)
+        ds.iterator.map { case (id, n) => (id, n, part, ff.place(n)) }
       }
       .toDF("doc_id", "ntok", "pack_part", "pack_local")
+  }
+
+  /** Leftmost-first-fit in O(log P): a growable segment tree over pack
+    * slots keyed by REMAINING capacity (internal nodes hold the subtree
+    * max). Every slot starts at full `budget`, so "open a new pack" is
+    * just placing into the leftmost untouched slot — which is exactly
+    * what plain first-fit does, making this a drop-in replacement for
+    * the linear scan with identical output (the tree descends to the
+    * MINIMUM index whose remaining >= n; untouched slots form a suffix,
+    * so the first untouched slot is reached exactly when no opened pack
+    * fits). Oversize docs (n > budget) get the next fresh slot as a
+    * singleton pack — its remaining goes negative and never fits
+    * anything again, same as the linear version. Pure JVM, unit-tested
+    * against a reference linear scan in CorpusSpec. */
+  private[operators] final class FirstFitTree(budget: Long) {
+    private var nLeaves = 1024
+    private var tree = Array.fill(2 * nLeaves)(budget)
+    private var opened = 0
+    def nOpened: Int = opened
+
+    private def grow(): Unit = {
+      val old = tree; val oldLeaves = nLeaves
+      nLeaves <<= 1
+      tree = Array.fill(2 * nLeaves)(budget)
+      System.arraycopy(old, oldLeaves, tree, nLeaves, oldLeaves)
+      var i = nLeaves - 1
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i -= 1 }
+    }
+
+    /** Place a doc of `n` tokens; returns its pack index. */
+    def place(n: Long): Int = {
+      val idx =
+        if (n > budget) { if (opened >= nLeaves) grow(); opened }
+        else {
+          if (tree(1) < n) grow() // only possible when every slot is used
+          var node = 1
+          while (node < nLeaves)
+            node = if (tree(2 * node) >= n) 2 * node else 2 * node + 1
+          node - nLeaves
+        }
+      if (idx >= opened) opened = idx + 1
+      var node = idx + nLeaves
+      tree(node) -= n
+      node >>= 1
+      while (node >= 1) {
+        tree(node) = math.max(tree(2 * node), tree(2 * node + 1)); node >>= 1
+      }
+      idx
+    }
   }
 
   // ---- LM-based selection scoring (q82, q83) ------------------------
@@ -511,13 +558,17 @@ object Corpus {
     * nothing), then exact Jaccard verifies through the same sorted-hash
     * two-pointer kernel as the self-dedup path, with the same provable
     * size-ratio pre-filter. Scale note: the posting join's cost
-    * concentrates in high-document-frequency grams (boilerplate); at
-    * 100 TB either drop grams past a df cap (standard posting-list
-    * pruning — loses only pairs whose ONLY shared grams are boilerplate)
-    * or run the MinHash-banded sibling ([[Dedup.minhashNearDups]]) with
-    * the two corpora unioned and a side tag. */
+    * concentrates in high-document-frequency grams (boilerplate) — the
+    * `maxDocFreq` cap applies standard posting-list pruning (grams whose
+    * corpus-wide document frequency exceeds the cap never generate
+    * candidates, losing only pairs whose ONLY shared grams are
+    * boilerplate); the other 100 TB route is the MinHash-banded sibling
+    * ([[Dedup.minhashNearDups]]) with the two corpora unioned and a side
+    * tag. The q87 oracle runs uncapped (exact); the cap's candidate
+    * bound is unit-tested with a planted boilerplate gram
+    * (CorpusSpec). */
   def crossCorpusDedup(docs: DataFrame, shingleWords: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     graft.expressions.HashFunctions.register(spark)
     graft.expressions.TextExprs.register(spark)
@@ -532,11 +583,7 @@ object Corpus {
     val isNew = pmod(col("doc_id"), lit(2)) === 1
     val newS = shingled.filter(isNew)
     val baseS = shingled.filter(!isNew)
-    def postings(side: DataFrame, as: String) = side.filter(col("sz") > 0)
-      .select(col("doc_id").as(as), explode(col("sh")).as("g"))
-    val cand = postings(newS, "id_new")
-      .join(postings(baseS, "id_base"), "g")
-      .select("id_new", "id_base").distinct()
+    val cand = crossCorpusCandidates(newS, baseS, maxDocFreq)
     val dropped = cand
       .join(newS.select(col("doc_id").as("id_new"),
         col("hsh").as("ha"), col("sz").as("sz_a")), "id_new")
@@ -559,6 +606,42 @@ object Corpus {
         round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
           .as("drop_rate"))
       .orderBy("source")
+  }
+
+  /** Candidate generation for [[crossCorpusDedup]]: the exact inverted-
+    * index join, with the df-cap posting-list prune. Both sides carry
+    * (doc_id, sh, sz); returns distinct (id_new, id_base).
+    *
+    * The prune is the standard one: a gram's document frequency across
+    * BOTH corpora is one gram-keyed agg over the posting stream; grams
+    * past `maxDocFreq` are anti-joined out of the postings before the
+    * pair join, so a boilerplate header shared by n docs costs O(n) in
+    * the df agg instead of O(n²) in the pair join. Pairs lost are
+    * exactly those whose every shared gram is boilerplate — at any
+    * useful Jaccard threshold those pairs are overwhelmingly false
+    * candidates the verify stage would reject anyway. Exposed separately
+    * so the bound is directly unit-testable (candidate COUNT, not just
+    * the final report). */
+  private[operators] def crossCorpusCandidates(newS: DataFrame, baseS: DataFrame,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    def postings(side: DataFrame, as: String) = side.filter(col("sz") > 0)
+      .select(col("doc_id").as(as), explode(col("sh")).as("g"))
+    val newP = postings(newS, "id_new")
+    val baseP = postings(baseS, "id_base")
+    val (newPruned, basePruned) =
+      if (maxDocFreq == Int.MaxValue) (newP, baseP)
+      else {
+        // grams are DISTINCT within a doc (distinct_word_ngrams), so
+        // count(*) over the posting stream IS document frequency
+        val hot = newP.select(col("g")).unionAll(baseP.select(col("g")))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select("g")
+        (newP.join(hot, Seq("g"), "left_anti"),
+          baseP.join(hot, Seq("g"), "left_anti"))
+      }
+    newPruned.join(basePruned, "g")
+      .select("id_new", "id_base").distinct()
   }
 
   // ---- truncation audit (q84) ---------------------------------------

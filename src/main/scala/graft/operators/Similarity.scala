@@ -188,19 +188,23 @@ object Similarity {
 
   /** IVF search: route each query to its nProbe nearest cells, join only
     * those cells' vectors, rank within query. Same output shape as
-    * [[topKExact]]; recall < 1 by design (measured in tests). */
+    * [[topKExact]]; recall < 1 by design (measured in tests). Probe
+    * routing is map-only ([[VectorExprs.probe_cells]] — the centroid
+    * model rides into codegen like the assignment side), not a
+    * crossJoin + window, which would add a shuffle per search. */
   def topKIvf(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val assigned = assignToNearest(
       corpus.select(col("neighbor_id").as("_id"), col("nv").as("_v")), centroids)
       .select(col("_id").as("neighbor_id"), col("_v").as("nv"), col("cell_id"))
-    val qCells = {
-      val j = broadcast(queries).crossJoin(broadcast(centroids))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(VF.cosine(col("qv"), col("centroid")).desc, col("cell_id"))
-      j.withColumn("_r", row_number().over(w)).filter(col("_r") <= nProbe)
-        .select(col("query_id"), col("qv"), col("cell_id"))
-    }
+    val centRows = centroids.select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qCells = queries
+      .withColumn("_pi",
+        explode(VectorExprs.probe_cells(col("qv"), centRows.map(_._2), nProbe)))
+      .select(col("query_id"), col("qv"),
+        get(typedlit(centRows.map(_._1).toSeq), col("_pi")).as("cell_id"))
     val candidates = broadcast(qCells).join(assigned, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
     val sims = candidates.select(
@@ -331,6 +335,38 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16): DataFrame = {
     val pairs = cosinePairsAboveIvf(df, idCol, vecCol, threshold, nCells)
+    semanticDedupFromPairs(df, idCol, pairs)
+  }
+
+  /** [[semanticDedup]] with random-hyperplane (sign-bit) cells instead of
+    * learned IVF centroids — Charikar's SimHash-LSH bucketing (public):
+    * cell i's bit is `v[i] > 0`, so the quantizer is a pure row
+    * expression with NO trained model. Two consequences: (a) the whole
+    * pipeline is deterministic and recomputable by any SQL engine, which
+    * is what lets q85 carry a full hash oracle (IVF's sampled-kmeans
+    * cells are not SQL-recomputable — that variant stays unit-gated);
+    * (b) assignment is map-only with zero training pass, the cheapest
+    * possible cell step at 100 TB. Trade-off: cells are data-independent,
+    * so adversarially clustered corpora can skew a cell — the IVF
+    * sibling is the adaptive-cell alternative when that matters. Same
+    * within-cell exact-cosine + component semantics as [[semanticDedup]]. */
+  def semanticDedupHyperplane(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nPlanes: Int = 4): DataFrame = {
+    require(nPlanes > 0 && nPlanes < 63, s"need 0 < nPlanes < 63, got $nPlanes")
+    val v = VF.vecAsDouble(col(vecCol))
+    val cell = (0 until nPlanes).map(i =>
+      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val assigned = df.select(col(idCol), col(vecCol)).withColumn("cell_id", cell)
+    val pairs = cosinePairsAbove(assigned, idCol, vecCol, threshold,
+      blockCols = Seq("cell_id")).select("id_a", "id_b", "sim")
+    semanticDedupFromPairs(df, idCol, pairs)
+  }
+
+  /** Shared tail of the SemDeDup variants: close the near-dup pairs into
+    * components and mark the min-id representative of each as kept. */
+  private def semanticDedupFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val clusters = Dedup.nearDupClusters(pairs)
     df.join(
         clusters.select(col("id").cast("long").as(idCol), col("cluster_id")),

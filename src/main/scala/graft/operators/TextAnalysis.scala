@@ -191,10 +191,18 @@ object TextAnalysis {
   /** One partition's Misra–Gries fold: a bounded map of ≤ `capacity`
     * counters over the whitespace tokens of `texts`. Pure JVM (no Spark)
     * so the sketch bound is property-testable directly
-    * (`TextKernelsProps`). */
+    * (`MisraGriesProps`).
+    *
+    * Diagnosability: the first eviction in a partition logs a one-line
+    * stderr warning naming the partition and capacity. The q89 oracle is
+    * exact-vs-DuckDB only while no partition ever evicts (per-partition
+    * vocabulary ≤ capacity); if a regenerated corpus grows the vocabulary
+    * past that, a correctness mismatch would otherwise be silent — the
+    * warning makes the cause readable straight from the run log. */
   private[operators] def mgSketch(texts: Iterator[String],
       capacity: Int): Iterator[(String, Long)] = {
     val m = new java.util.HashMap[String, Long]()
+    var warned = false
     texts.foreach { text =>
       val arr = if (text == null) Array.empty[String] else text.split("\\s+")
       var i = 0
@@ -204,6 +212,13 @@ object TextAnalysis {
           val cur = m.getOrDefault(t, 0L)
           if (cur > 0L || m.size < capacity) m.put(t, cur + 1L)
           else { // full and unseen: decrement every counter, drop zeros
+            if (!warned) {
+              warned = true
+              System.err.println(
+                s"[graft] Misra-Gries eviction fired (capacity=$capacity): " +
+                  "sketch is now approximate in this partition; an exact " +
+                  "oracle comparison (q89) may undercount")
+            }
             val itr = m.entrySet().iterator()
             while (itr.hasNext) {
               val e = itr.next()

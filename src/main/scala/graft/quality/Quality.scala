@@ -93,7 +93,12 @@ object Quality {
   final case class Assessment(
       metrics: Map[String, Double],
       violations: Seq[Violation],
-      ragStatus: String)
+      ragStatus: String,
+      /** Wall seconds per category block of [[assess]] — populated so a
+        * bench-level regression in the composite number is localizable to
+        * the category that moved (r6 postmortem: the one-number phase hid
+        * a 2.8× swing). */
+      timings: Map[String, Double] = Map.empty)
 
   // ---- Category A: coverage (coverage.py:19-279) --------------------
 
@@ -320,55 +325,69 @@ object Quality {
       t: Thresholds = Thresholds(),
       embeddings: Option[DataFrame] = None): Assessment = {
     val m = scala.collection.mutable.Map[String, Double]()
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
     val sp = spans.cache()
     val bt = beats.cache()
     try {
-      val cov = coverage(sp, episodes)
-        .agg(avg(col("coverage_pct"))).first().getDouble(0)
+      val cov = timed("coverage") { coverage(sp, episodes)
+        .agg(avg(col("coverage_pct"))).first().getDouble(0) }
       m("coverage_pct") = cov
 
       // corpus-level gap/overlap % of total episode time
-      val epDur = episodes.agg(coalesce(sum(col("episode_duration")), lit(0.0)))
-        .first().getDouble(0)
-      val gaps = gapMetrics(sp).agg(
-        coalesce(sum(col("total_gap_s")), lit(0.0)).as("gap_s"),
-        coalesce(sum(col("total_overlap_s")), lit(0.0)).as("overlap_s")).first()
+      val (epDur, gaps) = timed("gaps") {
+        val d = episodes.agg(coalesce(sum(col("episode_duration")), lit(0.0)))
+          .first().getDouble(0)
+        val g = gapMetrics(sp).agg(
+          coalesce(sum(col("total_gap_s")), lit(0.0)).as("gap_s"),
+          coalesce(sum(col("total_overlap_s")), lit(0.0)).as("overlap_s")).first()
+        (d, g)
+      }
       val gapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("gap_s") / epDur else 0.0
       val overlapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("overlap_s") / epDur else 0.0
       m("gap_pct") = gapPct
       m("overlap_pct") = overlapPct
 
       // one fused aggregation job for every single-row span metric
-      val spanRow = sp.agg(
+      val spanRow = timed("distribution") { sp.agg(
         count(lit(1)).as("n"),
         round(lit(100.0) * sum(when(
           col("duration") >= t.spanLengthMin && col("duration") <= t.spanLengthMax, 1)
           .otherwise(0)) / count(lit(1)), 2).as("within_pct"),
         sum(when(col("duration") <= 0, 1L).otherwise(0L)).as("nonpositive_durations"))
-        .first()
+        .first() }
       val nSpans = spanRow.getAs[Long]("n")
       val spanCompliance = spanRow.getAs[Double]("within_pct")
       val negDur = spanRow.getAs[Long]("nonpositive_durations")
       m("span_compliance_pct") = spanCompliance
       m("nonpositive_durations") = negDur.toDouble
 
-      val beatCompliance = lengthCompliance(bt, t.beatLengthMin, t.beatLengthMax)
-        .first().getAs[Double]("within_pct")
+      val beatCompliance = timed("beat_distribution") {
+        lengthCompliance(bt, t.beatLengthMin, t.beatLengthMax)
+          .first().getAs[Double]("within_pct") }
       m("beat_compliance_pct") = beatCompliance
 
       // integrity per level, NOT concatenated (assessor.py:617-679 bug-fix note)
-      val spanRegr = timestampRegressions(sp).count()
-      val beatRegr = timestampRegressions(bt).count()
+      val (spanRegr, beatRegr, spanDup) = timed("integrity") {
+        (timestampRegressions(sp).count(),
+          timestampRegressions(bt).count(),
+          exactDuplicates(sp).first().getAs[Double]("dup_pct"))
+      }
       m("span_regressions") = spanRegr.toDouble
       m("beat_regressions") = beatRegr.toDouble
-      val spanDup = exactDuplicates(sp).first().getAs[Double]("dup_pct")
       m("span_dup_pct") = spanDup
 
       // near-duplicates via MinHash-LSH at the reference's 0.95 bar;
       // % of spans that appear in at least one near-dup pair
-      val nearDupIds = nearDuplicates(sp, "span_id", t.nearDuplicateThreshold)
-        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-        .distinct().count()
+      val nearDupIds = timed("near_dup") {
+        nearDuplicates(sp, "span_id", t.nearDuplicateThreshold)
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct().count() }
       val nearDupPct = if (nSpans > 0) 100.0 * nearDupIds / nSpans else 0.0
       m("near_dup_pct") = nearDupPct
 
@@ -376,7 +395,7 @@ object Quality {
       // neighbor frame (embeddings whose artifact_ids don't match the
       // spans — stale file, wrong artifact type) must SKIP the embedding
       // checks, not NPE on null aggregates or record bogus 0.0 metrics.
-      val emb = embeddings.flatMap { e =>
+      val emb = timed("embedding") { embeddings.flatMap { e =>
         val neigh = EmbeddingSanity.sampledNeighbors(
           sp, e, "span_id", t.neighborK, t.neighborSampleSize).cache()
         try {
@@ -395,7 +414,7 @@ object Quality {
               adj, bias))
           }
         } finally neigh.unpersist()
-      }
+      } }
 
       val violations = Seq.newBuilder[Violation]
       def check(cond: Boolean, name: String, expected: String, actual: String,
@@ -441,7 +460,7 @@ object Quality {
         if (vs.exists(_.severity == "error") || nWarnings > 2) "RED"
         else if (nWarnings > 0) "AMBER"
         else "GREEN"
-      Assessment(m.toMap, vs, rag)
+      Assessment(m.toMap, vs, rag, timings.toMap)
     } finally {
       sp.unpersist()
       bt.unpersist()

@@ -59,10 +59,15 @@ object StreamingDrift {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), counts: _*)
     val joined = agg.join(broadcast(baseline), Seq(keyCol), "left")
+    // A key absent from the baseline is the STRONGEST drift signal — it
+    // must alarm, not emit null psi. Missing shares coalesce to the
+    // smoothed zero-count floor (0.5)/(0 + B/2) = 1/B, i.e. the share an
+    // empty baseline would have been smoothed to, so an unseen key scores
+    // against a uniform empty profile and produces a large finite psi.
     val terms: Seq[Column] = (0 until b).map { i =>
       val pc = (col(s"_n$i").cast("double") + lit(0.5)) /
         (col("n").cast("double") + lit(0.5 * b))
-      val pb = col(s"share_$i")
+      val pb = coalesce(col(s"share_$i"), lit(1.0 / b))
       (pc - pb) * log(pc / pb)
     }
     joined

@@ -33,4 +33,32 @@ class PsiDriftSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(psi - expect) < 1e-9, s"psi=$psi expect=$expect")
   }
+
+  test("below-range values (bin -1) are excluded from totals, matching the oracle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_neg").toString
+    // base side (even ids): values 5 and -3 — the -3 falls below the
+    // first edge and must NOT count toward tb (the oracle derives totals
+    // from the grid-joined frame, bins 0..5 only)
+    val rows = Seq(
+      (0L, "neg", 5.0), (2L, "neg", -3.0),
+      (1L, "neg", 5.0), (3L, "neg", 5.0))
+    rows.map { case (id, t, v) => (id, t, v, id * 1000000L, id) }
+      .toDF("event_id", "event_type", "value", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.psiDrift(spark, dir).collect().head
+    assert(r.getLong(1) == 1L, s"n_base must exclude the below-range event: $r")
+    assert(r.getLong(2) == 2L)
+    // closed form with tb=1, tc=2 over B=6 bins: only bin 0 is occupied
+    val b = 6
+    def share(n: Long, tot: Long) = (n + 0.5) / (tot + 0.5 * b)
+    val terms = (0 until b).map { i =>
+      val pb = share(if (i == 0) 1L else 0L, 1L)
+      val pc = share(if (i == 0) 2L else 0L, 2L)
+      (pc - pb) * math.log(pc / pb)
+    }
+    val expect = BigDecimal(terms.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(3) - expect) < 1e-6, s"psi=${r.getDouble(3)} expect=$expect")
+  }
 }

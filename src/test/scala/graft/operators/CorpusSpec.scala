@@ -325,6 +325,87 @@ class CorpusSpec extends AnyFunSuite {
     assert(packOf(1L) != packOf(2L), "the oversize doc packs alone")
   }
 
+  test("FirstFitTree matches the reference linear first-fit exactly (incl. oversize)") {
+    val rng = new scala.util.Random(7)
+    def linearFF(sizes: Seq[Long], budget: Long): Seq[Int] = {
+      val packTok = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sizes.map { n =>
+        var i = 0
+        while (i < packTok.length && packTok(i) + n > budget) i += 1
+        if (i == packTok.length) packTok += 0L
+        packTok(i) += n
+        i
+      }
+    }
+    for (trial <- 0 until 5) {
+      val budget = 50L
+      val sizes = Seq.fill(3000)(
+        if (rng.nextInt(20) == 0) 60L + rng.nextInt(40)  // oversize singletons
+        else 1L + rng.nextInt(30))
+        .sorted(Ordering[Long].reverse) // FFD feeds the fit in decreasing order
+      val tree = new Corpus.FirstFitTree(budget)
+      val got = sizes.map(tree.place)
+      assert(got == linearFF(sizes, budget), s"trial $trial diverged")
+    }
+  }
+
+  test("FirstFitTree: adversarial fat partition (200k short docs, tiny budget) stays O(n log n)") {
+    // 200k docs of 1-3 tokens, budget 4 → ~100k packs. The old linear
+    // scan was O(n·P) ≈ 2e10 steps here; the tree must sail through.
+    val budget = 4L
+    val rng = new scala.util.Random(13)
+    val sizes = Array.fill(200000)(1L + rng.nextInt(3)).sorted.reverse
+    val tree = new Corpus.FirstFitTree(budget)
+    val packSum = scala.collection.mutable.Map.empty[Int, Long]
+    sizes.foreach { n =>
+      val p = tree.place(n)
+      packSum(p) = packSum.getOrElse(p, 0L) + n
+    }
+    assert(packSum.values.forall(_ <= budget), "hard cap violated")
+    // every pack except possibly the last-opened ones is near-full: FFD
+    // with sizes <= budget wastes < smallest-doc per closed pack
+    assert(packSum.size < 110000, s"pack count blew up: ${packSum.size}")
+  }
+
+  test("cross-corpus df cap: a planted boilerplate gram stops generating candidate pairs") {
+    // 40 new + 40 base docs ALL share gram "bp"; one true dup pair (new 1,
+    // base 2) shares three real grams. Uncapped: the boilerplate gram
+    // alone generates 40x40 candidates. Capped at df 10: only the real
+    // pair survives candidate generation.
+    def side(ids: Seq[Long], extra: Long => Seq[String]): DataFrame =
+      ids.map(i => (i, ("bp" +: extra(i)).distinct, ("bp" +: extra(i)).distinct.size))
+        .toDF("doc_id", "sh", "sz")
+    val newS = side(1L to 79L by 2, i =>
+      if (i == 1L) Seq("d1", "d2", "d3") else Seq(s"n$i-a", s"n$i-b"))
+    val baseS = side(2L to 80L by 2, i =>
+      if (i == 2L) Seq("d1", "d2", "d3") else Seq(s"b$i-a", s"b$i-b"))
+    val uncapped = Corpus.crossCorpusCandidates(newS, baseS).count()
+    assert(uncapped == 40L * 40L, s"expected the boilerplate blow-up, got $uncapped")
+    val capped = Corpus.crossCorpusCandidates(newS, baseS, maxDocFreq = 10).collect()
+    assert(capped.length == 1, s"expected only the true pair: ${capped.toSeq}")
+    assert(capped.head.getLong(0) == 1L && capped.head.getLong(1) == 2L)
+  }
+
+  test("cross-corpus dedup report is cap-invariant when dups share non-boilerplate grams") {
+    // every doc starts with the same 4-token boilerplate header; new doc 1
+    // duplicates base doc 2 including real content. With the cap the
+    // header grams are pruned but the content grams still pair 1 with 2.
+    val header = "terms of service apply"
+    val d = docs(
+      (2L, s"$header alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (1L, s"$header alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (3L, s"$header one two three four five six", "en", "s0"),
+      (4L, s"$header nine ten eleven twelve thirteen", "en", "s0"),
+      (5L, s"$header moon sun star cloud rain snow", "en", "s0"),
+      (6L, s"$header red green blue yellow purple", "en", "s0"))
+    val uncapped = Corpus.crossCorpusDedup(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val capped = Corpus.crossCorpusDedup(d, maxDocFreq = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(uncapped == capped, s"cap changed the report: $uncapped vs $capped")
+    assert(capped.head == (("s0", 3L, 1L))) // ids 1,3,5 new; only 1 dropped
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")

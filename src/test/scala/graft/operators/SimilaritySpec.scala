@@ -200,4 +200,44 @@ class SimilaritySpec extends AnyFunSuite {
     // apply form: filtering on keep dedups exactly to 4 rows
     assert(out.count(_._3) == 4)
   }
+
+  test("semanticDedupHyperplane: same blob semantics, cells from sign bits") {
+    // blob A points along +dim0, blob B along -dim0 (+tiny dim1 spread):
+    // their dim-0 signs differ, so the hyperplane quantizer separates
+    // them by construction, and within-blob cosine stays > 0.999
+    val blobs = for (b <- 0 until 2; i <- 0 until 5) yield {
+      val sign = if (b == 0) 1.0 else -1.0
+      (b.toLong * 100 + i, Seq(sign * 10.0, 1.0 + i * 0.001, 2.0, 3.0))
+    }
+    val single = Seq((500L, Seq(0.1, -20.0, 2.0, 3.0)))
+    val df = (blobs ++ single).toDF("vid", "vec")
+    val out = Similarity.semanticDedupHyperplane(df, "vid", "vec",
+        threshold = 0.999, nPlanes = 4)
+      .select("vid", "cluster_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 11)
+    assert(out.filter(_._3).map(_._1).toSet == Set(0L, 100L, 500L))
+    for ((vid, cid, _) <- out if vid < 500L)
+      assert(cid == (vid / 100) * 100, s"vid $vid → cluster $cid")
+  }
+
+  test("semanticDedupHyperplane: shared cell without similarity does not merge clusters") {
+    // blobs 1 and 3 both quantize to cell 0 (all four sign bits zero)
+    // but are orthogonal — sharing a cell must not cluster them; blob 0
+    // sits alone in cell 1, blob 2 in cell 4
+    val blobs = for (b <- 0 until 4; i <- 0 until 4) yield {
+      val base = Array.fill(6)(0.0)
+      base(b) = if (b % 2 == 0) 8.0 else -8.0
+      base(5) = i * 0.001
+      (b.toLong * 10 + i, base.toSeq)
+    }
+    val df = blobs.toDF("vid", "vec")
+    val out = Similarity.semanticDedupHyperplane(df, "vid", "vec",
+        threshold = 0.999, nPlanes = 4)
+      .select("vid", "cluster_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.filter(_._3).map(_._1).toSet == Set(0L, 10L, 20L, 30L))
+    for ((vid, cid, _) <- out)
+      assert(cid == (vid / 10) * 10, s"vid $vid → cluster $cid")
+  }
 }

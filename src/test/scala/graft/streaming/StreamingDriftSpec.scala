@@ -54,4 +54,34 @@ class StreamingDriftSpec extends AnyFunSuite {
       .select("n", "psi").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows.toSeq == Seq((2L, 0.0)))
   }
+
+  test("a key absent from the baseline alarms instead of emitting null psi") {
+    val base = Seq(("k", 5.0), ("k", 30.0)).toDF("key", "value")
+    val profile = StreamingDrift.baselineProfile(base, "key", "value", edges)
+    // "brandnew" never appeared in the baseline — the strongest drift
+    // signal; its shares score against the smoothed empty profile (1/B
+    // per bin), producing a large FINITE psi, not null
+    val batch = Seq(
+      (ts(0), "brandnew", 150.0), (ts(1), "brandnew", 150.0),
+      (ts(2), "brandnew", 150.0), (ts(3), "brandnew", 150.0))
+      .toDF("ts", "key", "value")
+    val rows = StreamingDrift.psiMonitor(batch, "ts", "key", "value",
+      profile, edges, "10 minutes", "0 seconds")
+      .select("key", "n", "psi").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.length == 1)
+    val (key, n, psi) = rows.head
+    assert(key == "brandnew" && n == 4L)
+    assert(psi.isDefined, "unseen key emitted null psi — it must alarm")
+    // all mass in one bin vs uniform 1/B: smoothed current shares are
+    // (4+0.5)/(4+3) hot and (0+0.5)/(4+3) cold, baseline floor 1/6
+    val b = 6
+    val expect = {
+      val pHot = 4.5 / 7; val pCold = 0.5 / 7; val pb = 1.0 / b
+      val hot = (pHot - pb) * math.log(pHot / pb)
+      val cold = (b - 1) * ((pCold - pb) * math.log(pCold / pb))
+      BigDecimal(hot + cold).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(psi.get - expect) < 1e-6, s"psi=${psi.get} expect=$expect")
+  }
 }
