@@ -103,7 +103,7 @@ object Bench {
     * via efSearch — reference faiss_builder.py:50-53). */
   def annPrunedThroughput(spark: SparkSession, nVec: Long = 50000L,
       dim: Int = 64, nCells: Int = 64, nProbe: Int = 4,
-      k: Int = 10): (Double, Double) = {
+      k: Int = 10): (Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_annp").toString + "/ivf"
     // Clustered corpus: per-cluster center + 50% noise. IVF's recall
     // contract assumes clusterable data (real embedding corpora are);
@@ -123,15 +123,23 @@ object Bench {
     val queries = emb.limit(200).select(col("vec_id").as("query_id"),
       graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
       .localCheckpoint(true)
-    def searchOnce(): Double = {
+    def searchOnce(probes: Int): Double = {
       val t1 = System.nanoTime()
-      val got = graft.index.VectorIndex.search(spark, dir, queries, k, nProbe).count()
+      val got = graft.index.VectorIndex.search(spark, dir, queries, k, probes).count()
       require(got > 0, "pruned ann search returned no rows")
       (System.nanoTime() - t1) / 1e9
     }
-    searchOnce() // warmup: codegen + centroid read
-    val searchSec = math.min(searchOnce(), searchOnce())
+    searchOnce(nProbe) // warmup: codegen + centroid read
+    val searchSec = math.min(searchOnce(nProbe), searchOnce(nProbe))
     val qps = 200.0 / searchSec
+    // the honest crossover datapoint: EXHAUSTIVE probing (nProbe =
+    // nCells, i.e. brute force through the same index) on the same
+    // corpus and same warmed plan — the pruned path must beat this or
+    // it isn't a fast path (r6 finding: it lost to a smaller-corpus
+    // phase number and nothing on the record separated fixed cost from
+    // probe work)
+    searchOnce(nCells)
+    val exhaustiveQps = 200.0 / math.min(searchOnce(nCells), searchOnce(nCells))
     // recall@k vs exact brute force over the same corpus — measured once,
     // outside the timed window
     val approx = graft.index.VectorIndex.search(spark, dir, queries, k, nProbe)
@@ -142,7 +150,7 @@ object Bench {
       .select("query_id", "neighbor_id")
     val denom = exact.count()
     val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
-    (qps, hits.toDouble / denom)
+    (qps, hits.toDouble / denom, exhaustiveQps)
   }
 
   /** Full seven-category quality assessment (incl. embeddings and the
@@ -221,8 +229,8 @@ object Bench {
         val (nVec, buildSec, nQ, searchSec) = annThroughput(spark)
         f"""{"vectors":$nVec,"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"search_queries":$nQ,"search_sec":$searchSec%.3f,"search_queries_per_sec":${(nQ / searchSec).toLong}}"""
       case "ann_pruned" =>
-        val (qps, recall) = annPrunedThroughput(spark)
-        f"""{"qps":${qps.toLong},"recall":$recall%.3f}"""
+        val (qps, recall, exhaustiveQps) = annPrunedThroughput(spark)
+        f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
       case "quality" =>
         val (nS, nB, sec, timings) = qualityAssessThroughput(spark)
         // per-category wall seconds so a composite-number regression is

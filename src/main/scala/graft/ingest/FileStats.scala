@@ -69,6 +69,28 @@ object FileStats {
     }
   }
 
+  /** The stats index is collected once per layout write and reusable
+    * across queries (its whole point) — cache it per (dir, column) keyed
+    * by the directory's latest file mtime, so a query that builds its
+    * plan through [[prunedRead]] doesn't re-open every footer on every
+    * build. An overwrite/append bumps some file's mtime and naturally
+    * invalidates the key. */
+  private val statsCache =
+    new scala.collection.concurrent.TrieMap[(String, String, Long), Seq[FileStat]]
+
+  private def latestMtime(spark: SparkSession, dir: String): Long =
+    try {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var m = fs.getFileStatus(p).getModificationTime
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getModificationTime > m) m = st.getModificationTime
+      }
+      m
+    } catch { case _: Exception => -1L }
+
   /** Read only the files whose `[min, max]` range for `column` intersects
     * `[lo, hi]` (files without stats for the column are conservatively
     * included). Returns the pruned frame plus (filesRead, filesTotal) so
@@ -77,7 +99,11 @@ object FileStats {
     * not a filter. */
   def prunedRead(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double): (DataFrame, Int, Int) = {
-    val stats = collect(spark, dir, Seq(column))
+    val mtime = latestMtime(spark, dir)
+    val stats =
+      if (mtime < 0) collect(spark, dir, Seq(column))
+      else statsCache.getOrElseUpdate((dir, column, mtime),
+        collect(spark, dir, Seq(column)))
     val keep = stats.filter { fsEntry =>
       fsEntry.ranges.find(_.column == column) match {
         case Some(r) => r.max >= lo && r.min <= hi
