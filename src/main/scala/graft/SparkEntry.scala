@@ -1031,29 +1031,25 @@ object SparkEntry {
   }
 
   /** X74 behavioral-diversity histogram: Shannon entropy of each user's
-    * event-type mix, bucketed. The per-user entropy is a FIXED-ORDER
-    * expression tree over conditional counts (distinct event types in
-    * sorted order) — an aggregated Σ p·ln p would sum in nondeterministic
-    * order and drift in the last ulp cross-engine. The type vocabulary is
-    * collected from the data, not compiled in: event types are a bounded
-    * model object (a handful of values however large the corpus), so the
-    * one-column distinct-collect is the same class of driver round-trip
-    * as thresholds or sampled centroids — and a new event type showing up
-    * in production is counted instead of silently vanishing. */
+    * event-type mix, bucketed. Computed via the grouped-count identity
+    * H = ln(N) − Σ nᵢ·ln(nᵢ)/N, which needs ONE scan and no driver
+    * round-trip (the old shape collected the distinct type vocabulary
+    * first, paying a second full pass, and widened the agg by one
+    * conditional sum per type). Each per-type term is cast to
+    * DECIMAL(20,12) before the per-user sum so the addition is
+    * order-free — an aggregated double Σ would drift in the last ulp
+    * cross-engine — and the plan is independent of the type cardinality:
+    * a new event type in production is one more (user, type) row, not a
+    * recompiled expression tree. */
   def userEntropy(spark: SparkSession, dir: String): DataFrame = {
-    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
-    val events = Tables.events(spark, dir)
-    val types = events.select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    require(types.nonEmpty, "events table has no event types")
-    val perUser = events.groupBy("user_id")
-      .agg(n(types.head), types.tail.map(n).toSeq: _*)
-      .withColumn("n_all", types.map(t => col(s"n_$t")).reduce(_ + _))
-    def term(t: String) = {
-      val p = col(s"n_$t").cast("double") / col("n_all")
-      when(col(s"n_$t") === 0L, lit(0.0)).otherwise(p * log(p))
-    }
-    val h = types.map(term).reduce(_ + _) * lit(-1.0)
+    val perUT = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val perUser = perUT.groupBy("user_id").agg(
+      sum(col("n")).as("n_all"),
+      sum((col("n").cast("double") * log(col("n").cast("double")))
+        .cast("decimal(20,12)")).as("s"))
+    val h = log(col("n_all").cast("double")) -
+      col("s").cast("double") / col("n_all").cast("double")
     val binned = perUser.withColumn("h", h)
       .withColumn("bin", Stats.binIndex(col("h"), Seq(0.4, 0.8, 1.2, 1.6)))
     binned.groupBy("bin")
@@ -2716,24 +2712,15 @@ object SparkEntry {
         |ORDER BY t.lang""".stripMargin,
 
     "q79_user_entropy" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        |    count(*) AS n_all
-        |  FROM events GROUP BY user_id
+      """WITH ut AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+        |), u AS (
+        |  SELECT user_id, sum(n) AS n_all,
+        |    sum(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) AS DECIMAL(20,12))) AS s
+        |  FROM ut GROUP BY user_id
         |), h AS (
         |  SELECT user_id,
-        |    -1.0 * (
-        |      (CASE WHEN n_click = 0 THEN 0.0 ELSE (CAST(n_click AS DOUBLE)/n_all) * ln(CAST(n_click AS DOUBLE)/n_all) END)
-        |      + (CASE WHEN n_error = 0 THEN 0.0 ELSE (CAST(n_error AS DOUBLE)/n_all) * ln(CAST(n_error AS DOUBLE)/n_all) END)
-        |      + (CASE WHEN n_purchase = 0 THEN 0.0 ELSE (CAST(n_purchase AS DOUBLE)/n_all) * ln(CAST(n_purchase AS DOUBLE)/n_all) END)
-        |      + (CASE WHEN n_signup = 0 THEN 0.0 ELSE (CAST(n_signup AS DOUBLE)/n_all) * ln(CAST(n_signup AS DOUBLE)/n_all) END)
-        |      + (CASE WHEN n_view = 0 THEN 0.0 ELSE (CAST(n_view AS DOUBLE)/n_all) * ln(CAST(n_view AS DOUBLE)/n_all) END)
-        |    ) AS h
+        |    ln(CAST(n_all AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n_all AS DOUBLE) AS h
         |  FROM u
         |), b AS (
         |  SELECT CASE WHEN h < 0.4 THEN -1 WHEN h < 0.8 THEN 0
