@@ -1182,6 +1182,41 @@ object SparkEntry {
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     Corpus.weightedSample(Tables.documents(spark, dir))
 
+  /** X91 duplicated-substring spans ([[graft.operators.Dedup.duplicatedSpans]],
+    * k=8): per-source audit of exactly-repeated ≥8-token regions — the
+    * substring-level dedup signal of Lee et al. 2022, below whole-document
+    * granularity. Docs shorter than k count in the totals with zero spans. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    val spans = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", col("text"), k = 8)
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_with_spans"),
+        sum("n_spans").as("n_spans"),
+        sum("dup_tokens").as("dup_tokens"),
+        sum("n_tok").as("total_tokens"),
+        round((lit(100.0) * sum("dup_tokens")) / sum("n_tok"), 6).as("dup_token_pct"))
+      .orderBy("source")
+  }
+
+  /** X93 temperature-scaled source mixing ([[Corpus.temperatureMixture]]):
+    * p_i ∝ √n_i sampling shares and per-source upsample factors. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureMixture(Tables.documents(spark, dir))
+
+  /** X92 pairwise source-overlap matrix ([[Corpus.sourceOverlap]]):
+    * exact bigram-vocabulary Jaccard per source pair, full grid. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Corpus.sourceOverlap(Tables.documentsSpread(spark, dir))
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1480,6 +1515,9 @@ object SparkEntry {
     "q89_heavy_hitters" -> heavyHitters _,
     "q90_psi_drift" -> psiDrift _,
     "q91_weighted_sample" -> weightedSample _,
+    "q92_repeated_spans" -> repeatedSpans _,
+    "q93_temp_mixture" -> temperatureMixture _,
+    "q94_source_overlap" -> sourceOverlap _,
   )
 
   private val stopwordsSqlList: String =
@@ -3007,6 +3045,89 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, w, es_key FROM s
         |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q92_repeated_spans" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, source, $toksSql AS tk FROM documents
+        |), hs AS (
+        |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    list_transform(tk, t -> ${ph("t")}) AS hs
+        |  FROM t0
+        |), pos AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[u.i+1 : u.i+8]),
+        |      (acc, h) -> (acc * ${Hashes.SpanGramMul} + h) % ${Hashes.PolyMod}) AS g
+        |  FROM hs, UNNEST(range(0, n_tok - 8 + 1)) AS u(i)
+        |  WHERE n_tok >= 8
+        |), dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS n_occ FROM pos
+        |  ) c WHERE n_occ > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, island, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM isl2 GROUP BY doc_id, island
+        |), per_doc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT h.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(p.n_spans, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spans,
+        |  CAST(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+        |  CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(h.n_tok) AS BIGINT) AS total_tokens,
+        |  round((100.0 * CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT))
+        |    / CAST(sum(h.n_tok) AS BIGINT), 6) AS dup_token_pct
+        |FROM hs h LEFT JOIN per_doc p USING (doc_id)
+        |GROUP BY h.source ORDER BY h.source""".stripMargin,
+
+    "q93_temp_mixture" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sqrt(CAST(count(*) AS DOUBLE)) AS scaled
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+        |    sum(CAST(scaled AS DECIMAL(28,12))) AS stot
+        |  FROM c
+        |)
+        |SELECT c.source, c.n_docs,
+        |  round((CAST(c.n_docs AS DOUBLE) / tot) * 100, 6) AS raw_share_pct,
+        |  round((c.scaled / CAST(stot AS DOUBLE)) * 100, 6) AS temp_share_pct,
+        |  round((c.scaled / CAST(stot AS DOUBLE)) / (CAST(c.n_docs AS DOUBLE) / tot), 6)
+        |    AS upsample_factor
+        |FROM c, t ORDER BY c.source""".stripMargin,
+
+    "q94_source_overlap" ->
+      s"""WITH t0 AS (
+        |  SELECT source, $toksSql AS tk FROM documents
+        |), gr AS (
+        |  SELECT DISTINCT source, u.g AS g
+        |  FROM t0, UNNEST($bigramsFromTkSql) AS u(g)
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM gr GROUP BY source
+        |), i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+        |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+        |    / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN i ON i.source_a = sa.source AND i.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -39,6 +39,37 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Rolling positional k-gram hashes over an array<long> of token
+    * hashes: out(i) = fold of hs[i..i+k-1] under acc·mul + h (mod p) —
+    * the Rabin–Karp rolling-window device. out(0) folds the first window
+    * directly; each subsequent window drops the leading term
+    * (hs[i]·mul^(k−1)) and shifts, so the whole chain is O(n) long ops
+    * regardless of k, with no per-window slice allocation. Identical
+    * values to the naive per-window fold (which is what the SQL oracle
+    * replays via list_reduce over slices). Empty output when n < k. */
+  def gramChain(hs: ArrayData, k: Int, mul: Long): ArrayData = {
+    val n = hs.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    // mul^(k-1) mod p — the weight of a window's leading token
+    var mk = 1L
+    var e = 0
+    while (e < k - 1) { mk = (mk * mul) % PolyMod; e += 1 }
+    val out = new Array[Long](n - k + 1)
+    var acc = 0L
+    var j = 0
+    while (j < k) { acc = (acc * mul + hs.getLong(j)) % PolyMod; j += 1 }
+    out(0) = acc
+    var i = 1
+    while (i <= n - k) {
+      var t = (acc - (hs.getLong(i - 1) * mk) % PolyMod) % PolyMod
+      if (t < 0) t += PolyMod
+      acc = (t * mul + hs.getLong(i + k - 1)) % PolyMod
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k minhash slots in one pass: slot_i = min over hs of (a_i·h + b_i) % p. */
   def minhashSlots(hs: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
     val k = a.length
@@ -130,6 +161,17 @@ case class MinhashSlotsExpr(child: Expression, a: Array[Long], b: Array[Long])
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Rolling k-gram hash chain over an array<long> of token hashes. */
+case class GramChainExpr(child: Expression, k: Int, mul: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.gramChain(v.asInstanceOf[ArrayData], k, mul)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.gramChain($c, $k, ${mul}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** One-pass SimHash fingerprint over an array<long> of base hashes. */
 case class SimhashBitsExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -183,6 +225,9 @@ object HashFunctions {
       e => SortedIntersectCountExpr(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash_bits",
       e => SimhashBitsExpr(e(0), ExprArgs.litInt(e(1), "graft_simhash_bits")), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_chain",
+      e => GramChainExpr(e(0), ExprArgs.litInt(e(1), "graft_gram_chain"),
+        graft.functions.Hashes.SpanGramMul), "built-in")
   }
 
   def registerMinhash(spark: SparkSession, name: String, a: Array[Long], b: Array[Long]): Unit =
@@ -195,4 +240,6 @@ object HashFunctions {
     call_function("graft_sorted_intersect_count", a, b)
   def simhash_bits(hs: Column, bits: Int): Column =
     call_function("graft_simhash_bits", hs, org.apache.spark.sql.functions.lit(bits))
+  def gram_chain(hs: Column, k: Int): Column =
+    call_function("graft_gram_chain", hs, org.apache.spark.sql.functions.lit(k))
 }

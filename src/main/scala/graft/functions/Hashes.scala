@@ -19,6 +19,12 @@ object Hashes {
   val PolyMod: Long = 1000000007L
   val PolyMul: Long = 131L
 
+  /** Second-level multiplier folding TOKEN hashes into positional k-gram
+    * hashes (rolling-window chain, [[graft.expressions.HashKernels.gramChain]]).
+    * Distinct from [[PolyMul]] so a k-gram of single-char tokens can't
+    * collide with a plain string hash by construction. */
+  val SpanGramMul: Long = 1000003L
+
   /** Fold characters: acc = (acc * 131 + code) % 1e9+7, acc0 = 0.
     * Empty-safe: empty string hashes to 0. Works on code points (ASCII
     * and BMP); the oracle side uses DuckDB `unicode()` identically. */

@@ -129,6 +129,33 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** X93 temperature-scaled mixture: p_i ∝ n_i^α, the standard
+    * multi-corpus sampling temperature (T5's examples-proportional
+    * mixing with a rate exponent; LLaMA-style corpus reweighting).
+    * α < 1 upsamples small sources without the hard uniform target of
+    * [[mixtureWeights]]. This audit fixes α = 1/2 and computes n^α via
+    * `sqrt` — correctly rounded in IEEE 754, so the oracle matches
+    * bit-for-bit where a libm `pow` could drift in the last ulp; the
+    * production path generalizes α with `pow` and unit-gates instead.
+    * Same scale shape as mixtureWeights: per-source agg, one broadcast
+    * totals row, no global window. */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("scaled", sqrt(col("n_docs").cast("double")))
+    val totals = broadcast(counts.agg(
+      sum(col("n_docs")).as("_tot"),
+      sum(col("scaled").cast("decimal(28,12)")).as("_stot")))
+    counts.crossJoin(totals)
+      .withColumn("raw_share", col("n_docs").cast("double") / col("_tot"))
+      .withColumn("temp_share", col("scaled") / col("_stot").cast("double"))
+      .select(
+        col("source"), col("n_docs"),
+        round(col("raw_share") * 100, 6).as("raw_share_pct"),
+        round(col("temp_share") * 100, 6).as("temp_share_pct"),
+        round(col("temp_share") / col("raw_share"), 6).as("upsample_factor"))
+      .orderBy("source")
+  }
+
   /** APPLY form of [[curriculumDeciles]]: the kept rows themselves.
     * Same deterministic rule (poly-hash of doc_id < decile), so the kept
     * set is exactly the one the stats query counts. */
@@ -303,6 +330,46 @@ object Corpus {
       .withColumn("novelty",
         round(col("n_unique").cast("double") / col("n_bigrams"), 6))
       .orderBy("source")
+  }
+
+  /** X92 pairwise source-overlap matrix: exact Jaccard between the
+    * distinct word-bigram vocabularies of every source pair — the
+    * corpus-mixing planner's view of how much two slices share
+    * ([[sourceNovelty]] is this measure's unary form; cross-source
+    * contamination becomes visible BEFORE two corpora are blended).
+    * Pairs with zero shared grams still appear (full upper-triangle
+    * grid), so a disjoint pair reads 0.0, not absent.
+    *
+    * Shape: the distinct (source, gram) frame is checkpointed once and
+    * reused three times (sizes + both self-join sides); the self-join is
+    * gram-keyed and hinted `shuffle_hash` (the gram key is the
+    * parallelism mechanism — a broadcast would collapse it). A gram in s
+    * sources fans out to C(s,2) pair rows: bounded by S² per gram, and S
+    * (distinct sources) is orders below the row count. For corpora with
+    * thousands of sources, route through [[Dedup.signatureFromHashes]]
+    * per source (k slots per source, estimate = matching-slot fraction)
+    * instead of the exact join. */
+  def sourceOverlap(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col("source"), toks.as("tk"))
+      .select(col("source"), explode(TF.wordShinglesOfTokens(col("tk"), n)).as("g"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("source").as("source_a"), col("g"))
+      .hint("shuffle_hash")
+      .join(grams.select(col("source").as("source_b"), col("g")), "g")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
   }
 
   // ---- sequence packing (q62) ---------------------------------------

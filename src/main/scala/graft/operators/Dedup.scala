@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashes, TextFunctions => TF}
@@ -386,6 +387,59 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select((blockCols.map(col) ++ Seq(col("id_a"), col("id_b"), col("dist"))): _*)
       .distinct() // a pair may agree on several chunks
+  }
+
+  /** X91 duplicated-substring span detection — the exact substring-level
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed for Spark without the suffix
+    * array (which doesn't distribute): a token k-gram occurring more than
+    * once ANYWHERE in the corpus marks its k-token window duplicated, and
+    * overlapping/adjacent duplicated windows merge into maximal spans.
+    * Same ≥k-token repeated regions, pure shuffle-on-key operators:
+    *
+    *  1. per doc, one codegen pass: token hashes, then the n−k+1
+    *     positional gram hashes via the O(n) Rabin–Karp rolling chain
+    *     ([[graft.expressions.HashKernels.gramChain]]);
+    *  2. gram-keyed occurrence count as a WINDOW count — ONE shuffle of
+    *     the heavy gram stream (a groupBy + semi-join back would shuffle
+    *     it twice);
+    *  3. doc-keyed gaps-and-islands: duplicated positions sorted per doc,
+    *     break when the next window starts past the previous window's
+    *     coverage (gap > k), min/max per island ⇒ maximal span.
+    *
+    * Returns one row per maximal span: (doc_id, span_start, span_end,
+    * span_tokens), token coordinates, span_tokens ≥ k.
+    *
+    * Scale: both shuffles are keyed (gram, then doc). A hot boilerplate
+    * gram concentrates its occurrences into one partition's count window
+    * but never fans out into pairs — that containment is what makes
+    * substring-level dedup viable at corpus sizes where any pairwise
+    * formulation is not (reference corpus ops: integrity.py:379-616 stop
+    * at whole-document exact/near dedup). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val spark = docs.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.HashFunctions.{poly_hash_array, gram_chain}
+    val grams = docs
+      .select(col(idCol).as("doc_id"), TF.tokens(textCol).as("tk"))
+      .select(col("doc_id"), posexplode(gram_chain(poly_hash_array(col("tk")), k)))
+      .toDF("doc_id", "pos", "g")
+    val perGram = Window.partitionBy("g")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    grams
+      .withColumn("n_occ", count(lit(1)).over(perGram))
+      .filter(col("n_occ") > 1)
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 }
 

@@ -406,6 +406,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped.head == (("s0", 3L, 1L))) // ids 1,3,5 new; only 1 dropped
   }
 
+  test("temperature mixture: sqrt scaling upsamples the small source") {
+    // s0: 16 docs, s1: 1 doc -> raw shares 16/17, 1/17; temp shares 4/5, 1/5
+    val d = docs(((1L to 16L).map(i => (i, s"text $i", "en", "s0")) :+
+      ((17L, "text 17", "en", "s1"))): _*)
+    val out = Corpus.temperatureMixture(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(("s0", 16L), ("s1", 1L)))
+    val Seq(s0, s1) = out
+    assert(math.abs(s0._4 - 80.0) < 1e-9 && math.abs(s1._4 - 20.0) < 1e-9,
+      s"temp shares: $out")
+    // the small source upsamples (factor > 1), the big one downsamples
+    assert(s1._5 > 1.0 && s0._5 < 1.0, s"upsample factors: $out")
+    // sqrt temperature: s1 jumps from 1/17 ~ 5.9% raw to 20% sampled
+    assert(math.abs(s1._3 - 100.0 / 17) < 1e-6)
+  }
+
+  test("source overlap: exact pair Jaccard, disjoint pairs present at 0") {
+    // s0/s1 share bigrams "a b" and "b c" (s0 vocab {a b, b c}, s1 vocab
+    // {a b, b c, c d}); s2 is disjoint from both
+    val d = docs(
+      (1L, "a b c", "en", "s0"),
+      (2L, "a b c d", "en", "s1"),
+      (3L, "x y z", "en", "s2"))
+    val out = Corpus.sourceOverlap(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_common"),
+          r.getAs[Double]("jaccard")))).toMap
+    assert(out(("s0", "s1")) == ((2L, 3L, 2L, 0.666667)), s"s0/s1: $out")
+    assert(out(("s0", "s2")) == ((2L, 2L, 0L, 0.0)), s"s0/s2 must be 0, not absent: $out")
+    assert(out(("s1", "s2")) == ((3L, 2L, 0L, 0.0)), s"s1/s2: $out")
+  }
+
   test("packing: sequential 512-token packs with boundary docs kept whole") {
     // 10 docs × 100 tokens: packs cut at tokensBefore/512 → 6 + 4 docs
     val text = Seq.fill(100)("tok").mkString(" ")

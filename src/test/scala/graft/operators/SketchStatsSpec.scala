@@ -23,6 +23,23 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(est("hot") == s.estimate("hot") && est("k1") >= 11L)
   }
 
+  test("distributed HLL build equals the single fold and estimates distincts") {
+    import spark.implicits._
+    val keys = (1 to 3000).map(i => s"k${i % 700}") // 700 distinct
+    val df = keys.toDF("k").repartition(7)
+    val s = HyperLogLog.build(df, "k", p = 12)
+    val whole = keys.foldLeft(HyperLogLog.empty(12))((acc, k) => acc.add(k))
+    assert(s.regs.sameElements(whole.regs),
+      "partitioned build must equal the order-free single fold")
+    assert(math.abs(s.estimate - 700.0) / 700.0 < 0.10, s"est=${s.estimate}")
+    // snapshot merge: yesterday's keys + today's half-overlapping keys
+    val today = HyperLogLog.build(
+      (1 to 1000).map(i => s"k${350 + (i % 700)}").toDF("k"), "k", p = 12)
+    val union = s.merge(today).estimate
+    assert(union > s.estimate && math.abs(union - 1050.0) / 1050.0 < 0.10,
+      s"union=$union")
+  }
+
   test("approx stats land within documented error of the exact answers") {
     // skewed data: squares of 0..19999, 5000 distinct keys
     val df = spark.range(20000).select(
