@@ -1217,6 +1217,36 @@ object SparkEntry {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceOverlap(Tables.documentsSpread(spark, dir))
 
+  /** X95 substring-level decontamination
+    * ([[graft.operators.Dedup.contaminatedSpans]], k=6): per-source
+    * share of training tokens lying inside a span that exactly repeats a
+    * ≥6-token sequence from the eval slice (doc_id % 20 == 0, the same
+    * benchmark convention as q57's whole-doc decontam). */
+  def contamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    val eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val spans = graft.operators.Dedup.contaminatedSpans(
+      train, eval, "doc_id", col("text"), k = 6)
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"), sum("span_tokens").as("contam_tokens"))
+    train
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "contam_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_contaminated"),
+        sum("n_spans").as("n_spans"),
+        sum("contam_tokens").as("contam_tokens"),
+        sum("n_tok").as("total_tokens"),
+        round((lit(100.0) * sum("contam_tokens")) / sum("n_tok"), 6)
+          .as("contam_token_pct"))
+      .orderBy("source")
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1518,6 +1548,7 @@ object SparkEntry {
     "q92_repeated_spans" -> repeatedSpans _,
     "q93_temp_mixture" -> temperatureMixture _,
     "q94_source_overlap" -> sourceOverlap _,
+    "q95_contam_spans" -> contamSpans _,
   )
 
   private val stopwordsSqlList: String =
@@ -3128,6 +3159,52 @@ object SparkEntry {
         |FROM sz sa JOIN sz sb ON sa.source < sb.source
         |LEFT JOIN i ON i.source_a = sa.source AND i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "q95_contam_spans" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, source, $toksSql AS tk FROM documents
+        |), hs AS (
+        |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    list_transform(tk, t -> ${ph("t")}) AS hs
+        |  FROM t0
+        |), pos AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[u.i+1 : u.i+6]),
+        |      (acc, h) -> (acc * ${Hashes.SpanGramMul} + h) % ${Hashes.PolyMod}) AS g
+        |  FROM hs, UNNEST(range(0, n_tok - 6 + 1)) AS u(i)
+        |  WHERE n_tok >= 6
+        |), ev AS (
+        |  SELECT DISTINCT g FROM pos WHERE doc_id % 20 = 0
+        |), fl AS (
+        |  SELECT p.doc_id, p.pos FROM pos p JOIN ev USING (g)
+        |  WHERE p.doc_id % 20 <> 0
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM fl
+        |), isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, island, min(pos) AS span_start, max(pos) + 5 AS span_end
+        |  FROM isl2 GROUP BY doc_id, island
+        |), per_doc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS contam_tokens
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT h.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(p.n_spans, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_contaminated,
+        |  CAST(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+        |  CAST(sum(coalesce(p.contam_tokens, 0)) AS BIGINT) AS contam_tokens,
+        |  CAST(sum(h.n_tok) AS BIGINT) AS total_tokens,
+        |  round((100.0 * CAST(sum(coalesce(p.contam_tokens, 0)) AS BIGINT))
+        |    / CAST(sum(h.n_tok) AS BIGINT), 6) AS contam_token_pct
+        |FROM hs h LEFT JOIN per_doc p USING (doc_id)
+        |WHERE h.doc_id % 20 <> 0
+        |GROUP BY h.source ORDER BY h.source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -419,19 +419,66 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
-    val spark = docs.sparkSession
-    graft.expressions.HashFunctions.register(spark)
-    import graft.expressions.HashFunctions.{poly_hash_array, gram_chain}
-    val grams = docs
-      .select(col(idCol).as("doc_id"), TF.tokens(textCol).as("tk"))
-      .select(col("doc_id"), posexplode(gram_chain(poly_hash_array(col("tk")), k)))
-      .toDF("doc_id", "pos", "g")
+    val grams = positionalGrams(docs, idCol, textCol, k)
     val perGram = Window.partitionBy("g")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    grams
+    val flagged = grams
       .withColumn("n_occ", count(lit(1)).over(perGram))
       .filter(col("n_occ") > 1)
       .select("doc_id", "pos")
+    mergeIslands(flagged, k)
+  }
+
+  /** X95 substring-level decontamination — [[duplicatedSpans]] with the
+    * duplication set swapped for an EVAL corpus's gram vocabulary: a
+    * training-doc k-gram window is contaminated iff that exact k-token
+    * sequence occurs anywhere in the held-out/eval set, and contiguous
+    * contaminated windows merge to maximal spans. This is the span-level
+    * sibling of whole-doc n-gram decontam (X32) and embedding decontam
+    * (X85): those say WHICH docs overlap a benchmark; this says WHERE
+    * and HOW MUCH, so a pipeline can surgically cut or down-weight the
+    * contaminated region instead of dropping the document.
+    *
+    * Shape: eval grams are a distinct bounded set (benchmarks are small
+    * by nature); the corpus gram stream left-semi joins it — gram-keyed,
+    * and AQE broadcasts the eval side when it fits, making the corpus
+    * pass effectively map-only. Returns (doc_id, span_start, span_end,
+    * span_tokens) like [[duplicatedSpans]]. */
+  def contaminatedSpans(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val spark = corpus.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.HashFunctions.{poly_hash_array, gram_chain}
+    val evalGrams = eval
+      .select(TF.tokens(textCol).as("tk"))
+      .select(explode(gram_chain(poly_hash_array(col("tk")), k)).as("g"))
+      .distinct()
+    val flagged = positionalGrams(corpus, idCol, textCol, k)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+    mergeIslands(flagged, k)
+  }
+
+  /** One codegen pass per doc: token hashes, then the n−k+1 positional
+    * gram hashes via the O(n) rolling chain, exploded to
+    * (doc_id, pos, g). */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+      textCol: Column, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.HashFunctions.{poly_hash_array, gram_chain}
+    docs
+      .select(col(idCol).as("doc_id"), TF.tokens(textCol).as("tk"))
+      .select(col("doc_id"), posexplode(gram_chain(poly_hash_array(col("tk")), k)))
+      .toDF("doc_id", "pos", "g")
+  }
+
+  /** Doc-keyed gaps-and-islands over flagged window positions: break when
+    * the next window starts past the previous one's coverage (gap > k),
+    * min/max per island ⇒ maximal span. */
+  private def mergeIslands(flagged: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(byDoc) > k, 1).otherwise(0))
       .withColumn("island", sum("brk").over(byDoc))

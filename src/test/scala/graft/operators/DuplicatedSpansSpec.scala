@@ -49,6 +49,27 @@ class DuplicatedSpansSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("contaminated spans flag exactly the eval phrase region") {
+    import org.apache.spark.sql.functions.col
+    val eval = Seq((100L, "e1 e2 " + phrase + " e3")).toDF("doc_id", "text")
+    // train doc 1 embeds the eval phrase at position 2; doc 2 is clean;
+    // doc 3 repeats ITSELF but shares nothing with eval (must NOT flag —
+    // contamination is vs eval only, not self-duplication)
+    val selfDup = (1 to 8).map(i => s"s$i").mkString(" ")
+    val train = Seq(
+      (1L, "t1 t2 " + phrase + " t3 t4"),
+      (2L, (1 to 15).map(i => s"c$i").mkString(" ")),
+      (3L, selfDup + " mid " + selfDup)).toDF("doc_id", "text")
+    val out = Dedup.contaminatedSpans(train, eval, "doc_id", col("text"), K)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("span_start"), r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(out(1L) == Seq((2, 11, 10)), s"doc 1: ${out.get(1L)}")
+    assert(!out.contains(2L) && !out.contains(3L),
+      s"clean/self-dup docs flagged: $out")
+  }
+
   test("rolling gram chain equals the naive per-window fold") {
     val rnd = new scala.util.Random(7)
     val hs = Array.fill(50)(math.abs(rnd.nextLong()) % graft.functions.Hashes.PolyMod)
