@@ -259,12 +259,23 @@ object Bench {
 
   /** Fork one JVM for `phase` (same classpath/heap/module opens as this
     * one) and return its marker JSON, or None on any failure. Spark logs
-    * go to stderr (inherited); only the marker line is read from stdout. */
+    * go to stderr (inherited); only the marker line is read from stdout.
+    *
+    * Fixed pre-touched heap, NOT the parent's -Xmx: inheriting a large
+    * uncommitted heap let the guest kernel's page-commit churn land
+    * INSIDE the measured window — phase times swung 3-10x run-to-run
+    * with identical code (the r6 "quality 26->73 s with unchanged
+    * Quality.scala" mystery; sys-time dominated user-time during slow
+    * runs). -Xms=-Xmx + AlwaysPreTouch moves all page population into
+    * unmeasured JVM startup, the same cost model as the AOT-compiled
+    * native baseline, which commits its working set before its timers
+    * start. Override via SPARK_GRAFT_BENCH_HEAP for scale-ladder runs. */
   private def forkPhase(phase: String): Option[String] =
     try {
+      val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "16g")
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
-      val cmd = Seq(javaBin, s"-Xmx${Runtime.getRuntime.maxMemory()}") ++
+      val cmd = Seq(javaBin, s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch") ++
         Jdk17AddOpens ++ Seq(
           "-Dspark.ui.enabled=false",
           "-cp", System.getProperty("java.class.path"),
@@ -278,13 +289,32 @@ object Bench {
       out.lastOption.map(_.stripPrefix(Marker)).filter(_ => rc == 0)
     } catch { case _: Throwable => None }
 
+  /** Hypervisor steal jiffies from /proc/stat (0 where unavailable):
+    * bracketing each phase with this puts host contention ON THE RECORD,
+    * so a phase-time swing with unchanged code is attributable to the
+    * environment from the artifact alone instead of by archaeology. */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+")(8).toLong
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.length >= 2 && args(0) == "--phase") { runPhase(args(1), sfDir); return }
 
     // Orchestrator: queries first (the headline number), then the three
-    // one-shot phases, each on a fresh heap.
-    val queries = forkPhase("queries").getOrElse {
+    // one-shot phases, each on a fresh heap. Per-phase steal CPU-seconds
+    // (USER_HZ=100) are collected alongside.
+    val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def withSteal[A](name: String)(body: => A): A = {
+      val s0 = stealJiffies()
+      val r = body
+      steals(name) = (stealJiffies() - s0) / 100.0
+      r
+    }
+    val queries = withSteal("queries") { forkPhase("queries") }.getOrElse {
       // fork unavailable (unexpected classpath) — degrade to in-process
       val spark = GraftSession.create()
       try queriesJson(spark, sfDir) finally spark.stop()
@@ -295,15 +325,17 @@ object Bench {
       case totalRe(t, q) => (t, q)
       case _ => ("-1", "{}")
     }
-    val ingestJson = forkPhase("ingest")
+    val ingestJson = withSteal("ingest") { forkPhase("ingest") }
       .map(j => s""","ingest":$j""").getOrElse("")
-    val annJson = forkPhase("ann")
+    val annJson = withSteal("ann") { forkPhase("ann") }
       .map(j => s""","ann":$j""").getOrElse("")
-    val annPrunedJson = forkPhase("ann_pruned")
+    val annPrunedJson = withSteal("ann_pruned") { forkPhase("ann_pruned") }
       .map(j => s""","ann_pruned":$j""").getOrElse("")
-    val qaJson = forkPhase("quality")
+    val qaJson = withSteal("quality") { forkPhase("quality") }
       .map(j => s""","quality_assess":$j""").getOrElse("")
-    val phases = ingestJson + annJson + annPrunedJson + qaJson
+    val stealJson = steals
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(""","steal_cpu_s":{""", ",", "}")
+    val phases = ingestJson + annJson + annPrunedJson + qaJson + stealJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
     // record lost q01-q15 because the driver captures only the stdout

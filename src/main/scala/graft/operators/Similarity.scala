@@ -42,9 +42,24 @@ object Similarity {
       col("query_id"), col("neighbor_id"),
       round(VectorExprs.vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), roundDp)
         .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // Per-query top-k via the bounded heap aggregate, NOT a ranking
+    // window: the window shuffles every (query, candidate) sim row to its
+    // query's reducer before discarding all but k, while topk_min's
+    // partial buffers cap map-side output at k rows per query per
+    // partition — the shuffle carries |Q|·partitions·k rows instead of
+    // |Q|·n. Ordering matches the old `row_number over (sim DESC, id)`
+    // bit-for-bit: the sort key maps NaN sims first (SQL DESC puts NaN
+    // largest) and null sims last (DESC NULLS LAST), ties break on the
+    // ascending neighbor id, and the original sim rides along unmapped.
+    val sortKey = when(isnan(col("sim")), lit(Double.NegativeInfinity))
+      .when(col("sim").isNull, lit(Double.PositiveInfinity))
+      .otherwise(-col("sim"))
+    sims.groupBy("query_id")
+      .agg(graft.expressions.TopKMin.topkMin(
+        struct(sortKey.as("ns"), col("neighbor_id").as("nid"), col("sim").as("s")), k).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")))
+      .select(col("query_id"), col("col.nid").as("neighbor_id"),
+        col("col.s").as("sim"), (col("pos") + 1).as("rnk"))
   }
 
   /** X85 embedding-space benchmark decontamination — the semantic sibling
