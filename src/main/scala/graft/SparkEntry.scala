@@ -1247,6 +1247,48 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** X97 Naive Bayes quality classifier trained on the Gopher weak label
+    * ([[TextAnalysis.nbQualityScores]]): the heuristic battery labels the
+    * corpus, the closed-form classifier generalizes it to a graded
+    * per-document score, and the per-source rollup reports how far the
+    * learned signal agrees with the rule that taught it. */
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    val sig = TextAnalysis.gopherSignals(docs, col("text"))
+    val scored = TextAnalysis.nbQualityScores(sig, "doc_id", col("text"), col("gopher_pass"))
+    scored.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("weak_label"), 1L).otherwise(0L)).as("n_weak_pass"),
+        sum(when(col("predicted_pass"), 1L).otherwise(0L)).as("n_pred_pass"),
+        round(lit(100.0) * sum(when(col("weak_label") === col("predicted_pass"), 1L)
+          .otherwise(0L)) / count(lit(1)), 4).as("agreement_pct"),
+        round(sum(col("score").cast("decimal(20,12)")).cast("double") / count(lit(1)), 6)
+          .as("avg_score"))
+      .orderBy("source")
+  }
+
+  /** X98 hard-negative mining over the labeled embedding table
+    * ([[graft.operators.Similarity.hardNegatives]]): per query, the
+    * top-5 most-similar vectors with a DIFFERENT label. */
+  def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 49L)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"),
+        col("label").as("qlabel"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"), col("label").as("nlabel"))
+    graft.operators.Similarity.hardNegatives(q, c, 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** X99 per-source normalized-dedup audit
+    * ([[graft.operators.Dedup.normalizedDupAudit]]). */
+  def normDedupAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.normalizedDupAudit(
+      Tables.documentsSpread(spark, dir), col("text"), col("source"))
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1549,6 +1591,9 @@ object SparkEntry {
     "q93_temp_mixture" -> temperatureMixture _,
     "q94_source_overlap" -> sourceOverlap _,
     "q95_contam_spans" -> contamSpans _,
+    "q96_nb_quality" -> nbQuality _,
+    "q97_hard_negatives" -> hardNegativesQuery _,
+    "q98_norm_dedup" -> normDedupAudit _,
   )
 
   private val stopwordsSqlList: String =
@@ -3205,6 +3250,100 @@ object SparkEntry {
         |FROM hs h LEFT JOIN per_doc p USING (doc_id)
         |WHERE h.doc_id % 20 <> 0
         |GROUP BY h.source ORDER BY h.source""".stripMargin,
+
+    // q96: the full NB train+score pipeline replayed in SQL — weak label
+    // from the Gopher battery (q51's fragment), token log-ratios rounded
+    // to 6dp, DECIMAL sums for order-free float parity (q82/q83 device)
+    "q96_nb_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, text, $toksSql AS tk FROM documents
+        |), s AS (
+        |  SELECT doc_id, source, tk,
+        |    len(tk) AS n_words,
+        |    length(array_to_string(tk, '')) AS n_chars2,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    len(tk) - len($contentToksSql) AS n_stop
+        |  FROM t
+        |), lab AS (
+        |  SELECT doc_id, source, tk,
+        |    (n_words >= 10 AND n_words <= 100000 AND n_words > 0
+        |      AND CAST(n_chars2 AS DOUBLE) / n_words >= 2.0
+        |      AND CAST(n_chars2 AS DOUBLE) / n_words <= 10.0
+        |      AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+        |      AND CAST(n_alpha AS DOUBLE) / n_words > 0.8
+        |      AND n_stop >= 2) AS y
+        |  FROM s
+        |), tok AS (
+        |  SELECT doc_id, y, unnest(tk) AS tok FROM lab
+        |), st AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM tok GROUP BY tok
+        |), tt AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS p_total,
+        |    CAST(sum(nn) AS BIGINT) AS n_total, count(*) AS v FROM st
+        |), w AS (
+        |  SELECT tok, round(ln(((np + 1.0) / (p_total + v))
+        |    / ((nn + 1.0) / (n_total + v))), 6) AS w_lr
+        |  FROM st, tt
+        |), pr AS (
+        |  SELECT round(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+        |    / (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6) AS prior FROM lab
+        |), ds AS (
+        |  SELECT tok.doc_id,
+        |    CAST(sum(CAST(w.w_lr AS DECIMAL(20,12))) AS DOUBLE) AS wsum
+        |  FROM tok JOIN w USING (tok) GROUP BY tok.doc_id
+        |), sc AS (
+        |  SELECT lab.doc_id, lab.source, lab.y,
+        |    round(pr.prior + coalesce(ds.wsum, 0), 6) AS score
+        |  FROM lab LEFT JOIN ds ON lab.doc_id = ds.doc_id, pr
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_pass,
+        |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pass,
+        |  round(100.0 * sum(CASE WHEN y = (score >= 0) THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS agreement_pct,
+        |  round(CAST(sum(CAST(score AS DECIMAL(20,12))) AS DOUBLE)
+        |    / count(*), 6) AS avg_score
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    // q97: brute-force hard negatives — same shape as the kNN oracle plus
+    // the different-label predicate in the pair join
+    "q97_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c
+        |    ON q.vec_id <= 49 AND c.vec_id <> q.vec_id AND c.label <> q.label
+        |), r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q98: aggressive-normalization dedup audit; \p{L}\p{N} classes agree
+    // between Java regex (Spark) and RE2 (DuckDB)
+    "q98_norm_dedup" ->
+      """WITH k AS (
+        |  SELECT source,
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')) AS nk
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, nk, count(*) AS n FROM k GROUP BY source, nk
+        |)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS dup_docs,
+        |  round(100.0 * (sum(n) - count(*)) / sum(n), 4) AS dup_pct
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -21,6 +21,37 @@ import graft.functions.{Hashes, TextFunctions => TF}
   */
 object Dedup {
 
+  /** X99 aggressive normalization for near-exact dedup keys (the
+    * RefinedWeb/Falcon-style variant of plain whitespace folding):
+    * lowercase, fold every non-alphanumeric run to one space, trim. This
+    * catches reformatting twins — punctuation/casing/markup jitter around
+    * identical content — that byte-exact hashing misses, at map-only
+    * cost. Restricted to `\p{L}\p{N}` classes, which Java regex and RE2
+    * (the DuckDB oracle engine) agree on. */
+  def normalizeAggressive(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+
+  /** X99 per-source normalized-dedup audit: how much of each source
+    * collapses under [[normalizeAggressive]] keys — the number the
+    * mixing planner reads before deciding whether a source needs the
+    * full near-dup pipeline. One map-only normalization + hash, one
+    * (source, key)-grouped count, one source-grouped rollup — the first
+    * shuffle carries distinct keys (map-side collapsed), the second is
+    * source-sized. Keys are xxhash64 of the normalized text, so the
+    * wide text column never shuffles. */
+  def normalizedDupAudit(df: DataFrame, textCol: Column,
+      sourceCol: Column): DataFrame =
+    df.select(sourceCol.as("source"), xxhash64(normalizeAggressive(textCol)).as("_k"))
+      .groupBy("source", "_k").agg(count(lit(1)).as("_n"))
+      .groupBy("source")
+      .agg(
+        sum(col("_n")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        (sum(col("_n")) - count(lit(1))).cast("long").as("dup_docs"),
+        round(lit(100.0) * (sum(col("_n")) - count(lit(1))) / sum(col("_n")), 4)
+          .as("dup_pct"))
+      .orderBy("source")
+
   /** Exact duplicate groups by normalized text (integrity.py:379-549).
     * Returns (key columns…, n, plus whatever `agg` projections). */
   def exactDuplicateGroups(df: DataFrame, textCol: Column, extraKeys: Seq[Column] = Nil): DataFrame = {

@@ -42,15 +42,20 @@ object Similarity {
       col("query_id"), col("neighbor_id"),
       round(VectorExprs.vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), roundDp)
         .as("sim"))
-    // Per-query top-k via the bounded heap aggregate, NOT a ranking
-    // window: the window shuffles every (query, candidate) sim row to its
-    // query's reducer before discarding all but k, while topk_min's
-    // partial buffers cap map-side output at k rows per query per
-    // partition — the shuffle carries |Q|·partitions·k rows instead of
-    // |Q|·n. Ordering matches the old `row_number over (sim DESC, id)`
-    // bit-for-bit: the sort key maps NaN sims first (SQL DESC puts NaN
-    // largest) and null sims last (DESC NULLS LAST), ties break on the
-    // ascending neighbor id, and the original sim rides along unmapped.
+    perQueryTopK(sims, k)
+  }
+
+  /** Per-query top-k over a (query_id, neighbor_id, sim) frame via the
+    * bounded heap aggregate, NOT a ranking window: the window shuffles
+    * every (query, candidate) sim row to its query's reducer before
+    * discarding all but k, while topk_min's partial buffers cap map-side
+    * output at k rows per query per partition — the shuffle carries
+    * |Q|·partitions·k rows instead of |Q|·n. Ordering matches
+    * `row_number over (sim DESC, id ASC)` bit-for-bit: the sort key maps
+    * NaN sims first (SQL DESC puts NaN largest) and null sims last
+    * (DESC NULLS LAST), ties break on the ascending neighbor id, and the
+    * original sim rides along unmapped. */
+  private def perQueryTopK(sims: DataFrame, k: Int): DataFrame = {
     val sortKey = when(isnan(col("sim")), lit(Double.NegativeInfinity))
       .when(col("sim").isNull, lit(Double.PositiveInfinity))
       .otherwise(-col("sim"))
@@ -60,6 +65,36 @@ object Similarity {
       .select(col("query_id"), posexplode(col("_tk")))
       .select(col("query_id"), col("col.nid").as("neighbor_id"),
         col("col.s").as("sim"), (col("pos") + 1).as("rnk"))
+  }
+
+  /** X98 hard-negative mining — contrastive-training data prep (public
+    * device from dense-retrieval training, DPR/ANCE style): for each
+    * labeled query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label. High-sim different-label items are exactly the
+    * "hard" negatives a contrastive objective learns most from (random
+    * negatives are trivially separable).
+    *
+    * Same scale shape as [[topKExact]]: the bounded query side
+    * broadcasts, the corpus never shuffles (the label predicate rides in
+    * the join condition, so disqualified pairs die before the sim
+    * projection), and the per-query top-k is the size-capped heap
+    * aggregate. queries: (query_id, qv, qlabel); corpus: (neighbor_id,
+    * nv, nlabel). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      roundDp: Int = 6, maxQueries: Long = 10000L): DataFrame = {
+    Guards.requireAtMost(queries, maxQueries, "hardNegatives",
+      "mine hard negatives in IVF-bucketed batches for bulk query sets")
+    VectorExprs.register(queries.sparkSession)
+    val q = queries.withColumn("_qn", sqrt(VectorExprs.vec_dot(col("qv"), col("qv"))))
+    val c = graft.core.Par.spread(corpus)
+      .withColumn("_nn", sqrt(VectorExprs.vec_dot(col("nv"), col("nv"))))
+    val joined = broadcast(q).join(c,
+      col("query_id") =!= col("neighbor_id") && col("qlabel") =!= col("nlabel"))
+    val sims = joined.select(
+      col("query_id"), col("neighbor_id"),
+      round(VectorExprs.vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), roundDp)
+        .as("sim"))
+    perQueryTopK(sims, k)
   }
 
   /** X85 embedding-space benchmark decontamination — the semantic sibling

@@ -284,4 +284,56 @@ object TextAnalysis {
       .filter(col("_best") > 0)
       .select(col(idCol), col("predicted"))
   }
+
+  /** X97 Naive Bayes quality classifier trained on a weak label — the
+    * public pipeline device (GPT-3 / CCNet style) where a cheap heuristic
+    * rule labels a corpus slice and a classifier generalizes it into a
+    * graded quality score used for filtering or importance sampling.
+    * Multinomial NB with add-one smoothing is CLOSED-FORM (counts only),
+    * so unlike an iteratively-trained classifier the whole train+score
+    * pipeline is SQL-recomputable and oracle-checkable.
+    *
+    * score(d) = ln P(pass)/P(fail) + Σ_tok ln [P(tok|pass)/P(tok|fail)],
+    * with token log-ratios rounded to 6dp and summed as DECIMAL(20,12)
+    * (order-free — the q82/q83 float-parity device). Docs with no tokens
+    * score the bare prior.
+    *
+    * Scale shape: training is ONE token-keyed aggregation (the model is
+    * the vocabulary table — for web-scale vocabularies, cap by document
+    * frequency like [[graft.operators.Bpe]] caps its word table); the
+    * prior is a broadcast 1-row frame; scoring is a token-keyed join
+    * reduced straight onto the doc key — no window, no driver loop. */
+  def nbQualityScores(docs: DataFrame, idCol: String, textCol: Column,
+      weakLabel: Column): DataFrame = {
+    val labeled = docs.select(col(idCol), weakLabel.cast("boolean").as("_y"), textCol.as("_t"))
+    val tk = labeled.select(col(idCol), col("_y"), explode(TF.tokens(col("_t"))).as("tok"))
+    val st = tk.groupBy("tok").agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("nn"))
+    val tot = st.agg(
+      sum(col("np")).as("p_total"), sum(col("nn")).as("n_total"),
+      count(lit(1)).as("v"))
+    val w = st.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(((col("np") + lit(1)).cast("double") / (col("p_total") + col("v")))
+          / ((col("nn") + lit(1)).cast("double") / (col("n_total") + col("v")))), 6)
+          .as("w_lr"))
+    val prior = labeled.agg(
+      round(log((sum(when(col("_y"), 1L).otherwise(0L)) + lit(1)).cast("double")
+        / (sum(when(!col("_y"), 1L).otherwise(0L)) + lit(1))), 6).as("_prior"))
+    val tokSums = tk.join(w, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w_lr").cast("decimal(20,12)")).cast("double").as("_wsum"))
+    labeled.select(col(idCol), col("_y"))
+      .join(tokSums, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(
+        col(idCol),
+        col("_y").as("weak_label"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("_prior") + coalesce(col("_wsum"), lit(0.0)), 6).as("score"))
+      .withColumn("predicted_pass", col("score") >= 0)
+  }
 }

@@ -26,6 +26,22 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getAs[Long]("n") == 2L)
   }
 
+  test("normalized-dedup audit collapses punctuation/case twins only") {
+    val df = Seq(
+      (1L, "a", "Hello, World!"),
+      (2L, "a", "hello world"),       // twin of 1 under aggressive keys
+      (3L, "a", "HELLO ... world?!"), // twin of 1 and 2
+      (4L, "a", "goodbye world"),     // distinct
+      (5L, "b", "Unrelated text."))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.normalizedDupAudit(df, col("text"), col("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_docs"))))
+      .toMap
+    assert(out("a") == ((4L, 2L, 2L)))
+    assert(out("b") == ((1L, 1L, 0L)))
+  }
+
   test("minhash LSH finds the planted near-dup pair and not the unrelated one") {
     val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, "tiny"))
       .toDF("doc_id", "text")

@@ -49,6 +49,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("IVF"))
   }
 
+  test("hard negatives exclude same-label vectors and keep sim ordering") {
+    // labels = cluster ids (i % 4): every query's nearest same-cluster
+    // twins are disqualified, so mined negatives must all be other-label
+    val labeled = vectors.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val q = labeled.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"),
+        col("label").as("qlabel"))
+    val c = labeled.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"), col("label").as("nlabel"))
+    val out = Similarity.hardNegatives(q, c, k = 3).collect()
+    assert(out.length == 4 * 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 4 != r.getAs[Long]("query_id") % 4)
+    }
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("IVF with all cells probed equals exact search") {
     val cents = Similarity.trainIvfCentroids(vectors, "vec_id", "embedding", nCells = 4)
     val ivf = Similarity.topKIvf(spark, queries, corpus, cents, k = 5, nProbe = 4)

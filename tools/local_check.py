@@ -24,13 +24,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir: str, out_dir: str, skip=()) -> int:
+def main(sf_dir: str, out_dir: str, skip=(), only=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         if name in skip:
             print(f"SKIP {name} (oracle-capacity: quadratic SQL infeasible at this sf)")
             continue
@@ -73,10 +75,16 @@ def main(sf_dir: str, out_dir: str, skip=()) -> int:
 
 if __name__ == "__main__":
     # optional: --skip name1,name2 (quadratic oracles at large sf)
+    #           --only prefix1,prefix2 (pairs with Verify's prefix args)
     skip = ()
+    only = ()
     argv = [a for a in sys.argv[1:]]
     if "--skip" in argv:
         i = argv.index("--skip")
         skip = tuple(argv[i + 1].split(","))
         del argv[i:i + 2]
-    sys.exit(main(argv[0], argv[1], skip))
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = tuple(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], skip, only))
