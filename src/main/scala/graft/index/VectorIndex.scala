@@ -226,8 +226,8 @@ object VectorIndex {
     val sims = cands
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // bounded top-k aggregate, not a ranking window: the shuffle carries
+    // ≤ k rows per (query, partition) instead of every probed candidate
+    graft.operators.Similarity.perQueryTopK(sims, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.VectorExprs
@@ -54,8 +53,9 @@ object Similarity {
     * `row_number over (sim DESC, id ASC)` bit-for-bit: the sort key maps
     * NaN sims first (SQL DESC puts NaN largest) and null sims last
     * (DESC NULLS LAST), ties break on the ascending neighbor id, and the
-    * original sim rides along unmapped. */
-  private def perQueryTopK(sims: DataFrame, k: Int): DataFrame = {
+    * original sim rides along unmapped. Shared by the exact, IVF, and
+    * hard-negative top-k paths. */
+  def perQueryTopK(sims: DataFrame, k: Int): DataFrame = {
     val sortKey = when(isnan(col("sim")), lit(Double.NegativeInfinity))
       .when(col("sim").isNull, lit(Double.PositiveInfinity))
       .otherwise(-col("sim"))
@@ -260,9 +260,7 @@ object Similarity {
     val sims = candidates.select(
       col("query_id"), col("neighbor_id"),
       round(VF.cosine(col("qv"), col("nv")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    perQueryTopK(sims, k)
   }
 
   /** Exact global top-k most-similar pairs by cosine — blocked all-pairs.

@@ -52,6 +52,25 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10L, 20L))
   }
 
+  test("sort-based fallback (many groups) matches the hash path") {
+    // ObjectHashAggregate falls back to sort-based aggregation past the
+    // in-memory group threshold; force it immediately so the fallback's
+    // serialize/merge path is exercised and must agree with the hash path
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      val rng = new scala.util.Random(7)
+      val rows = (1 to 3000).map { i =>
+        (rng.nextInt(97).toLong, i.toLong, rng.nextInt(1000) / 10.0)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(13)
+      val exp = windowTopK(df, 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      spark.conf.set(key, "1")
+      val got = aggTopK(df, 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got == exp)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("string payloads survive the copy/serialize path") {
     val df = (1 to 500).map(i => (i % 5, s"id_$i", (i % 13).toDouble))
       .toDF("g", "id", "v").repartition(11)
