@@ -270,9 +270,24 @@ object Bench {
     * unmeasured JVM startup, the same cost model as the AOT-compiled
     * native baseline, which commits its working set before its timers
     * start. Override via SPARK_GRAFT_BENCH_HEAP for scale-ladder runs. */
+  /** Default forked-phase heap in GiB: 16 when the host can commit it,
+    * else ~60% of MemAvailable (floor 2 GiB). AlwaysPreTouch commits the
+    * whole heap at startup, so a fixed 16g on a small host would make the
+    * fork fail to start and the phase silently vanish from the JSON. */
+  private def defaultHeapGb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      val availKb = try src.getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong }
+        .getOrElse(Long.MaxValue)
+      finally src.close()
+      math.max(2L, math.min(16L, (availKb * 0.6 / 1024 / 1024).toLong))
+    } catch { case _: Throwable => 16L }
+
   private def forkPhase(phase: String): Option[String] =
     try {
-      val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "16g")
+      val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", s"${defaultHeapGb()}g")
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
       val cmd = Seq(javaBin, s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch") ++
@@ -286,8 +301,17 @@ object Bench {
       val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
         .getLines().filter(_.startsWith(Marker)).toList
       val rc = proc.waitFor()
+      if (rc != 0 || out.isEmpty)
+        // a vanished phase must be diagnosable from the log, not invisible
+        System.err.println(s"[bench] fork for phase '$phase' failed " +
+          s"(rc=$rc, marker=${out.nonEmpty}); phase omitted from JSON " +
+          "(stderr above is the forked JVM's own)")
       out.lastOption.map(_.stripPrefix(Marker)).filter(_ => rc == 0)
-    } catch { case _: Throwable => None }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fork for phase '$phase' threw " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}; phase omitted from JSON")
+      None
+    }
 
   /** Hypervisor steal jiffies from /proc/stat (0 where unavailable):
     * bracketing each phase with this puts host contention ON THE RECORD,
@@ -301,6 +325,10 @@ object Bench {
     } catch { case _: Throwable => 0L }
 
   def main(args: Array[String]): Unit = {
+    // All numeric JSON below uses the f interpolator, which follows the
+    // JVM default locale — under a comma-decimal locale (de_DE) that
+    // emits invalid JSON. Pin ROOT before anything formats.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.length >= 2 && args(0) == "--phase") { runPhase(args(1), sfDir); return }
 

@@ -3329,7 +3329,11 @@ object SparkEntry {
         |ORDER BY query_id, rnk""".stripMargin,
 
     // q98: aggressive-normalization dedup audit; \p{L}\p{N} classes agree
-    // between Java regex (Spark) and RE2 (DuckDB)
+    // between Java regex (Spark) and RE2 (DuckDB). The Spark side groups
+    // on xxhash64(normalized) while this groups on the string itself —
+    // the collision probability and the lower()-parity argument (both
+    // engines use 1:1 simple case mapping, no special casefolds) are
+    // documented at Dedup.normalizedDupAudit.
     "q98_norm_dedup" ->
       """WITH k AS (
         |  SELECT source,

@@ -38,7 +38,19 @@ object Dedup {
     * (source, key)-grouped count, one source-grouped rollup — the first
     * shuffle carries distinct keys (map-side collapsed), the second is
     * source-sized. Keys are xxhash64 of the normalized text, so the
-    * wide text column never shuffles. */
+    * wide text column never shuffles.
+    *
+    * Oracle-parity assumptions (q98 groups on the normalized STRING in
+    * DuckDB while this groups on its 64-bit hash): (a) xxhash64
+    * collisions — P(any collision) ≈ n²/2^65, ~3e-9 at n=1e6 distinct
+    * keys, and a collision only UNDERCOUNTS n_distinct by 1; accepted so
+    * the wide text never shuffles. (b) case folding — Spark's `lower`
+    * (UTF8String, locale-independent simple mapping) and DuckDB's
+    * `lower` (utf8proc, same simple mapping) agree on 1:1 mappings;
+    * multi-char expansions (ẞ→ss-style special folds) are where full
+    * casefold engines diverge, and NEITHER engine applies them in
+    * `lower`, so the keys match. The `\p{L}\p{N}` character classes are
+    * the separately-documented Java/RE2 agreement. */
   def normalizedDupAudit(df: DataFrame, textCol: Column,
       sourceCol: Column): DataFrame =
     df.select(sourceCol.as("source"), xxhash64(normalizeAggressive(textCol)).as("_k"))

@@ -85,6 +85,39 @@ class ValidationSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("passed") && row.getAs[Long]("metric") == 0L)
   }
 
+  test("fused referential path flags orphans, row-weighted, with null FKs excluded") {
+    // exercises fusedKeyChecks via validateTable (the production route for
+    // referential-enabled FKs) — NOT fkOrphanCheck: the child plants the
+    // orphan value 99 TWICE (the metric must be row-weighted, matching the
+    // row-level anti-join semantics, so 3 orphan rows total) plus a null FK
+    // (never an orphan).
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(11L)),
+      (3L, Some(99L)), (4L, Some(99L)),            // duplicate orphan value: 2 rows
+      (5L, Some(77L)),                             // distinct orphan value: 1 row
+      (6L, None: Option[Long]))                    // null FK: excluded
+      .toDF("id", "parent_key")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val checks = checkMap(Validation.validateTable(child,
+      TableSpec("child", foreignKeys = Seq(("parent_key", "parent", "pk"))),
+      related = Map("parent" -> parent),
+      enabled = Some(Set("referential"))))
+    assert(checks("referential_integrity_parent_key") == ((false, Some(3L))))
+    // fused cardinality counts distinct non-null FK values (10,11,99,77)
+    assert(checks("id_foreign_key_parent_key") == ((true, Some(4L))))
+  }
+
+  test("fused referential path passes on a clean child") {
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 10L)).toDF("id", "parent_key")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val checks = checkMap(Validation.validateTable(child,
+      TableSpec("child", foreignKeys = Seq(("parent_key", "parent", "pk"))),
+      related = Map("parent" -> parent),
+      enabled = Some(Set("referential"))))
+    assert(checks("referential_integrity_parent_key") == ((true, Some(0L))))
+    assert(checks("id_foreign_key_parent_key") == ((true, Some(2L))))
+  }
+
   test("composite PK dup count ignores rows with a null key part") {
     val df = Seq(
       (Some(1L), Some(1)), (Some(1L), Some(1)), // dup pair
