@@ -443,9 +443,9 @@ object Dedup {
     *  1. per doc, one codegen pass: token hashes, then the n−k+1
     *     positional gram hashes via the O(n) Rabin–Karp rolling chain
     *     ([[graft.expressions.HashKernels.gramChain]]);
-    *  2. gram-keyed occurrence count as a WINDOW count — ONE shuffle of
-    *     the heavy gram stream (a groupBy + semi-join back would shuffle
-    *     it twice);
+    *  2. two-phase duplicated-gram detection: a map-side-folded gram
+    *     count derives the duplicated-gram SET (bounded by the dup
+    *     vocabulary), then the positional stream left-semi probes it;
     *  3. doc-keyed gaps-and-islands: duplicated positions sorted per doc,
     *     break when the next window starts past the previous window's
     *     coverage (gap > k), min/max per island ⇒ maximal span.
@@ -453,13 +453,44 @@ object Dedup {
     * Returns one row per maximal span: (doc_id, span_start, span_end,
     * span_tokens), token coordinates, span_tokens ≥ k.
     *
-    * Scale: both shuffles are keyed (gram, then doc). A hot boilerplate
-    * gram concentrates its occurrences into one partition's count window
-    * but never fans out into pairs — that containment is what makes
-    * substring-level dedup viable at corpus sizes where any pairwise
-    * formulation is not (reference corpus ops: integrity.py:379-616 stop
-    * at whole-document exact/near dedup). */
+    * Scale: every shuffle is keyed (gram partials, then doc), a hot
+    * boilerplate gram costs a streaming probe (never a sort, never a
+    * pair fan-out) — that containment is what makes substring-level
+    * dedup viable at corpus sizes where any pairwise formulation is not
+    * (reference corpus ops: integrity.py:379-616 stop at whole-document
+    * exact/near dedup). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val grams = positionalGrams(docs, idCol, textCol, k)
+    // Two-phase duplicated-gram set, NOT `count(*) over (partition by g)`:
+    // the window formulation sends EVERY occurrence of a gram to one
+    // reducer and SORTS it there — a boilerplate gram in 1% of a corpus
+    // is a single task sorting billions of rows at 100 TB. Here the
+    // groupBy's map-side partial fold shrinks the gram shuffle to
+    // distinct-grams-per-mapper, the dup set is bounded by the duplicated
+    // vocabulary (AQE broadcasts it when it fits), and the semi-join
+    // probe streams — a hot gram costs a streaming probe, never a sort.
+    // Measured (tools/SpanProbe, planted boilerplate): at sf1 with no hot
+    // mass the window is ~1.1 s faster (the gram chain recompute below);
+    // that edge is gone by sf4 (7.21 vs 7.19 s) and INVERTS whenever a
+    // gram is actually hot (sf1 5%x30: window 3.67 s vs two-phase
+    // 2.71 s; sf4: 9.20 vs 8.78 s) — full table in docs/SCALE.md. The
+    // gram chain is recomputed for the probe side: map-only work, the
+    // price of never materializing the gram stream.
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select("g")
+    val flagged = grams
+      .join(dupGrams, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+    mergeIslands(flagged, k)
+  }
+
+  /** The retired window-count formulation of [[duplicatedSpans]] — ONE
+    * gram-keyed shuffle (beats two-phase when no gram is hot and the
+    * corpus fits few partitions), kept for the straggler probe
+    * ([[graft.tools.SpanProbe]]) that justifies the two-phase default. */
+  def duplicatedSpansWindowed(docs: DataFrame, idCol: String, textCol: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     val grams = positionalGrams(docs, idCol, textCol, k)

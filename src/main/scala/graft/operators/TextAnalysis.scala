@@ -321,7 +321,14 @@ object TextAnalysis {
     val prior = labeled.agg(
       round(log((sum(when(col("_y"), 1L).otherwise(0L)) + lit(1)).cast("double")
         / (sum(when(!col("_y"), 1L).otherwise(0L)) + lit(1))), 6).as("_prior"))
-    val tokSums = tk.join(w, "tok")
+    // shuffle_hash-forced like the banded dedup self-joins: the scoring
+    // join must stay token-KEYED with the vocab table as build side. Left
+    // to stats, small inputs broadcast the exploded corpus token stream
+    // (backwards at scale: the stream is corpus-sized, the model is
+    // vocab-bounded), and a plain broadcast(w) would die past ~8 GB of
+    // vocabulary; keying on tok costs one narrow (id, tok) shuffle and
+    // AQE skew-split absorbs stopword-grade hot tokens.
+    val tokSums = tk.join(w.hint("shuffle_hash"), "tok")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

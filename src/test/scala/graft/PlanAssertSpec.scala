@@ -242,4 +242,95 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Window"),
       s"the ES key is a pure row function — nothing may shuffle:\n${plan.take(3000)}")
   }
+
+  test("q92 repeated spans: two-phase dup-gram set, no gram-keyed window sort") {
+    val plan = planOf("q92_repeated_spans")
+    assert(!"windowspecdefinition\\(g#".r.findFirstIn(plan).isDefined,
+      s"a count window partitioned on the gram key sends every occurrence of a " +
+        s"hot boilerplate gram to ONE task's sort — the straggler the two-phase " +
+        s"formulation exists to avoid:\n${plan.take(3000)}")
+    assert("HashAggregate\\(keys=\\[g#\\d+L\\], functions=\\[partial_count".r
+      .findFirstIn(plan).isDefined,
+      s"gram counts must partial-fold map-side before the gram shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi"),
+      s"the positional stream must PROBE the dup-gram set (semi-join), never " +
+        s"join counts back:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the span pipeline justifies a sort-merge join:\n${plan.take(3000)}")
+  }
+
+  test("q93 temperature mixing: one source agg; totals broadcast; no window, no shuffle join") {
+    val plan = planOf("q93_temp_mixture")
+    assert(plan.contains("ReadSchema: struct<source:string>"),
+      s"mixture weights need ONLY the source column:\n${plan.take(3000)}")
+    assert(plan.contains("IdentityBroadcastMode"),
+      s"the 1-row corpus totals must ride along as a broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"source shares are agg + broadcast-total division — no window or shuffle " +
+        s"join belongs here:\n${plan.take(3000)}")
+  }
+
+  test("q94 source overlap: gram self-join SHUFFLES on the gram key; checkpoint reused") {
+    val plan = planOf("q94_source_overlap")
+    assert("ShuffledHashJoin \\[g#\\d+L?\\], \\[g#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"the (source, gram) self-join must shuffle on g — a stats-driven broadcast " +
+        s"serializes candidate generation into the scan's partition count (the r6 " +
+        s"SimHash incident):\n${plan.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"the distinct (source, gram) set is checkpointed once and read three times " +
+        s"(per-source counts x2 + the pair join); recomputing it triples the gram " +
+        s"explode:\n${plan.take(3000)}")
+  }
+
+  test("q95 contamination spans: eval gram set broadcasts; corpus stream never shuffles on g") {
+    val plan = planOf("q95_contam_spans")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the eval-set grams (benchmark-bounded) must broadcast onto the corpus " +
+        s"positional stream as a semi-join:\n${plan.take(3000)}")
+    val gramExchanges = "Exchange hashpartitioning\\(g#\\d+L".r.findAllIn(plan).size
+    assert(gramExchanges <= 1,
+      s"only the eval side's distinct may shuffle on the gram key; the corpus " +
+        s"pass must stay effectively map-only (got $gramExchanges gram " +
+        s"exchanges):\n${plan.take(3000)}")
+  }
+
+  test("q96 nb classifier: scoring join is token-KEYED with the vocab model as build side") {
+    val plan = planOf("q96_nb_quality")
+    assert("ShuffledHashJoin \\[tok#\\d+\\], \\[tok#\\d+\\], Inner, BuildRight".r
+      .findFirstIn(plan).isDefined,
+      s"the scoring join must shuffle on tok and build the vocab-bounded model " +
+        s"table — left to stats, small inputs broadcast the exploded corpus " +
+        s"token stream, which is backwards at scale:\n${plan.take(4000)}")
+    assert(plan.contains("IdentityBroadcastMode"),
+      s"the 1-row prior (and the vocab totals) must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("q97 hard negatives: query side broadcasts; top-k is the bounded-heap aggregate") {
+    val plan = planOf("q97_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"the bounded query set must broadcast over the corpus with the label " +
+        s"predicate in the join condition:\n${plan.take(3000)}")
+    assert(plan.contains("topk_min"),
+      s"per-query top-k must run through the bounded-heap aggregate, not a " +
+        s"ranking window:\n${plan.take(3000)}")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("query_id")),
+      s"the corpus must never shuffle — only the k-bounded per-query partials " +
+        s"may exchange:\n$exchanges")
+  }
+
+  test("q98 normalized dedup: map-only normalize+hash, keyed aggs, no join, no window") {
+    val plan = planOf("q98_norm_dedup")
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"the audit needs only (text, source):\n${plan.take(3000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"normalize + xxhash64 + two keyed aggs — nothing may join or " +
+        s"window:\n${plan.take(3000)}")
+    assert(plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(_.contains("source#")),
+      s"both aggregation shuffles are source-keyed (the wide text never " +
+        s"shuffles — only its 64-bit hash):\n${plan.take(3000)}")
+  }
 }
