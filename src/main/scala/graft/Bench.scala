@@ -20,6 +20,83 @@ object Bench {
 
   private val Marker = "GRAFT_BENCH_JSON:"
 
+  /** Streaming micro-bench (N1/N-family): a generated event corpus
+    * replayed as a file stream under `Trigger.AvailableNow` (deterministic,
+    * unlike the wall-clock `rate` source), split into multiple
+    * micro-batches via `maxFilesPerTrigger` so state genuinely crosses
+    * batch boundaries. Two queries, timed separately:
+    *
+    *   - sessionize: watermark → `flatMapGroupsWithState` gap sessions
+    *     ([[graft.streaming.StreamingSessionize]]) — keyed custom state,
+    *     O(1) per active user;
+    *   - window: watermark → event-time windowed agg
+    *     ([[graft.streaming.StreamingIngest.windowedCounts]]).
+    *
+    * Returns (rows, sessionizeSec, nSessions, stateRows, stateBytes,
+    * windowSec). State numbers come from the final progress's
+    * stateOperators — the live size of the keyed store, the quantity that
+    * must stay bounded on an unbounded stream. */
+  def streamingThroughput(spark: SparkSession, nRows: Long,
+      nUsers: Int): (Long, Double, Long, Long, Long, Double) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+    val inDir = tmp.resolve("in").toString
+    // per user: one event/minute, a >30min gap every 20 events => dense,
+    // deterministic session structure (nRows/20 expected sessions)
+    val base = lit(1700000000L)
+    spark.range(nRows).select(
+        (col("id") % nUsers).as("user_id"),
+        timestamp_seconds(base + floor(col("id") / nUsers) * 60
+          + floor(col("id") / nUsers / 20) * 3600).as("ts"),
+        concat(lit("type_"), col("id") % 5).as("event_type"),
+        (col("id") % 97).cast("double").as("value"))
+      // range-partition on event time so part-file k = k-th time slice …
+      .repartitionByRange(32, col("ts"))
+      .write.mode("overwrite").parquet(inDir)
+    // … and stamp ascending mtimes in part order: FileStreamSource picks
+    // files by modification time, and the writer gives every part the
+    // SAME mtime — left alone, batch 0 can grab slices from across the
+    // whole timeline, the watermark jumps to max-2h, and every later
+    // batch is 100% watermark-late (measured: ¾ of input dropped)
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(inPath).filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, i) =>
+        fs.setTimes(st.getPath, 1000000000000L + i * 60000L, -1)
+      }
+    val schema = spark.read.parquet(inDir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(inDir)
+    val sessions = new java.util.concurrent.atomic.LongAdder
+    def runQuery(df: org.apache.spark.sql.DataFrame,
+        count: Boolean): (Double, Long, Long) = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = df.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count(); if (count) sessions.add(n); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = q.recentProgress.flatMap(_.stateOperators)
+      val rows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
+      val bytes = if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max
+      (sec, rows, bytes)
+    }
+    import spark.implicits._
+    val sess = graft.streaming.StreamingSessionize.sessions(
+      stream.withWatermark("ts", "2 hours")
+        .as[graft.streaming.StreamingSessionize.Event],
+      gapMs = 30L * 60 * 1000).toDF()
+    val (sSec, stRows, stBytes) = runQuery(sess, count = true)
+    val win = graft.streaming.StreamingIngest.windowedCounts(
+      stream, "ts", "5 minutes", "2 hours")
+    val (wSec, _, _) = runQuery(win, count = false)
+    (nRows, sSec, sessions.sum(), stRows, stBytes, wSec)
+  }
+
   /** read → validate → normalize → partitioned-write over a synthetic
     * JSONL corpus; returns (rows, seconds). */
   def ingestThroughput(spark: SparkSession, nRows: Long, nEpisodes: Int): (Long, Double) = {
@@ -231,6 +308,10 @@ object Bench {
       case "ann_pruned" =>
         val (qps, recall, exhaustiveQps) = annPrunedThroughput(spark)
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
+      case "streaming" =>
+        val (rows, sSec, nSess, stRows, stBytes, wSec) =
+          streamingThroughput(spark, 2000000L, 5000)
+        f"""{"rows":$rows,"sessionize_sec":$sSec%.3f,"sessionize_rows_per_sec":${(rows / sSec).toLong},"sessions":$nSess,"state_rows":$stRows,"state_bytes":$stBytes,"window_sec":$wSec%.3f,"window_rows_per_sec":${(rows / wSec).toLong}}"""
       case "quality" =>
         val (nS, nB, sec, timings) = qualityAssessThroughput(spark)
         // per-category wall seconds so a composite-number regression is
@@ -361,9 +442,11 @@ object Bench {
       .map(j => s""","ann_pruned":$j""").getOrElse("")
     val qaJson = withSteal("quality") { forkPhase("quality") }
       .map(j => s""","quality_assess":$j""").getOrElse("")
+    val streamingJson = withSteal("streaming") { forkPhase("streaming") }
+      .map(j => s""","streaming":$j""").getOrElse("")
     val stealJson = steals
       .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(""","steal_cpu_s":{""", ",", "}")
-    val phases = ingestJson + annJson + annPrunedJson + qaJson + stealJson
+    val phases = ingestJson + annJson + annPrunedJson + qaJson + streamingJson + stealJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
     // record lost q01-q15 because the driver captures only the stdout

@@ -60,4 +60,17 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       assert(out.head.n_events == 2 && out.head.session_end.getTime == 21000L)
     } finally q.stop()
   }
+
+  test("bench streaming phase: deterministic session count, O(users) state, zero drops") {
+    // the bench's file-replay harness at 1/100 scale: users x (sessions-1)
+    // closed sessions is only reachable if NO batch is watermark-dropped
+    // (the mtime-ordering fix) and gaps actually break (the floor fix)
+    val (rows, sSec, nSess, stRows, _, wSec) =
+      graft.Bench.streamingThroughput(spark, nRows = 20000L, nUsers = 100)
+    assert(rows == 20000L)
+    // 200 events/user, a >gap jump every 20 => 10 sessions; last stays open
+    assert(nSess == 100L * 9, s"expected 900 closed sessions, got $nSess")
+    assert(stRows == 100L, s"state must be one open session per user, got $stRows")
+    assert(sSec > 0 && wSec > 0)
+  }
 }
