@@ -400,15 +400,30 @@ object Similarity {
     * within-cell exact-cosine + component semantics as [[semanticDedup]]. */
   def semanticDedupHyperplane(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 4): DataFrame = {
+    val pairs = cosinePairsAboveHyperplane(df, idCol, vecCol, threshold, nPlanes)
+    semanticDedupFromPairs(df, idCol, pairs)
+  }
+
+  /** Sign-bit cell id for [[semanticDedupHyperplane]]: bit i = `v[i] > 0`
+    * (axis-aligned hyperplanes — deterministic, model-free, map-only). */
+  def hyperplaneCellId(vecCol: Column, nPlanes: Int): Column = {
     require(nPlanes > 0 && nPlanes < 63, s"need 0 < nPlanes < 63, got $nPlanes")
-    val v = VF.vecAsDouble(col(vecCol))
-    val cell = (0 until nPlanes).map(i =>
+    val v = VF.vecAsDouble(vecCol)
+    (0 until nPlanes).map(i =>
       when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val assigned = df.select(col(idCol), col(vecCol)).withColumn("cell_id", cell)
-    val pairs = cosinePairsAbove(assigned, idCol, vecCol, threshold,
+  }
+
+  /** The hyperplane-cell regime of [[cosinePairsAbove]] — the sibling of
+    * [[cosinePairsAboveIvf]] with data-independent sign-bit cells
+    * (2^nPlanes of them) instead of trained centroids. Recall trade
+    * measured head-to-head by `tools/SemDedupRecallProbe`. */
+  def cosinePairsAboveHyperplane(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol))
+      .withColumn("cell_id", hyperplaneCellId(col(vecCol), nPlanes))
+    cosinePairsAbove(assigned, idCol, vecCol, threshold,
       blockCols = Seq("cell_id")).select("id_a", "id_b", "sim")
-    semanticDedupFromPairs(df, idCol, pairs)
   }
 
   /** Shared tail of the SemDeDup variants: close the near-dup pairs into
