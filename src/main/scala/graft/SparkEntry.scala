@@ -1289,6 +1289,26 @@ object SparkEntry {
     graft.operators.Dedup.normalizedDupAudit(
       Tables.documentsSpread(spark, dir), col("text"), col("source"))
 
+  /** X100 dedup threshold-sweep audit over the q19 minhash pipeline
+    * ([[graft.operators.Dedup.thresholdSweep]]): pairs generated once at
+    * the banding threshold (0.5 — the sweep's floor, below which a
+    * banded pipeline is incomplete), then the per-threshold tuning curve
+    * from one pass over the verified pairs. */
+  def thresholdSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(
+      Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
+    Dedup.thresholdSweep(pairs, col("jac"), Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+  }
+
+  /** X101 class-balanced downsample audit
+    * ([[graft.operators.Corpus.balancedSample]]): at most 15 docs per
+    * source, selected by the engine-portable Knuth multiplicative key, so
+    * the oracle re-derives the EXACT kept set (kept_id_sum pins it). */
+  def balancedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    Corpus.balancedSample(Tables.documents(spark, dir), "doc_id",
+      col("source"), cap = 15)
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1594,6 +1614,8 @@ object SparkEntry {
     "q96_nb_quality" -> nbQuality _,
     "q97_hard_negatives" -> hardNegativesQuery _,
     "q98_norm_dedup" -> normDedupAudit _,
+    "q99_threshold_sweep" -> thresholdSweepQuery _,
+    "q100_balanced_sample" -> balancedSampleQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3348,6 +3370,54 @@ object SparkEntry {
         |  CAST(sum(n) - count(*) AS BIGINT) AS dup_docs,
         |  round(100.0 * (sum(n) - count(*)) / sum(n), 4) AS dup_pct
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // q99: full minhash pipeline replay (the q19 CTE chain), then the
+    // threshold tuning curve — per-doc MAX pair similarity folds
+    // docs-touched-at-t, DECIMAL sums keep the mean order-free. The
+    // cross-join-with-thresholds formulation assumes the verified pair
+    // set is non-empty (true wherever q19 itself returns rows).
+    "q99_threshold_sweep" ->
+      s"""WITH $minhashCtesSql,
+        |pm AS (
+        |  SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.5
+        |), dm AS (
+        |  SELECT did, max(jac) AS m FROM (
+        |    SELECT id_a AS did, jac FROM pm
+        |    UNION ALL
+        |    SELECT id_b AS did, jac FROM pm
+        |  ) GROUP BY did
+        |), ts AS (
+        |  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS t
+        |), p AS (
+        |  SELECT ts.t,
+        |    CAST(count(CASE WHEN pm.jac >= ts.t THEN 1 END) AS BIGINT) AS n_pairs,
+        |    round(CAST(sum(CASE WHEN pm.jac >= ts.t
+        |        THEN CAST(pm.jac AS DECIMAL(20,12)) END) AS DOUBLE)
+        |      / count(CASE WHEN pm.jac >= ts.t THEN 1 END), 6) AS avg_sim
+        |  FROM ts CROSS JOIN pm GROUP BY ts.t
+        |), d AS (
+        |  SELECT ts.t,
+        |    CAST(count(CASE WHEN dm.m >= ts.t THEN 1 END) AS BIGINT) AS n_docs
+        |  FROM ts CROSS JOIN dm GROUP BY ts.t
+        |)
+        |SELECT p.t AS threshold, p.n_pairs, d.n_docs, p.avg_sim
+        |FROM p JOIN d ON p.t = d.t ORDER BY threshold""".stripMargin,
+
+    // q100: the kept set re-derived exactly — Knuth multiplicative key
+    // is pure 64-bit integer arithmetic, identical in both engines, so
+    // kept_id_sum pins WHICH rows were selected, not just how many.
+    "q100_balanced_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT source AS class,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(count(CASE WHEN rn <= 15 THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_id_sum
+        |FROM k GROUP BY source ORDER BY class""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

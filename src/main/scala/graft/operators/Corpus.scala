@@ -139,6 +139,48 @@ object Corpus {
     * production path generalizes α with `pow` and unit-gates instead.
     * Same scale shape as mixtureWeights: per-source agg, one broadcast
     * totals row, no global window. */
+  /** X101 class-balanced downsample: keep at most `cap` rows per class,
+    * selected by a DETERMINISTIC arithmetic shuffle key — Knuth's
+    * multiplicative hash `(id * 2654435761) mod 2^32`, tie-broken by id.
+    * Pure 64-bit integer arithmetic means any SQL engine reproduces the
+    * exact selection (the audit is hash-oracled down to WHICH rows were
+    * kept, via the kept-id checksum), unlike engine-specific hash
+    * functions. For ids that could overflow the multiply (|id| > ~4×10⁹),
+    * swap the key for `xxhash64` and accept a rows-only audit.
+    *
+    * Scale shape: per-class selection runs through the bounded-heap
+    * `topk_min` aggregate — map-side partials keep ≤ cap rows per class
+    * per partition, so the class-keyed shuffle carries ≤ cap·partitions
+    * rows and a giant class never window-sorts. Returns one audit row
+    * per class: (class, n_before, n_kept, kept_id_sum). The kept ids
+    * themselves come from [[balancedSampleRows]]. */
+  def balancedSample(df: DataFrame, idCol: String, classCol: Column,
+      cap: Int): DataFrame = {
+    val kept = balancedSampleRows(df, idCol, classCol, cap)
+      .groupBy(col("_cls"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col(idCol)).cast("long").as("kept_id_sum"))
+    df.groupBy(classCol.as("_cls"))
+      .agg(count(lit(1)).cast("long").as("n_before"))
+      .join(kept, Seq("_cls"))
+      .select(col("_cls").as("class"), col("n_before"), col("n_kept"),
+        col("kept_id_sum"))
+      .orderBy("class")
+  }
+
+  /** The selected (class, id) rows behind [[balancedSample]]. */
+  def balancedSampleRows(df: DataFrame, idCol: String, classCol: Column,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"balancedSample: cap must be positive, got $cap")
+    val key = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    df.select(classCol.as("_cls"), col(idCol))
+      .groupBy("_cls")
+      .agg(graft.expressions.TopKMin.topkMin(
+        struct(key.as("k"), col(idCol).as("id")), cap).as("_tk"))
+      .select(col("_cls"), explode(col("_tk")).as("_e"))
+      .select(col("_cls"), col("_e.id").as(idCol))
+  }
+
   def temperatureMixture(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("scaled", sqrt(col("n_docs").cast("double")))

@@ -486,6 +486,52 @@ object Dedup {
     mergeIslands(flagged, k)
   }
 
+  /** X100 dedup threshold-sweep audit: the tuning curve a pipeline owner
+    * reads BEFORE committing to a near-dup threshold — for each candidate
+    * threshold, how many verified pairs survive, how many documents are
+    * touched, and the mean retained similarity. Input is any verified
+    * scored pair frame (id_a, id_b, sim-col); thresholds must all be ≥
+    * the threshold that GENERATED the pairs (a banded pipeline is only
+    * complete above its own banding threshold — sweeping below it would
+    * silently under-count).
+    *
+    * Scale shape: the pair stream is the big input and it is read ONCE
+    * with conditional sums (no |T|-way explode multiplying the shuffle,
+    * no per-threshold distinct). Docs-touched-at-t folds through each
+    * doc's MAX pair similarity — one doc-keyed groupBy over 2|P| rows —
+    * because doc d is involved at t iff max(sim over d's pairs) ≥ t.
+    * Everything after the two aggregations is a 1-row broadcast-sized
+    * frame. Mean similarity sums as DECIMAL(20,12) so partial-sum order
+    * can never skew the oracle comparison. */
+  def thresholdSweep(pairs: DataFrame, simCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: need at least one threshold")
+    // the pair pipeline behind `pairs` is usually the expensive part
+    // (banded candidates + exact verify); the sweep reads it twice (pair
+    // sums + doc-max), so share ONE materialization — lazy localCheckpoint
+    // like nearDupClusters, freed by the ContextCleaner with the plan
+    val p = pairs.select(col("id_a"), col("id_b"), simCol.as("_s"))
+      .localCheckpoint(false)
+    val docMax = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("_id"), col("_s"))
+      .groupBy("_id").agg(max(col("_s")).as("_m"))
+    val idx = thresholds.zipWithIndex
+    val pairAggs = idx.flatMap { case (t, i) => Seq(
+      sum(when(col("_s") >= t, 1L).otherwise(0L)).as(s"_np$i"),
+      sum(when(col("_s") >= t, col("_s").cast("decimal(20,12)"))).as(s"_ss$i")) }
+    val docAggs = idx.map { case (t, i) =>
+      sum(when(col("_m") >= t, 1L).otherwise(0L)).as(s"_nd$i") }
+    val joined = p.agg(pairAggs.head, pairAggs.tail: _*)
+      .crossJoin(broadcast(docMax.agg(docAggs.head, docAggs.tail: _*)))
+    val rows = idx.map { case (t, i) => struct(
+      lit(t).as("threshold"),
+      coalesce(col(s"_np$i"), lit(0L)).cast("long").as("n_pairs"),
+      coalesce(col(s"_nd$i"), lit(0L)).cast("long").as("n_docs"),
+      round(col(s"_ss$i").cast("double") / col(s"_np$i"), 6).as("avg_sim")) }
+    joined.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+      .orderBy("threshold")
+  }
+
   /** The retired window-count formulation of [[duplicatedSpans]] — ONE
     * gram-keyed shuffle (beats two-phase when no gram is hot and the
     * corpus fits few partitions), kept for the straggler probe

@@ -333,4 +333,30 @@ class PlanAssertSpec extends AnyFunSuite {
       s"both aggregation shuffles are source-keyed (the wide text never " +
         s"shuffles — only its 64-bit hash):\n${plan.take(3000)}")
   }
+
+  test("q99 threshold sweep: pair pipeline materializes ONCE; sweep is conditional sums, no window") {
+    val plan = planOf("q99_threshold_sweep")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      s"the checkpointed pair set must feed both the pair sums and the " +
+        s"doc-max branch — without it the whole minhash candidate+verify " +
+        s"pipeline executes twice:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"the curve is conditional aggregation, never a per-threshold " +
+        s"window or explode of the pair stream:\n${plan.take(3000)}")
+    assert(plan.contains("IdentityBroadcastMode"),
+      s"the 1-row doc-max counts ride along as a broadcast:\n${plan.take(3000)}")
+  }
+
+  test("q100 balanced sample: per-class selection is the bounded heap, not a window sort") {
+    val plan = planOf("q100_balanced_sample")
+    assert(plan.contains("topk_min") && plan.contains("partial_topk_min"),
+      s"per-class selection must partial-fold map-side through the " +
+        s"bounded-heap aggregate (<= cap rows per class per partition on " +
+        s"the shuffle):\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"a row_number window would sort every giant class in one " +
+        s"task:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"the selection scan must prune to (doc_id, source):\n${plan.take(3000)}")
+  }
 }

@@ -449,4 +449,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_pack_tokens") == 600)
     assert(r.getAs[Double]("avg_docs_per_pack") == 5.0)
   }
+
+  test("balanced sample: caps big classes, keeps small ones whole, kept set is the Knuth-key minimum") {
+    // class a: ids 1..10 (cap 3 bites); class b: ids 100,101 (under cap)
+    val d = docs(((1L to 10L).map(i => (i, "t", "en", "a")) ++
+      Seq((100L, "t", "en", "b"), (101L, "t", "en", "b"))): _*)
+    val audit = Corpus.balancedSample(d, "doc_id", $"source", cap = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // expected kept ids for a: the 3 smallest (id*2654435761) % 2^32
+    val expectA = (1L to 10L)
+      .sortBy(i => ((i * 2654435761L) % 4294967296L, i)).take(3)
+    assert(audit("a") == ((10L, 3L, expectA.sum)))
+    assert(audit("b") == ((2L, 2L, 201L)))
+    // the row-level view agrees with the checksum
+    val keptA = Corpus.balancedSampleRows(d, "doc_id", $"source", cap = 3)
+      .filter($"_cls" === "a").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptA == expectA.toSet)
+  }
+
+  test("balanced sample is deterministic across runs and repartitioning") {
+    val d = docs((1L to 50L).map(i => (i, "t", "en", s"s${i % 3}")): _*)
+    val a = Corpus.balancedSample(d, "doc_id", $"source", 5).collect().toSeq
+    val b = Corpus.balancedSample(d.repartition(7), "doc_id", $"source", 5)
+      .collect().toSeq
+    assert(a == b)
+  }
 }

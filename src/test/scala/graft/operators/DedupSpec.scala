@@ -230,4 +230,16 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L)) // 1/2/3 are one near-dup cluster
   }
+
+  test("threshold sweep: hand-computed curve over a fixed pair set") {
+    // pairs: (1,2,.95) (1,3,.7) (4,5,.55) — doc-max: 1→.95 2→.95 3→.7 4→.55 5→.55
+    val pairs = Seq((1L, 2L, 0.95), (1L, 3L, 0.7), (4L, 5L, 0.55))
+      .toDF("id_a", "id_b", "jac")
+    val out = Dedup.thresholdSweep(pairs, col("jac"), Seq(0.5, 0.8, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out(0) == ((0.5, 3L, 5L, Some(0.733333))))  // (0.95+0.7+0.55)/3
+    assert(out(1) == ((0.8, 1L, 2L, Some(0.95))))      // only (1,2); docs {1,2}
+    assert(out(2) == ((0.99, 0L, 0L, None)))           // empty bucket -> null mean
+  }
 }
