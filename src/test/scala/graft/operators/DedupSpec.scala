@@ -242,4 +242,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1) == ((0.8, 1L, 2L, Some(0.95))))      // only (1,2); docs {1,2}
     assert(out(2) == ((0.99, 0L, 0L, None)))           // empty bucket -> null mean
   }
+
+  test("threshold sweep matches a reference model on random pair sets") {
+    // deterministic pseudo-random pair sets; the conditional-sum plan must
+    // agree with the obvious per-threshold filter on counts AND doc sets
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val raw = (1 to n).map { _ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+          math.rint(rnd.nextDouble() * 1e6) / 1e6)
+      }.collect { case (a, b, s) if a != b => (math.min(a, b), math.max(a, b), s) }
+        .distinct
+      val ts = Seq(0.2, 0.5, 0.8)
+      val got = Dedup.thresholdSweep(raw.toDF("id_a", "id_b", "jac"), col("jac"), ts)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = ts.map { t =>
+        val keep = raw.filter(_._3 >= t)
+        (t, keep.size.toLong, keep.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+      }
+      assert(got == want, s"n=$n")
+    }
+  }
 }
