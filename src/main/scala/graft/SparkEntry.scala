@@ -1309,6 +1309,12 @@ object SparkEntry {
     Corpus.balancedSample(Tables.documents(spark, dir), "doc_id",
       col("source"), cap = 15)
 
+  /** X103 Zipf rank–frequency slope per source
+    * ([[graft.operators.TextAnalysis.zipfAudit]]). */
+  def zipfAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.zipfAudit(
+      Tables.documentsSpread(spark, dir), col("text"), col("source"), topK = 100)
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1616,6 +1622,7 @@ object SparkEntry {
     "q98_norm_dedup" -> normDedupAudit _,
     "q99_threshold_sweep" -> thresholdSweepQuery _,
     "q100_balanced_sample" -> balancedSampleQuery _,
+    "q101_zipf_audit" -> zipfAuditQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3418,6 +3425,30 @@ object SparkEntry {
         |  CAST(count(CASE WHEN rn <= 15 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_id_sum
         |FROM k GROUP BY source ORDER BY class""".stripMargin,
+
+    // q101: Zipf rank-frequency slope — each ln() rounds into
+    // DECIMAL(12,6) BEFORE the products so all sums are exact and
+    // order-free; ln agrees to >=6dp across engines on integer inputs
+    // (the q96 precedent); ties rank by token.
+    "q101_zipf_audit" ->
+      s"""WITH tk AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents
+        |), c AS (
+        |  SELECT source, tok, count(*) AS n FROM tk GROUP BY source, tok
+        |), r AS (
+        |  SELECT source, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
+        |  FROM c
+        |), t AS (
+        |  SELECT source,
+        |    CAST(ln(rk) AS DECIMAL(12,6)) AS x,
+        |    CAST(ln(n) AS DECIMAL(12,6)) AS y
+        |  FROM r WHERE rk <= 100
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS top_k,
+        |  round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+        |    / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6) AS zipf_slope
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

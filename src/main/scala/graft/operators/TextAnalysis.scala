@@ -303,6 +303,48 @@ object TextAnalysis {
     * frequency like [[graft.operators.Bpe]] caps its word table); the
     * prior is a broadcast 1-row frame; scoring is a token-keyed join
     * reduced straight onto the doc key — no window, no driver loop. */
+  /** X103 Zipf rank–frequency fit per source: the least-squares slope of
+    * ln(freq) on ln(rank) over the top-`topK` tokens — natural text sits
+    * near −1 (Zipf's law); template/spam/synthetic corpora drift toward
+    * flat (head-heavy boilerplate) or steep (tiny effective vocabulary)
+    * slopes, which makes the slope a one-number corpus-QA signal the
+    * quality battery can threshold.
+    *
+    * Scale shape: one token-keyed count per source (the only
+    * corpus-sized shuffle, map-side combined), then ranking runs on the
+    * AGGREGATED vocab table (per-source window over vocab-sized rows,
+    * never the token stream) and the regression reduces the ≤ topK
+    * ranked rows in closed form (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²). Oracle
+    * parity: each ln() value is rounded into DECIMAL(12,6) BEFORE the
+    * products, so every downstream sum is exact and partial-sum order
+    * can never skew the comparison (ln itself agrees to ≥6dp across
+    * engines on the integer-valued counts/ranks involved — the q96
+    * precedent). Ties rank deterministically by token. */
+  def zipfAudit(docs: DataFrame, textCol: Column, sourceCol: Column,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"zipfAudit: need topK >= 2 points, got $topK")
+    val counts = docs
+      .select(sourceCol.as("source"), explode(TF.tokens(textCol)).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("tok"))))
+      .filter(col("rk") <= topK)
+      .select(col("source"),
+        log(col("rk").cast("double")).cast("decimal(12,6)").as("x"),
+        log(col("n").cast("double")).cast("decimal(12,6)").as("y"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("k").cast("long").as("top_k"),
+        round(
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("zipf_slope"))
+      .orderBy("source")
+  }
+
   def nbQualityScores(docs: DataFrame, idCol: String, textCol: Column,
       weakLabel: Column): DataFrame = {
     val labeled = docs.select(col(idCol), weakLabel.cast("boolean").as("_y"), textCol.as("_t"))

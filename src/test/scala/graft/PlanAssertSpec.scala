@@ -359,4 +359,17 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       s"the selection scan must prune to (doc_id, source):\n${plan.take(3000)}")
   }
+
+  test("q101 zipf audit: ranking runs on the vocab table with a PARTIAL group limit") {
+    val plan = planOf("q101_zipf_audit")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"the rank<=topK filter must push a map-side per-source group limit " +
+        s"below the exchange, so the vocab shuffle carries <= topK rows per " +
+        s"source per partition:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(source#\\d+, tok#\\d+".r.findFirstIn(plan).isDefined,
+      s"the only corpus-sized shuffle is the (source, token) count:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"the regression reduces in closed form — no join belongs " +
+        s"here:\n${plan.take(3000)}")
+  }
 }

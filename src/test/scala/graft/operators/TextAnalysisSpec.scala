@@ -146,4 +146,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(col("lang"), col("predicted")).collect()
     assert(joined.forall(r => r.getString(0) == r.getString(1)))
   }
+
+  test("zipf audit: hand-computed slope; flat corpus -> slope 0; repartition-invariant") {
+    // source a: counts 4/2/1 for tokens x/y/z -> three ranked points
+    val aText = (Seq.fill(4)("xx") ++ Seq.fill(2)("yy") ++ Seq("zz")).mkString(" ")
+    // source b: all counts equal (2,2,2) -> ln(freq) constant -> slope 0
+    val bText = "pp pp qq qq rr rr"
+    val df = Seq((1L, aText, "a"), (2L, bText, "b")).toDF("doc_id", "text", "source")
+    def expected(points: Seq[(Double, Double)]): Double = {
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 // the DECIMAL(12,6) rounding
+      val p = points.map { case (x, y) => (r6(math.log(x)), r6(math.log(y))) }
+      val (k, sx, sy) = (p.size.toDouble, p.map(_._1).sum, p.map(_._2).sum)
+      val (sxy, sxx) = (p.map(q => q._1 * q._2).sum, p.map(q => q._1 * q._1).sum)
+      (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    }
+    val out = TextAnalysis.zipfAudit(df, col("text"), col("source"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a")._1 == 3L)
+    assert(math.abs(out("a")._2 - expected(Seq((1.0, 4.0), (2.0, 2.0), (3.0, 1.0)))) < 1e-5)
+    assert(out("b") == ((3L, 0.0)))
+    val re = TextAnalysis.zipfAudit(df.repartition(5), col("text"), col("source"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(re("a") == out("a")._2 && re("b") == 0.0)
+  }
 }
