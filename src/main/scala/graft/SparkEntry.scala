@@ -3380,9 +3380,11 @@ object SparkEntry {
 
     // q99: full minhash pipeline replay (the q19 CTE chain), then the
     // threshold tuning curve — per-doc MAX pair similarity folds
-    // docs-touched-at-t, DECIMAL sums keep the mean order-free. The
-    // cross-join-with-thresholds formulation assumes the verified pair
-    // set is non-empty (true wherever q19 itself returns rows).
+    // docs-touched-at-t, DECIMAL sums keep the mean order-free. LEFT
+    // JOIN from the threshold list (not CROSS JOIN against the pairs):
+    // an EMPTY verified-pair set still emits one zero-count row per
+    // threshold, exactly like the Spark side's coalesced conditional
+    // sums — a corpus where q19 finds no pairs stays hash-green.
     "q99_threshold_sweep" ->
       s"""WITH $minhashCtesSql,
         |pm AS (
@@ -3397,15 +3399,14 @@ object SparkEntry {
         |  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS t
         |), p AS (
         |  SELECT ts.t,
-        |    CAST(count(CASE WHEN pm.jac >= ts.t THEN 1 END) AS BIGINT) AS n_pairs,
-        |    round(CAST(sum(CASE WHEN pm.jac >= ts.t
-        |        THEN CAST(pm.jac AS DECIMAL(20,12)) END) AS DOUBLE)
-        |      / count(CASE WHEN pm.jac >= ts.t THEN 1 END), 6) AS avg_sim
-        |  FROM ts CROSS JOIN pm GROUP BY ts.t
+        |    CAST(count(pm.jac) AS BIGINT) AS n_pairs,
+        |    round(CAST(sum(CAST(pm.jac AS DECIMAL(20,12))) AS DOUBLE)
+        |      / count(pm.jac), 6) AS avg_sim
+        |  FROM ts LEFT JOIN pm ON pm.jac >= ts.t GROUP BY ts.t
         |), d AS (
         |  SELECT ts.t,
-        |    CAST(count(CASE WHEN dm.m >= ts.t THEN 1 END) AS BIGINT) AS n_docs
-        |  FROM ts CROSS JOIN dm GROUP BY ts.t
+        |    CAST(count(dm.m) AS BIGINT) AS n_docs
+        |  FROM ts LEFT JOIN dm ON dm.m >= ts.t GROUP BY ts.t
         |)
         |SELECT p.t AS threshold, p.n_pairs, d.n_docs, p.avg_sim
         |FROM p JOIN d ON p.t = d.t ORDER BY threshold""".stripMargin,
@@ -3413,11 +3414,16 @@ object SparkEntry {
     // q100: the kept set re-derived exactly — Knuth multiplicative key
     // is pure 64-bit integer arithmetic, identical in both engines, so
     // kept_id_sum pins WHICH rows were selected, not just how many.
+    // The id folds through pmod(., 2^31) BEFORE the multiply (identity
+    // for ids < 2^31, i.e. every id here) so the product can never
+    // exceed 2^63-1: without the fold, ids past ~3.47e9 would silently
+    // wrap in Spark but raise on BIGINT overflow in DuckDB.
     "q100_balanced_sample" ->
       """WITH k AS (
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |      ORDER BY (((doc_id % 2147483648) + 2147483648) % 2147483648
+        |                * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents
         |)
         |SELECT source AS class,
@@ -3448,7 +3454,9 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS top_k,
         |  round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
         |    / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6) AS zipf_slope
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+        |FROM t GROUP BY source
+        |HAVING count(*) >= 2
+        |ORDER BY source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

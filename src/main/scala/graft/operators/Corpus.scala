@@ -141,18 +141,25 @@ object Corpus {
     * totals row, no global window. */
   /** X101 class-balanced downsample: keep at most `cap` rows per class,
     * selected by a DETERMINISTIC arithmetic shuffle key — Knuth's
-    * multiplicative hash `(id * 2654435761) mod 2^32`, tie-broken by id.
-    * Pure 64-bit integer arithmetic means any SQL engine reproduces the
-    * exact selection (the audit is hash-oracled down to WHICH rows were
-    * kept, via the kept-id checksum), unlike engine-specific hash
-    * functions. For ids that could overflow the multiply (|id| > ~4×10⁹),
-    * swap the key for `xxhash64` and accept a rows-only audit.
+    * multiplicative hash `(pmod(id, 2³¹) · 2654435761) mod 2^32`,
+    * tie-broken by id. Pure 64-bit integer arithmetic means any SQL
+    * engine reproduces the exact selection (the audit is hash-oracled
+    * down to WHICH rows were kept, via the kept-id checksum), unlike
+    * engine-specific hash functions. The id folds through `pmod(·, 2³¹)`
+    * BEFORE the multiply so the product is bounded by
+    * (2³¹−1)·2654435761 ≈ 5.7×10¹⁸ < 2⁶³−1 for EVERY long id — without
+    * the fold, ids past 2⁶³/2654435761 ≈ 3.47×10⁹ silently wrap in
+    * Spark but raise on BIGINT overflow in DuckDB, an engine-dependent
+    * selection. For ids under 2³¹ the fold is the identity, so the key
+    * (and the kept set) is unchanged from the unfolded formulation.
     *
     * Scale shape: per-class selection runs through the bounded-heap
     * `topk_min` aggregate — map-side partials keep ≤ cap rows per class
     * per partition, so the class-keyed shuffle carries ≤ cap·partitions
     * rows and a giant class never window-sorts. Returns one audit row
-    * per class: (class, n_before, n_kept, kept_id_sum). The kept ids
+    * per class: (class, n_before, n_kept, kept_id_sum). A NULL class is
+    * one group, like SQL GROUP BY — the audit join is null-safe (`<=>`)
+    * so those rows are counted, not silently dropped. The kept ids
     * themselves come from [[balancedSampleRows]]. */
   def balancedSample(df: DataFrame, idCol: String, classCol: Column,
       cap: Int): DataFrame = {
@@ -160,10 +167,10 @@ object Corpus {
       .groupBy(col("_cls"))
       .agg(count(lit(1)).cast("long").as("n_kept"),
         sum(col(idCol)).cast("long").as("kept_id_sum"))
-    df.groupBy(classCol.as("_cls"))
+    val before = df.groupBy(classCol.as("_cls"))
       .agg(count(lit(1)).cast("long").as("n_before"))
-      .join(kept, Seq("_cls"))
-      .select(col("_cls").as("class"), col("n_before"), col("n_kept"),
+    before.join(kept, before("_cls") <=> kept("_cls"))
+      .select(before("_cls").as("class"), col("n_before"), col("n_kept"),
         col("kept_id_sum"))
       .orderBy("class")
   }
@@ -172,7 +179,9 @@ object Corpus {
   def balancedSampleRows(df: DataFrame, idCol: String, classCol: Column,
       cap: Int): DataFrame = {
     require(cap > 0, s"balancedSample: cap must be positive, got $cap")
-    val key = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    // widening-safe Knuth key: fold into [0, 2^31) first (see Scaladoc)
+    val key = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
     df.select(classCol.as("_cls"), col(idCol))
       .groupBy("_cls")
       .agg(graft.expressions.TopKMin.topkMin(

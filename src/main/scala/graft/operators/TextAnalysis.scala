@@ -337,6 +337,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("k"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      // a source with ONE distinct token has one ranked point — the slope
+      // denominator k·Σx² − (Σx)² is exactly zero there (x = ln 1 = 0),
+      // and double 0/0 semantics differ across engines (Spark non-ANSI
+      // NULL vs version-dependent IEEE NaN elsewhere). A regression
+      // needs ≥ 2 points anyway, so drop the degenerate source on BOTH
+      // sides (the oracle's HAVING count(*) >= 2) instead of emitting an
+      // engine-dependent value.
+      .filter(col("k") >= 2)
       .select(col("source"), col("k").cast("long").as("top_k"),
         round(
           (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /

@@ -475,4 +475,30 @@ class CorpusSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("balanced sample: a NULL class is one audited group, not silently dropped") {
+    // SQL GROUP BY keeps a NULL group; an inner equi-join on the class
+    // would lose it (NULL never equals itself) — the audit join is
+    // null-safe, so the null class must appear with correct counts
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, null), (4L, null), (5L, null))
+    val d = rows.toDF("doc_id", "source")
+    val audit = Corpus.balancedSample(d, "doc_id", $"source", cap = 2)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit(Some("a")) == ((2L, 2L)))
+    assert(audit(None)._1 == 3L && audit(None)._2 == 2L)
+  }
+
+  test("balanced sample: the widened Knuth key is the identity for ids under 2^31 and never overflows above it") {
+    // ids straddling 2^31: the pre-fold pmod keeps the multiply inside
+    // int64 (no silent wrap / engine-dependent selection) while small
+    // ids keep the exact historical key
+    val big = Seq(4000000000L, 4000000001L, 8000000000L)
+    val d = ((1L to 5L) ++ big).map(i => (i, "c")).toDF("doc_id", "source")
+    val kept = Corpus.balancedSampleRows(d, "doc_id", $"source", cap = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def key(i: Long) = ((i % 2147483648L) * 2654435761L) % 4294967296L
+    val expect = ((1L to 5L) ++ big).sortBy(i => (key(i), i)).take(4).toSet
+    assert(kept == expect)
+  }
 }

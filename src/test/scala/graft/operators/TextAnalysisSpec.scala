@@ -169,4 +169,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(re("a") == out("a")._2 && re("b") == 0.0)
   }
+
+  test("zipf audit: a single-distinct-token source is dropped, not an engine-dependent 0/0") {
+    // source 'deg' has one ranked point (x = ln 1 = 0) -> the slope
+    // denominator is exactly zero; both engines drop the source (the
+    // oracle's HAVING count(*) >= 2) instead of dividing by zero
+    val df = Seq(
+      (1L, "solo solo solo", "deg"),
+      (2L, "aa aa bb", "ok")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfAudit(df, col("text"), col("source"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("ok"))
+  }
 }
