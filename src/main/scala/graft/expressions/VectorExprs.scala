@@ -111,6 +111,56 @@ object CellKernels {
   }
 }
 
+/** Kernel for [[WhitenExpr]]: out = W(x − μ) with W PACKED
+  * lower-triangular row-major (row i occupies w[i(i+1)/2 … i(i+1)/2+i]).
+  * The j-ascending accumulation matches
+  * [[graft.operators.Whitening.Model.transform]] exactly, so the
+  * expression is bit-identical to the driver-side reference kernel. */
+object WhitenKernels {
+  def whiten(v: ArrayData, mean: Array[Double], w: Array[Double]): ArrayData = {
+    val d = mean.length
+    if (v.numElements() != d)
+      throw new IllegalArgumentException(
+        s"whiten_vec: expected dim $d, got ${v.numElements()}")
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = v.getDouble(i) - mean(i); i += 1 }
+    val out = new Array[Double](d)
+    i = 0
+    var base = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      while (j <= i) { s += w(base + j) * c(j); j += 1 }
+      out(i) = s
+      base += i + 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Map-only whitening transform W(x − μ): the model (μ + packed
+  * lower-triangular W, ~d²/2 doubles — KB-scale) rides as a codegen
+  * reference object, replacing the boxed per-row Seq[Double] UDF this
+  * repo's kernel convention exists to avoid. One O(d²) primitive loop
+  * per row inside whole-stage codegen. */
+case class WhitenExpr(child: Expression, mean: Array[Double],
+    wPacked: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    WhitenKernels.whiten(v.asInstanceOf[ArrayData], mean, wPacked)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("mean", mean, "double[]")
+    val wRef = ctx.addReferenceObj("wPacked", wPacked, "double[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.WhitenKernels.whiten($v, $mRef, $wRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Map-only nearest-centroid assignment: the centroid table is a small
   * model object (nCells rows), so it rides along as a codegen reference
   * instead of a crossJoin that materializes nCells rows per vector. */
@@ -172,6 +222,14 @@ object VectorExprs {
     }
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(NearestCellExpr(ColumnShim.expression(v), cents, invNorms))
+  }
+
+  /** Whitening transform W(x − μ) of a double-array column; `wPacked` is
+    * the lower-triangular whitener packed row-major. Same eager Column
+    * wrapping rationale as [[nearest_cell]]. */
+  def whiten_vec(v: Column, mean: Array[Double], wPacked: Array[Double]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(WhitenExpr(ColumnShim.expression(v), mean, wPacked))
   }
 
   /** Top-`nProbe` cell positions of a double-array column, ordered

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** X102 embedding whitening (Cholesky / "PCA-whitening" family) — the
@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * d=64, like centroids or sketch registers; the corpus never shuffles).
   * The Cholesky factorization and triangular inverse run on the driver
   * (O(d³) on a d×d matrix — no cluster can help and none is needed).
-  * The TRANSFORM is map-only: the model rides in the task closure and
-  * each vector costs one O(d²) lower-triangular multiply.
+  * The TRANSFORM is map-only: the model rides as a whole-stage-codegen
+  * reference object ([[graft.expressions.WhitenExpr]], the VectorExprs
+  * kernel convention) and each vector costs one O(d²) primitive
+  * lower-triangular loop — no boxed UDF in the corpus-sized pass.
   *
   * Correctness is property-gated (WhiteningSpec): whitened sample
   * covariance == I within tolerance, distributed fit == single-pass
@@ -32,6 +34,19 @@ object Whitening {
     * (row-major d×d; entries above the diagonal are zero). */
   final case class Model(mean: Array[Double], w: Array[Array[Double]]) {
     def dim: Int = mean.length
+    /** W packed row-major lower-triangular (row i at offset i(i+1)/2) —
+      * the layout [[graft.expressions.WhitenKernels]] consumes. */
+    def wPacked: Array[Double] = {
+      val out = new Array[Double](dim * (dim + 1) / 2)
+      var i = 0
+      var base = 0
+      while (i < dim) {
+        System.arraycopy(w(i), 0, out, base, i + 1)
+        base += i + 1
+        i += 1
+      }
+      out
+    }
     /** W(x − μ) for one vector. */
     def transform(x: Array[Double]): Array[Double] = {
       val d = dim
@@ -133,28 +148,43 @@ object Whitening {
   }
 
   /** One distributed pass over `vecCol` (array<float> or array<double>)
-    * → whitening model. */
+    * → whitening model. The dimension is discovered INSIDE the moment
+    * pass (each partition reads it off its first vector; the reduce
+    * cross-checks), so fitting is exactly one Spark job — no separate
+    * `.first()` probe job ahead of it. */
   def fit(df: DataFrame, vecCol: Column, eps: Double = 1e-6): Model = {
     import graft.functions.{VectorFunctions => VF}
     val vecs = df.select(VF.vecAsDouble(vecCol).as("_v")).filter(col("_v").isNotNull)
-    val d = vecs.select(size(col("_v"))).first().getInt(0)
-    val acc = vecs
-      .select(col("_v"))
-      .rdd.mapPartitions { rows =>
-        Iterator.single(moments(rows.map(_.getSeq[Double](0).toArray), d))
+    val (d, acc) =
+      try vecs.rdd.mapPartitions { rows =>
+        val it = rows.map(_.getSeq[Double](0).toArray)
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val d = first.length
+          Iterator.single((d, moments(Iterator.single(first) ++ it, d)))
+        }
+      }.reduce { (a, b) =>
+        require(a._1 == b._1,
+          s"whitening: inconsistent vector dims ${a._1} vs ${b._1}")
+        (a._1, combine(a._2, b._2))
       }
-      .reduce(combine)
+      catch { case _: UnsupportedOperationException => // reduce on empty RDD
+        throw new IllegalArgumentException(
+          "whitening needs more than one vector, got 0")
+      }
     modelFromMoments(acc, d, eps)
   }
 
-  /** Map-only transform: appends `outCol` = W(x − μ) as array<double>.
-    * The model travels in the task closure (d² doubles — KB-scale). */
+  /** Map-only transform: appends `outCol` = W(x − μ) as array<double>
+    * through the codegen'd [[graft.expressions.WhitenKernels]] primitive
+    * loop (the model rides as a codegen reference object — ~d²/2 doubles,
+    * KB-scale), bit-identical to [[Model.transform]]. NULL vectors map to
+    * NULL, like every null-intolerant expression. */
   def transform(df: DataFrame, vecCol: Column, model: Model,
       outCol: String): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
-    val whiten = udf { x: Seq[Double] =>
-      if (x == null) null else model.transform(x.toArray).toSeq
-    }
-    df.withColumn(outCol, whiten(VF.vecAsDouble(vecCol)))
+    df.withColumn(outCol, graft.expressions.VectorExprs.whiten_vec(
+      VF.vecAsDouble(vecCol), model.mean, model.wPacked))
   }
 }

@@ -87,5 +87,38 @@ class WhiteningSpec extends AnyFunSuite {
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](Whitening.fit(df, col("embedding")))
     assert(e.getMessage.contains("more than one vector"))
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](Whitening.fit(empty, col("embedding")))
+    assert(e2.getMessage.contains("more than one vector"))
+  }
+
+  test("codegen kernel transform is bit-identical to Model.transform; NULL vectors stay NULL") {
+    val data = corpus(200)
+    val model = Whitening.modelFromMoments(
+      Whitening.moments(data.iterator, 4), 4, eps = 1e-6)
+    val rows = data.zipWithIndex.map { case (v, i) => (i.toLong, Option(v.toSeq)) } :+
+      (999L, Option.empty[Seq[Double]])
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Whitening.transform(df, col("embedding"), model, "w")
+      .select("vec_id", "w").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ =>
+        r.getSeq[Double](1).toArray)).toMap
+    assert(out(999L).isEmpty)
+    data.zipWithIndex.foreach { case (v, i) =>
+      val want = model.transform(v)
+      val got = out(i.toLong).get
+      // EXACT equality: the packed kernel accumulates in the same
+      // j-ascending order as the driver-side reference
+      assert(got.sameElements(want), s"row $i")
+    }
+  }
+
+  test("packed model layout matches the triangular rows") {
+    val data = corpus(100)
+    val m = Whitening.modelFromMoments(
+      Whitening.moments(data.iterator, 4), 4, eps = 1e-6)
+    val p = m.wPacked
+    for (i <- 0 until 4; j <- 0 to i)
+      assert(p(i * (i + 1) / 2 + j) == m.w(i)(j), s"($i,$j)")
   }
 }
