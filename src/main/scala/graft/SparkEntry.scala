@@ -348,7 +348,8 @@ object SparkEntry {
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
         Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
-        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
+        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5,
+        maxBucket = Dedup.DefaultMaxBucket)
       .orderBy("id_a", "id_b")
 
   /** SimHash 30-bit fingerprints per document (near-dup sketching).
@@ -1297,7 +1298,8 @@ object SparkEntry {
   def thresholdSweepQuery(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(
       Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
-      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
+      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5,
+      maxBucket = Dedup.DefaultMaxBucket)
     Dedup.thresholdSweep(pairs, col("jac"), Seq(0.5, 0.6, 0.7, 0.8, 0.9))
   }
 
@@ -1314,6 +1316,29 @@ object SparkEntry {
   def zipfAuditQuery(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.zipfAudit(
       Tables.documentsSpread(spark, dir), col("text"), col("source"), topK = 100)
+
+  /** X104 LSH bucket audit ([[graft.operators.Dedup.minhashBucketAudit]]):
+    * the flagged accounting behind q19's band-bucket cap — per band, the
+    * bucket count, how many buckets the cap skips, the rows and
+    * candidate-pair mass inside them. */
+  def lshBucketAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBucketAudit(
+      Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3,
+      maxBucket = Dedup.DefaultMaxBucket)
+
+  /** X105 exact-dup pre-collapsed near-dup pairs
+    * ([[graft.operators.Dedup.minhashNearDups]] with `preCollapse`): the
+    * identical-shingle-set families collapse to one representative each
+    * before banding and re-expand after verification. The oracle replays
+    * the collapse + capped chain + expansion independently, so the
+    * optimization's output contract is hash-proven, not asserted. */
+  def preCollapseNearDupQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(
+        Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5,
+        maxBucket = Dedup.DefaultMaxBucket, preCollapse = true)
+      .orderBy("id_a", "id_b")
 
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
@@ -1366,7 +1391,8 @@ object SparkEntry {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(
       Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text")),
-      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
+      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3, threshold = 0.5,
+      maxBucket = Dedup.DefaultMaxBucket)
     Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
@@ -1623,6 +1649,8 @@ object SparkEntry {
     "q99_threshold_sweep" -> thresholdSweepQuery _,
     "q100_balanced_sample" -> balancedSampleQuery _,
     "q101_zipf_audit" -> zipfAuditQuery _,
+    "q102_lsh_bucket_audit" -> lshBucketAuditQuery _,
+    "q103_precollapse_neardup" -> preCollapseNearDupQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -1641,42 +1669,57 @@ object SparkEntry {
     s"""WITH $minhashCtesSql
        |SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
-  /** The minhash pipeline's CTE chain (ends with `verified(id_a,id_b,jac)`),
-    * shared by the q19 and q54 oracles. */
-  private def minhashCtesSql: String = {
+  /** The minhash chain hsh→sig→bands→(bucket cap)→cand→verified over a
+    * (doc_id, sh) relation named `toksRel`, every CTE name prefixed with
+    * `p` so the chain can run twice in one query (q103 runs it over
+    * collapsed representatives). The `HAVING count(*) <= maxBucket`
+    * bucket filter mirrors [[Dedup.candidatePairs]]'s skip-and-flag cap
+    * exactly — capped Spark pipelines stay hash-checked at every sf. */
+  private def minhashChainCtes(toksRel: String, p: String): String = {
     val (k, bands) = (12, 3)
     val r = k / bands
     val sigExprs = (0 until k)
       .map(i => s"list_min(list_transform(hs, h -> (h * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % ${Hashes.PolyMod})) AS m$i")
       .mkString(",\n    ")
     val bandSelects = (0 until bands)
-      .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', ${(0 until r).map(j => s"m${r * b + j}").mkString(", ")}) AS band_key FROM sig")
+      .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', ${(0 until r).map(j => s"m${r * b + j}").mkString(", ")}) AS band_key FROM ${p}sig")
       .mkString("\n  UNION ALL\n  ")
+    s"""${p}hsh AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM $toksRel
+       |), ${p}sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM ${p}hsh
+       |), ${p}bands AS (
+       |  $bandSelects
+       |), ${p}bok AS (
+       |  SELECT band_id, band_key FROM ${p}bands
+       |  GROUP BY band_id, band_key HAVING count(*) <= ${Dedup.DefaultMaxBucket}
+       |), ${p}bf AS (
+       |  SELECT b.doc_id, b.band_id, b.band_key
+       |  FROM ${p}bands b JOIN ${p}bok USING (band_id, band_key)
+       |), ${p}cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ${p}bf a JOIN ${p}bf b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), ${p}verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+       |      / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jac
+       |  FROM ${p}cand c
+       |  JOIN $toksRel ta ON ta.doc_id = c.id_a
+       |  JOIN $toksRel tb ON tb.doc_id = c.id_b
+       |)""".stripMargin
+  }
+
+  /** The minhash pipeline's CTE chain (ends with `verified(id_a,id_b,jac)`),
+    * shared by the q19, q54 and q99 oracles. */
+  private def minhashCtesSql: String =
     s"""t0 AS (
        |  SELECT doc_id, $toksSql AS tk FROM documents
        |), toks AS (
        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
-       |), hsh AS (
-       |  SELECT doc_id, list_transform(sh, s -> ${ph("s")}) AS hs FROM toks
-       |), sig AS (
-       |  SELECT doc_id,
-       |    $sigExprs
-       |  FROM hsh
-       |), bands AS (
-       |  $bandSelects
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |), verified AS (
-       |  SELECT c.id_a, c.id_b,
-       |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-       |      / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) AS jac
-       |  FROM cand c
-       |  JOIN toks ta ON ta.doc_id = c.id_a
-       |  JOIN toks tb ON tb.doc_id = c.id_b
-       |)""".stripMargin
-  }
+       |), ${minhashChainCtes("toks", "")}""".stripMargin
 
   /** Shared CTE computing per-doc 30-bit simhash fingerprints. */
   private def simhashFpCte: String = {
@@ -3457,6 +3500,59 @@ object SparkEntry {
         |FROM t GROUP BY source
         |HAVING count(*) >= 2
         |ORDER BY source""".stripMargin,
+
+    // q102: the band-bucket cap's flagged accounting — bucket sizes from
+    // the same banding chain as q19 (only the CTEs up to `bands` are
+    // referenced; the unreferenced tail is never executed), integer DIV
+    // keeps the pair mass exact.
+    "q102_lsh_bucket_audit" ->
+      s"""WITH $minhashCtesSql,
+        |s AS (
+        |  SELECT band_id, band_key, count(*) AS n
+        |  FROM bands GROUP BY band_id, band_key
+        |)
+        |SELECT band_id,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN n > ${Dedup.DefaultMaxBucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN n > ${Dedup.DefaultMaxBucket} THEN n ELSE 0 END) AS BIGINT) AS rows_in_flagged,
+        |  CAST(max(n) AS BIGINT) AS max_bucket,
+        |  CAST(sum(CASE WHEN n <= ${Dedup.DefaultMaxBucket} THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS cand_pairs_kept,
+        |  CAST(sum(CASE WHEN n > ${Dedup.DefaultMaxBucket} THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS cand_pairs_skipped
+        |FROM s GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // q103: exact-dup pre-collapse replayed independently — docs group by
+    // their SORTED distinct-shingle list (set identity; the min-id
+    // representative per group is engine-independent regardless of each
+    // engine's sort), the capped chain runs over representatives only,
+    // then membership re-expands: cross-group pairs at the reps' exact
+    // jac, within-group pairs at exactly 1.0.
+    "q103_precollapse_neardup" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, $toksSql AS tk FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+        |), grp AS (
+        |  SELECT doc_id, list_sort(sh) AS kk FROM toks WHERE len(sh) > 0
+        |), mem AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY kk) AS rep, kk FROM grp
+        |), rtoks AS (
+        |  SELECT rep AS doc_id, kk AS sh FROM mem WHERE doc_id = rep
+        |), ${minhashChainCtes("rtoks", "r")},
+        |exp AS (
+        |  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+        |    greatest(ma.doc_id, mb.doc_id) AS id_b, v.jac
+        |  FROM rverified v
+        |  JOIN mem ma ON ma.rep = v.id_a
+        |  JOIN mem mb ON mb.rep = v.id_b
+        |  WHERE v.jac >= 0.5
+        |), win AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jac
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, jac FROM exp
+        |UNION ALL
+        |SELECT id_a, id_b, jac FROM win
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -104,13 +104,40 @@ object Dedup {
     perBand.reduce(_.unionByName(_))
   }
 
+  /** Default per-bucket cap for banded LSH candidate generation: a
+    * (band, signature) bucket past this many member docs is SKIPPED —
+    * 32 docs is ≤ 496 pairs per bucket, the bounded quadratic unit a
+    * reducer pays, while a crawl-dump boilerplate bucket (measured
+    * 2,875 docs at 10× replica density, 11,442 at 40× — 4M/65M pairs
+    * from ONE key) is precisely the degenerate mass a production dedup
+    * run flags instead of scoring. [[minhashBucketAudit]] puts the
+    * skipped mass on the record; the cap is mirrored verbatim in the
+    * DuckDB oracles, so capped pipelines stay hash-checked at every sf. */
+  val DefaultMaxBucket = 32
+
   /** Candidate pairs (idA < idB) from shared LSH buckets.
     * The groupBy/self-join is on (band_id, band_key) — the shuffle key —
     * so skew is bounded by bucket size, and `distinct` collapses pairs
-    * found in multiple bands. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
+    * found in multiple bands. Buckets past `maxBucket` members are
+    * dropped BEFORE the self-join (skip-and-flag; see
+    * [[minhashBucketAudit]] for the flagged accounting) — the standard
+    * posting-list prune that keeps one hot boilerplate signature from
+    * quadratically dominating the stage. Int.MaxValue = uncapped. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val src =
+      if (maxBucket == Int.MaxValue) bandsDf
+      else {
+        // bucket sizes are a map-side-combined count on the SAME key as
+        // the join below, and the probe is a streaming left-semi — the
+        // capped plan re-shuffles nothing it wasn't already shuffling
+        val ok = bandsDf.groupBy("band_id", "band_key")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucket)
+          .select("band_id", "band_key")
+        bandsDf.hint("shuffle_hash").join(ok, Seq("band_id", "band_key"), "left_semi")
+      }
+    val a = src.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
+    val b = src.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
     // the banding key IS the parallelism: a broadcast self-join would
     // serialize candidate generation into however few partitions the
     // SCAN happened to produce (one, for a single <128 MB file — measured
@@ -153,26 +180,87 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: distinct word shingles →
     * signature → bands → candidate pairs → exact-Jaccard verification.
-    * Returns (id_a, id_b, jac) for candidates with jac ≥ threshold. */
+    * Returns (id_a, id_b, jac) for candidates with jac ≥ threshold.
+    *
+    * Two pair-density mitigations for degenerate-duplicate corpora (a
+    * crawl dump where one boilerplate page has 10⁵ near-copies):
+    *
+    *   - `maxBucket`: skip-and-flag LSH buckets past this many docs
+    *     (see [[candidatePairs]]; audit via [[minhashBucketAudit]]).
+    *     Bounds per-bucket candidate work at C(maxBucket, 2) no matter
+    *     how degenerate the corpus; skipped mass is deterministic and
+    *     mirrored in the SQL oracles.
+    *   - `preCollapse`: collapse docs with IDENTICAL distinct-shingle
+    *     sets to one representative BEFORE signatures/banding, run the
+    *     pipeline on representatives only, then re-expand membership —
+    *     cross-group pairs inherit the representatives' exact Jaccard
+    *     (identical sets ⇒ identical signatures, bucket membership, and
+    *     intersections) and within-group pairs are emitted at jac = 1.0
+    *     directly, so with `maxBucket` off the output is EXACTLY the
+    *     uncollapsed pipeline's (spec-asserted + oracle-replayed). An
+    *     exact-duplicate family of g docs then costs ONE pipeline row
+    *     plus its g(g−1)/2 output rows, instead of inflating every
+    *     bucket it lands in. With `maxBucket` on, the cap counts
+    *     distinct shingle-sets per bucket (strictly better: exact
+    *     twins can no longer push a bucket over the cap). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: Column,
-      shingleWords: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      shingleWords: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue, preCollapse: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val r = k / bands
-    // single-pass shingle kernel (the transform+slice+concat_ws chain
-    // interprets a lambda per shingle), then CACHE: the banding union and
-    // the two verification joins would otherwise re-evaluate the
-    // shingle+hash subtree ~10x across the plan
     val spark = df.sparkSession
     graft.expressions.HashFunctions.register(spark)
     graft.expressions.TextExprs.register(spark)
     graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
       (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
+    // single-pass shingle kernel (the transform+slice+concat_ws chain
+    // interprets a lambda per shingle)
     val shingled = df
       .select(col(idCol), TF.tokens(textCol).as("tk"))
       .select(col(idCol),
         (if (shingleWords <= 1) array_distinct(col("tk"))
          else graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords)).as("sh"))
       .filter(size(col("sh")) > 0) // shingle-less docs can't be near-dups
+    if (!preCollapse)
+      verifiedPairs(shingled, idCol, k, bands, threshold, maxBucket)
+    else {
+      // group by the SORTED shingle array itself (not a 64-bit digest:
+      // a digest collision would silently merge two different docs into
+      // a false jac=1.0 family) — the groupBy shuffles the shingle
+      // arrays once, the same mass the signature checkpoint holds.
+      // localCheckpoint: the grouped frame feeds the rep pipeline AND
+      // both expansion joins.
+      val grouped = shingled
+        .groupBy(sort_array(col("sh")).as("sh"))
+        .agg(min(col(idCol)).as("_rep"), collect_list(col(idCol)).as("_ms"))
+        .localCheckpoint(false)
+      val reps = grouped.select(col("_rep").as(idCol), col("sh"))
+      val repPairs = verifiedPairs(reps, idCol, k, bands, threshold, maxBucket)
+      val mem = grouped.select(col("_rep"), explode(col("_ms")).as("_m"))
+      // cross-group pairs: every member of A × every member of B at the
+      // representatives' verified jac; ids re-ordered (members of a
+      // later group can carry smaller ids than an earlier group's)
+      val expanded = repPairs
+        .join(mem.select(col("_rep").as("id_a"), col("_m").as("_ma")), "id_a")
+        .join(mem.select(col("_rep").as("id_b"), col("_m").as("_mb")), "id_b")
+        .select(least(col("_ma"), col("_mb")).as("id_a"),
+          greatest(col("_ma"), col("_mb")).as("id_b"), col("jac"))
+      // within-group pairs: identical shingle sets ⇒ jac exactly 1.0
+      val wa = mem.select(col("_rep"), col("_m").as("id_a"))
+      val wb = mem.select(col("_rep"), col("_m").as("id_b"))
+      val within = wa.hint("shuffle_hash").join(wb, "_rep")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
+        .filter(lit(1.0) >= threshold)
+      expanded.unionByName(within)
+    }
+  }
+
+  /** Signature → bands → (capped) candidates → exact-Jaccard verify over
+    * an (id, sh) frame with distinct, non-empty shingle arrays. Requires
+    * `graft_minhash_$k` registered (see [[minhashNearDups]]). */
+  private def verifiedPairs(shingled: DataFrame, idCol: String, k: Int,
+      bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    val r = k / bands
     val sig = shingled
       .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
       .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
@@ -188,7 +276,7 @@ object Dedup {
       .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
       .withColumn("sz", size(col("sh")))
       .localCheckpoint(false)
-    val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol)
+    val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol, maxBucket)
     val withSets = cand
       .join(sig.select(col(idCol).as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a")), "id_a")
       .join(sig.select(col(idCol).as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b")), "id_b")
@@ -205,6 +293,50 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** X104 LSH bucket audit — the flagged accounting behind
+    * [[candidatePairs]]'s skip-and-flag cap: per band, how many
+    * (signature) buckets exist, how many exceed `maxBucket` (and would
+    * be skipped), how many doc-rows sit inside those, the largest
+    * bucket, and the candidate-pair mass on each side of the cap. Read
+    * BEFORE trusting a capped dedup run: `cand_pairs_skipped` is
+    * exactly the pair mass the capped pipeline refuses to score.
+    *
+    * Scale shape: one band-keyed map-side-combined count (the same
+    * shuffle the candidate join uses), then a `bands`-row rollup —
+    * nothing quadratic anywhere, safe to run uncapped on any corpus. */
+  def minhashBucketAudit(df: DataFrame, idCol: String, textCol: Column,
+      shingleWords: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val spark = df.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    graft.expressions.TextExprs.register(spark)
+    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
+      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
+    val shingled = df
+      .select(col(idCol), TF.tokens(textCol).as("tk"))
+      .select(col(idCol),
+        (if (shingleWords <= 1) array_distinct(col("tk"))
+         else graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = shingled
+      .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
+      .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
+    val sizes = minhashBands(sig, idCol, "sig", bands, k / bands)
+      .groupBy("band_id", "band_key").agg(count(lit(1)).as("_n"))
+    // integer DIV keeps the pair mass exact in int64 (n(n−1) is even) —
+    // a double `/ 2` would round past 2^53 on planetary-scale buckets
+    val pairMass = expr("_n * (_n - 1) DIV 2")
+    sizes.groupBy("band_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("_n") > maxBucket, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("_n") > maxBucket, col("_n")).otherwise(0L)).as("rows_in_flagged"),
+        max(col("_n")).cast("long").as("max_bucket"),
+        sum(when(col("_n") <= maxBucket, pairMass).otherwise(0L)).as("cand_pairs_kept"),
+        sum(when(col("_n") > maxBucket, pairMass).otherwise(0L)).as("cand_pairs_skipped"))
+      .orderBy("band_id")
   }
 
   /** Exact global top-k most-similar pairs by n-gram Jaccard within a

@@ -216,10 +216,14 @@ object Quality {
   }
 
   /** A13 near-duplicates at scale: MinHash-LSH instead of the O(n²)
-    * rapidfuzz pass the reference guards at 10k rows. */
+    * rapidfuzz pass the reference guards at 10k rows. Carries the
+    * default band-bucket cap — a boilerplate-heavy span corpus flags
+    * its degenerate signatures instead of scoring them quadratically
+    * ([[Dedup.minhashBucketAudit]] for the accounting). */
   def nearDuplicates(segments: DataFrame, idCol: String, threshold: Double = 0.8): DataFrame =
     Dedup.minhashNearDups(segments.select(col(idCol), col("text")), idCol,
-      col("text"), shingleWords = 2, k = 12, bands = 4, threshold = threshold)
+      col("text"), shingleWords = 2, k = 12, bands = 4, threshold = threshold,
+      maxBucket = Dedup.DefaultMaxBucket)
 
   // ---- Category D: balance (balance.py) -----------------------------
 

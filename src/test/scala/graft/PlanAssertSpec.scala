@@ -360,6 +360,28 @@ class PlanAssertSpec extends AnyFunSuite {
       s"the selection scan must prune to (doc_id, source):\n${plan.take(3000)}")
   }
 
+  test("q102 bucket audit: band-keyed count then bands-row rollup; no join, no window") {
+    val plan = planOf("q102_lsh_bucket_audit")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the audit is two aggregations — the bucket-size count and the " +
+        s"per-band rollup — never a self-join of the band stream:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"the bucket-size count must map-side combine (distinct band keys " +
+        s"per mapper on the shuffle, not the full band stream):\n${plan.take(3000)}")
+  }
+
+  test("q103 pre-collapse: capped banded self-join SHUFFLES on the band key; cap probe is a semi-join") {
+    val plan = planOf("q103_precollapse_neardup")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("band_key"),
+      s"candidate generation must shuffle on the banding key (broadcast " +
+        s"would serialize into the scan's partition count):\n${plan.take(4000)}")
+    assert(plan.contains("LeftSemi"),
+      s"the bucket cap must probe as a left-semi join against the " +
+        s"size-filtered bucket list:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no unkeyed pair blowup anywhere in the expansion:\n${plan.take(4000)}")
+  }
+
   test("q101 zipf audit: ranking runs on the vocab table with a PARTIAL group limit") {
     val plan = planOf("q101_zipf_audit")
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),

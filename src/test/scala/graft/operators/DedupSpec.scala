@@ -67,6 +67,70 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 2L)), "J=10/22 is below threshold and must be dropped")
   }
 
+  test("preCollapse output is EXACTLY the uncollapsed pipeline's (uncapped)") {
+    // a family of exact-shingle-set twins (one verbatim, one with extra
+    // whitespace — same token sequence), a near-dup, an unrelated doc,
+    // and a shingle-less family ("solo" twins: no bigrams, so the plain
+    // pipeline filters them — pre-collapse must NOT resurrect them as a
+    // jac=1.0 within-group pair)
+    val ws = base.replace(" ", "  ") // same tokens, different raw text
+    val df = Seq((1L, base), (2L, base), (7L, ws), (3L, nearDup),
+      (4L, unrelated), (5L, "solo"), (6L, "solo")).toDF("doc_id", "text")
+    def run(pc: Boolean) = Dedup.minhashNearDups(df, "doc_id", col("text"),
+        shingleWords = 2, k = 12, bands = 4, threshold = 0.5, preCollapse = pc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = run(false)
+    val collapsed = run(true)
+    assert(collapsed == plain, s"pre-collapse diverged:\nplain=$plain\ncollapsed=$collapsed")
+    // sanity on the content: the twin family is all-pairs at exactly 1.0
+    for (p <- Seq((1L, 2L), (1L, 7L), (2L, 7L)))
+      assert(plain.contains((p._1, p._2, 1.0)), s"missing twin pair $p in $plain")
+    assert(!plain.exists(t => t._1 == 5L || t._2 == 6L), "shingle-less docs paired")
+  }
+
+  test("band-bucket cap skips the degenerate family; pre-collapse restores it bucket-legally") {
+    // 40 verbatim copies of one doc: every band has a 40-doc bucket, past
+    // the cap of 32 -> capped-only output drops the family entirely but
+    // keeps the small honest near-dup pair. With preCollapse the family
+    // is ONE rep (bucket size 1) and re-expands to all 780 pairs at 1.0.
+    // the under-cap pair is a verbatim twin of the UNRELATED text so its
+    // bucket (size 2) deterministically never merges with the family's
+    val family = (100L until 140L).map(i => (i, base))
+    val df = (family ++ Seq((1L, unrelated), (2L, unrelated)))
+      .toDF("doc_id", "text")
+    def run(cap: Int, pc: Boolean) = Dedup.minhashNearDups(df, "doc_id",
+        col("text"), shingleWords = 2, k = 12, bands = 4, threshold = 0.5,
+        maxBucket = cap, preCollapse = pc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = run(32, pc = false)
+    assert(capped.contains((1L, 2L, 1.0)), s"under-cap pair lost: $capped")
+    assert(!capped.exists(t => t._1 >= 100L), s"degenerate family scored: $capped")
+    val cappedCollapsed = run(32, pc = true)
+    val familyPairs = cappedCollapsed.filter(t => t._1 >= 100L)
+    assert(familyPairs.size == 40 * 39 / 2 && familyPairs.forall(_._3 == 1.0),
+      s"expected 780 within-family pairs at 1.0, got ${familyPairs.size}")
+    assert(cappedCollapsed.contains((1L, 2L, 1.0)))
+  }
+
+  test("bucket audit: hand-checked flagged accounting on a planted hot bucket") {
+    val family = (100L until 140L).map(i => (i, base))
+    val df = (family ++ Seq((1L, unrelated))).toDF("doc_id", "text")
+    val audit = Dedup.minhashBucketAudit(df, "doc_id", col("text"),
+      shingleWords = 2, k = 12, bands = 4, maxBucket = 32)
+      .collect()
+    assert(audit.length == 4)
+    audit.foreach { r =>
+      // per band: the 40-doc family shares every band key; the unrelated
+      // doc lands in its own bucket (disjoint vocabulary -> disjoint
+      // shingle hashes -> a different signature block)
+      assert(r.getAs[Long]("n_flagged") == 1L, r.toString)
+      assert(r.getAs[Long]("rows_in_flagged") == 40L, r.toString)
+      assert(r.getAs[Long]("max_bucket") == 40L, r.toString)
+      assert(r.getAs[Long]("cand_pairs_skipped") == 40L * 39 / 2, r.toString)
+      assert(r.getAs[Long]("n_buckets") >= 2L, r.toString)
+    }
+  }
+
   test("jaccard is exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

@@ -70,6 +70,33 @@ class DuplicatedSpansSpec extends AnyFunSuite {
       s"clean/self-dup docs flagged: $out")
   }
 
+  test("two-phase and windowed formulations agree on a hot-gram corpus") {
+    // the SpanProbe matrix measured TIME on the 5%x30 hot-mass shape;
+    // this pins that the default two-phase dup-gram-set formulation and
+    // the retired window-count one also AGREE there: a boilerplate
+    // phrase planted in 5% of docs and repeated 30x inside each, plus
+    // unique docs, plus a doc with an internal self-repeat
+    val hot = (1 to K).map(i => s"h$i").mkString(" ")
+    val rnd = new scala.util.Random(11)
+    def uniq(doc: Int, n: Int) = (1 to n).map(_ => s"u${doc}_${rnd.nextInt(1000000)}").mkString(" ")
+    val docs = (1 to 100).map { d =>
+      if (d <= 5) // hot docs: 30 copies of the phrase with unique filler between
+        (d.toLong, (1 to 30).map(_ => hot).mkString(" ") + " " + uniq(d, 10))
+      else if (d == 6) (d.toLong, uniq(d, 12) + " " + uniq(d, 0)) // unique
+      else (d.toLong, uniq(d, 15))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def collect(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"))).toSet
+    val twoPhase = collect(Dedup.duplicatedSpans(df, "doc_id", col("text"), K))
+    val windowed = collect(Dedup.duplicatedSpansWindowed(df, "doc_id", col("text"), K))
+    assert(twoPhase == windowed,
+      s"formulations diverge on hot mass:\nonly2p=${twoPhase -- windowed}\nonlyW=${windowed -- twoPhase}")
+    assert(twoPhase.exists(_._1 <= 5L), "hot docs must carry flagged spans")
+    assert(!twoPhase.exists(t => t._1 > 5L), "unique docs flagged")
+  }
+
   test("rolling gram chain equals the naive per-window fold") {
     val rnd = new scala.util.Random(7)
     val hs = Array.fill(50)(math.abs(rnd.nextLong()) % graft.functions.Hashes.PolyMod)
