@@ -32,12 +32,21 @@ object Bench {
     *   - window: watermark → event-time windowed agg
     *     ([[graft.streaming.StreamingIngest.windowedCounts]]).
     *
-    * Returns (rows, sessionizeSec, nSessions, stateRows, stateBytes,
-    * windowSec). State numbers come from the final progress's
-    * stateOperators — the live size of the keyed store, the quantity that
-    * must stay bounded on an unbounded stream. */
+    * State numbers come from the final progress's stateOperators — the
+    * live size of the keyed store, the quantity that must stay bounded
+    * on an unbounded stream. Latency comes from the same progress
+    * stream: p50/p95 of per-batch `batchDuration` (trigger-to-commit)
+    * over the sessionize query's batches, plus the end-of-run watermark
+    * lag (global max event time − final watermark ≈ the configured
+    * 2-hour horizon + one batch's worth of event time: the watermark
+    * can only trail by its delay plus batch granularity). */
+  final case class StreamStats(rows: Long, sessionizeSec: Double,
+      sessions: Long, stateRows: Long, stateBytes: Long,
+      batchMsP50: Long, batchMsP95: Long, watermarkLagMs: Long,
+      windowSec: Double)
+
   def streamingThroughput(spark: SparkSession, nRows: Long,
-      nUsers: Int): (Long, Double, Long, Long, Long, Double) = {
+      nUsers: Int): StreamStats = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
     val inDir = tmp.resolve("in").toString
@@ -69,7 +78,7 @@ object Bench {
       .option("maxFilesPerTrigger", 8).parquet(inDir)
     val sessions = new java.util.concurrent.atomic.LongAdder
     def runQuery(df: org.apache.spark.sql.DataFrame,
-        count: Boolean): (Double, Long, Long) = {
+        count: Boolean): (Double, Long, Long, Array[Long], Long) = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
       val t0 = System.nanoTime()
       val q = df.writeStream
@@ -80,21 +89,39 @@ object Bench {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      val st = q.recentProgress.flatMap(_.stateOperators)
+      val progress = q.recentProgress
+      val st = progress.flatMap(_.stateOperators)
       val rows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
       val bytes = if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max
-      (sec, rows, bytes)
+      // trigger-to-commit latency per micro-batch, and the end-of-run
+      // watermark lag (global max event time across batches minus the
+      // final batch's watermark) — both straight off the progress stream
+      val durations = progress.filter(_.numInputRows > 0).map(_.batchDuration)
+      def ts(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+          key: String): Option[Long] =
+        Option(p.eventTime.get(key)).map(java.time.Instant.parse(_).toEpochMilli)
+      val maxEvent = progress.flatMap(ts(_, "max")).maxOption
+      val finalWm = progress.reverse.iterator.flatMap(ts(_, "watermark")).nextOption()
+      val wmLag = (maxEvent, finalWm) match {
+        case (Some(m), Some(w)) => m - w
+        case _ => -1L
+      }
+      (sec, rows, bytes, durations, wmLag)
     }
     import spark.implicits._
     val sess = graft.streaming.StreamingSessionize.sessions(
       stream.withWatermark("ts", "2 hours")
         .as[graft.streaming.StreamingSessionize.Event],
       gapMs = 30L * 60 * 1000).toDF()
-    val (sSec, stRows, stBytes) = runQuery(sess, count = true)
+    val (sSec, stRows, stBytes, durations, wmLag) = runQuery(sess, count = true)
     val win = graft.streaming.StreamingIngest.windowedCounts(
       stream, "ts", "5 minutes", "2 hours")
-    val (wSec, _, _) = runQuery(win, count = false)
-    (nRows, sSec, sessions.sum(), stRows, stBytes, wSec)
+    val (wSec, _, _, _, _) = runQuery(win, count = false)
+    val sorted = durations.sorted
+    def pct(p: Double): Long =
+      if (sorted.isEmpty) -1L else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    StreamStats(nRows, sSec, sessions.sum(), stRows, stBytes,
+      pct(0.5), pct(0.95), wmLag, wSec)
   }
 
   /** read → validate → normalize → partitioned-write over a synthetic
@@ -297,29 +324,34 @@ object Bench {
     * marker so the orchestrator can fish it out of Spark's log noise. */
   private def runPhase(phase: String, sfDir: String): Unit = {
     val spark = GraftSession.create()
+    // phase JSONs carry computed results only — static input-size echoes
+    // (rows=200000, vectors=50000, search_queries=1000, spans/beats,
+    // baseline_sec) live in this file's source, not the artifact: the
+    // driver keeps just a ~2 KB stdout tail, and at a 103-query surface
+    // every echoed constant risks pushing the one-line artifact past it
+    // (r8's official record lost its per-query block exactly this way)
     val json = phase match {
       case "queries" => queriesJson(spark, sfDir)
       case "ingest" =>
         val (rows, sec) = ingestThroughput(spark, 200000L, 50)
-        f"""{"rows":$rows,"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""
+        f"""{"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong}}"""
       case "ann" =>
         val (nVec, buildSec, nQ, searchSec) = annThroughput(spark)
-        f"""{"vectors":$nVec,"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"search_queries":$nQ,"search_sec":$searchSec%.3f,"search_queries_per_sec":${(nQ / searchSec).toLong}}"""
+        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"search_sec":$searchSec%.3f,"search_queries_per_sec":${(nQ / searchSec).toLong}}"""
       case "ann_pruned" =>
         val (qps, recall, exhaustiveQps) = annPrunedThroughput(spark)
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
       case "streaming" =>
-        val (rows, sSec, nSess, stRows, stBytes, wSec) =
-          streamingThroughput(spark, 2000000L, 5000)
-        f"""{"rows":$rows,"sessionize_sec":$sSec%.3f,"sessionize_rows_per_sec":${(rows / sSec).toLong},"sessions":$nSess,"state_rows":$stRows,"state_bytes":$stBytes,"window_sec":$wSec%.3f,"window_rows_per_sec":${(rows / wSec).toLong}}"""
+        val s = streamingThroughput(spark, 2000000L, 5000)
+        f"""{"sessionize_rows_per_sec":${(s.rows / s.sessionizeSec).toLong},"sessions":${s.sessions},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes},"batch_ms_p50":${s.batchMsP50},"batch_ms_p95":${s.batchMsP95},"watermark_lag_ms":${s.watermarkLagMs},"window_rows_per_sec":${(s.rows / s.windowSec).toLong}}"""
       case "quality" =>
-        val (nS, nB, sec, timings) = qualityAssessThroughput(spark)
+        val (_, _, sec, timings) = qualityAssessThroughput(spark)
         // per-category wall seconds so a composite-number regression is
         // localizable (r6: a 2.8x phase swing with unchanged Quality.scala
         // was unattributable from the single total)
         val cats = timings.toSeq
           .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-        f"""{"spans":$nS,"beats":$nB,"sec":$sec%.3f,"categories":$cats,"baseline_sec":200.46}"""
+        f"""{"sec":$sec%.3f,"categories":$cats}"""
       case other => throw new IllegalArgumentException(s"unknown phase: $other")
     }
     println(Marker + json)
@@ -460,13 +492,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
-    // stdout stays compact: short keys AND 2dp values (the file keeps
-    // full names + 3dp) so the line sits well inside a ~2 KB tail even
-    // as the query surface grows; values ROUND to 2dp (not truncate) so
-    // the stdout line agrees with the detail file's rounding
+    // stdout stays compact: short keys AND integer-millisecond values
+    // under "queries_ms" (the file keeps full names + seconds at 3dp) so
+    // the line sits inside the driver's ~2 KB stdout tail even as the
+    // query surface grows — r8's official record parsed to null because
+    // the 101-query seconds map pushed the line just past the tail.
+    // Values ROUND (not truncate) so stdout agrees with the file.
     val shortQs0 = qs.replaceAll("\"(q[0-9]+)_[a-z0-9_]+\":", "\"$1\":")
-    val shortQs = "([0-9]+\\.[0-9]{3,})".r
-      .replaceAllIn(shortQs0, m => f"${m.group(1).toDouble}%.2f")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$phases,"detail":"$outFile"}""")
+    val shortQs = "([0-9]+\\.[0-9]+)".r
+      .replaceAllIn(shortQs0, m => (m.group(1).toDouble * 1000).round.toString)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$shortQs,"sf":"$sfDir"$phases,"detail":"$outFile"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] stdout line is ${line.length} chars — " +
+        "nearing the driver's ~2 KB tail capture; trim phase fields or " +
+        "drop 'detail' before the next query lands")
+    println(line)
   }
 }

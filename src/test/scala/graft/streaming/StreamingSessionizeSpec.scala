@@ -65,12 +65,18 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     // the bench's file-replay harness at 1/100 scale: users x (sessions-1)
     // closed sessions is only reachable if NO batch is watermark-dropped
     // (the mtime-ordering fix) and gaps actually break (the floor fix)
-    val (rows, sSec, nSess, stRows, _, wSec) =
-      graft.Bench.streamingThroughput(spark, nRows = 20000L, nUsers = 100)
-    assert(rows == 20000L)
+    val s = graft.Bench.streamingThroughput(spark, nRows = 20000L, nUsers = 100)
+    assert(s.rows == 20000L)
     // 200 events/user, a >gap jump every 20 => 10 sessions; last stays open
-    assert(nSess == 100L * 9, s"expected 900 closed sessions, got $nSess")
-    assert(stRows == 100L, s"state must be one open session per user, got $stRows")
-    assert(sSec > 0 && wSec > 0)
+    assert(s.sessions == 100L * 9, s"expected 900 closed sessions, got ${s.sessions}")
+    assert(s.stateRows == 100L, s"state must be one open session per user, got ${s.stateRows}")
+    assert(s.sessionizeSec > 0 && s.windowSec > 0)
+    // latency telemetry: batches actually ran and were measured, and the
+    // final watermark trails the global max event time by the configured
+    // 2h horizon plus at most one batch's span of event time
+    assert(s.batchMsP50 > 0 && s.batchMsP95 >= s.batchMsP50,
+      s"batch latency percentiles: p50=${s.batchMsP50} p95=${s.batchMsP95}")
+    assert(s.watermarkLagMs >= 2L * 3600 * 1000,
+      s"watermark lag must include the 2h horizon, got ${s.watermarkLagMs}")
   }
 }
