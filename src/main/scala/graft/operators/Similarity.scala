@@ -426,6 +426,53 @@ object Similarity {
       blockCols = Seq("cell_id")).select("id_a", "id_b", "sim")
   }
 
+  /** [[cosinePairsAboveHyperplane]] with the CELL ASSIGNMENT computed on
+    * a whitened copy of the vectors ([[Whitening]], X102) while
+    * verification stays raw-cosine. Correlated / mean-shifted dimensions
+    * are exactly the failure mode of axis-aligned sign-bit cells (a
+    * corpus with x₀ ≈ x₁ spends two bits on one direction; a positive
+    * mean collapses most rows into the all-ones cell): whitening centers
+    * and decorrelates, so each sign bit splits the corpus near-evenly
+    * along an independent direction. The fit is one extra corpus pass
+    * (bounded moment fold) and the assignment stays map-only; the pair
+    * CONTRACT is unchanged — exact raw cosine within cells — so output
+    * pairs are always a subset of [[cosinePairsAbove]]'s, at whatever
+    * recall the cells achieve (measured: `tools/SemDedupRecallProbe`,
+    * table in docs/SCALE.md). */
+  def cosinePairsAboveHyperplaneWhitened(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nPlanes: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val model = Whitening.fit(df, col(vecCol), eps)
+    val assigned = df.select(col(idCol), col(vecCol))
+      .withColumn("_w", graft.expressions.VectorExprs.whiten_vec(
+        VF.vecAsDouble(col(vecCol)), model.mean, model.wPacked))
+      .withColumn("cell_id", hyperplaneCellId(col("_w"), nPlanes))
+      .drop("_w")
+    cosinePairsAbove(assigned, idCol, vecCol, threshold,
+      blockCols = Seq("cell_id")).select("id_a", "id_b", "sim")
+  }
+
+  /** [[cosinePairsAboveIvf]] with centroids trained and assigned in
+    * whitened space (verification raw, like the hyperplane sibling).
+    * K-means with Euclidean/cosine geometry under-weights directions
+    * that whitening rescales to unit variance; on isotropic corpora this
+    * is a no-op by construction. One extra id-keyed join carries the
+    * whitened cell ids back to the raw vectors. */
+  def cosinePairsAboveIvfWhitened(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nCells: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val model = Whitening.fit(df, col(vecCol), eps)
+    val wdf = Whitening.transform(df.select(col(idCol), col(vecCol)),
+      col(vecCol), model, "_wv")
+    val cents = trainIvfCentroids(wdf, idCol, "_wv", nCells)
+    val assigned = assignToNearest(
+      wdf.select(col(idCol).as("_id"), VF.vecAsDouble(col("_wv")).as("_v")), cents)
+    val withCells = df.select(col(idCol), col(vecCol))
+      .join(assigned.select(col("_id").as(idCol), col("cell_id")), idCol)
+    cosinePairsAbove(withCells, idCol, vecCol, threshold,
+      blockCols = Seq("cell_id")).select("id_a", "id_b", "sim")
+  }
+
   /** Shared tail of the SemDeDup variants: close the near-dup pairs into
     * components and mark the min-id representative of each as kept. */
   private def semanticDedupFromPairs(df: DataFrame, idCol: String,

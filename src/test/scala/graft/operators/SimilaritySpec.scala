@@ -260,4 +260,58 @@ class SimilaritySpec extends AnyFunSuite {
     for ((vid, cid, _) <- out)
       assert(cid == (vid / 10) * 10, s"vid $vid → cluster $cid")
   }
+
+  /** Deterministic correlated + mean-shifted corpus: every dim is the
+    * same base signal (plus per-dim noise), so all sign bits agree and a
+    * positive mean pushes most rows into the all-ones cell — the plain
+    * hyperplane quantizer's worst case. */
+  private def correlatedCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(13)
+    (0 until n).map { i =>
+      val base = 1.0 + rng.nextGaussian()           // shifted mean, 1-d signal
+      // noise two orders below the signal: every dim carries base's sign
+      (i.toLong, Seq.tabulate(6)(d => base + 0.0005 * rng.nextGaussian() + d * 0.0001))
+    }.toDF("vid", "vec")
+  }
+
+  test("whitened hyperplane cells: raw-cosine contract holds; occupancy beats plain cells on correlated data") {
+    val df = correlatedCorpus(120)
+    val exact = Similarity.cosinePairsAbove(df, "vid", "vec", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val whitened = Similarity.cosinePairsAboveHyperplaneWhitened(
+        df, "vid", "vec", 0.999, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // contract: a subset of the exact pair set, at the RAW similarity
+    whitened.foreach { case (p, s) =>
+      assert(exact.get(p).contains(s), s"pair $p sim $s not in exact set") }
+    // the structural claim whitening exists for: plain sign bits on a
+    // corpus whose dims all carry one correlated shifted signal occupy
+    // ~1 cell; whitened (centered, decorrelated) bits spread the corpus
+    def occupancy(cellCol: org.apache.spark.sql.Column): Long =
+      df.select(cellCol.as("c")).distinct().count()
+    val model = Whitening.fit(df, col("vec"))
+    val plainCells = occupancy(Similarity.hyperplaneCellId(col("vec"), 4))
+    val whitenedCells = occupancy(Similarity.hyperplaneCellId(
+      graft.expressions.VectorExprs.whiten_vec(
+        VF.vecAsDouble(col("vec")), model.mean, model.wPacked), 4))
+    assert(plainCells <= 2, s"correlated corpus should collapse plain cells, got $plainCells")
+    assert(whitenedCells >= 8, s"whitened cells should spread, got $whitenedCells")
+  }
+
+  test("whitened IVF pairs: raw-cosine contract and clustered-data recall hold") {
+    val df = vectors.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val exact = Similarity.cosinePairsAbove(df, "vid", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfW = Similarity.cosinePairsAboveIvfWhitened(df, "vid", "vec", 0.9, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfW.foreach { case (p, s) =>
+      assert(exact.get(p).contains(s), s"pair $p sim $s not in exact set") }
+    // recall bar is deliberately LOWER than the raw-IVF test's: on data
+    // whose covariance IS the cluster structure, whitening rescales the
+    // between-cluster directions down and can cost recall — the honest
+    // trade SemDedupRecallProbe quantifies (SCALE.md table); the spec
+    // pins the contract and that the variant still finds real pair mass
+    assert(exact.nonEmpty && ivfW.size.toDouble / exact.size >= 0.3,
+      s"whitened-IVF recall ${ivfW.size}/${exact.size}")
+  }
 }
