@@ -1340,6 +1340,19 @@ object SparkEntry {
         maxBucket = Dedup.DefaultMaxBucket, preCollapse = true)
       .orderBy("id_a", "id_b")
 
+  /** X106 source-centroid similarity matrix
+    * ([[graft.operators.Similarity.groupCentroidSimilarity]]): embeddings
+    * joined to their documents' source, pairwise cosine between
+    * per-source centroid (sum) vectors. */
+  def sourceCentroidSimQuery(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    graft.operators.Similarity.groupCentroidSimilarity(
+      joined, col("source"), col("embedding"))
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1651,6 +1664,7 @@ object SparkEntry {
     "q101_zipf_audit" -> zipfAuditQuery _,
     "q102_lsh_bucket_audit" -> lshBucketAuditQuery _,
     "q103_precollapse_neardup" -> preCollapseNearDupQuery _,
+    "q104_source_centroids" -> sourceCentroidSimQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3553,6 +3567,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT id_a, id_b, jac FROM win
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q104: per-source centroid (SUM) vectors re-derived exactly — each
+    // element sums as DECIMAL(20,12) (order-free; cosine is
+    // scale-invariant so sum ≡ mean), then the q18 list_dot_product +
+    // round(6) cosine precedent over the 64-d centroid lists.
+    "q104_source_centroids" -> {
+      val sumExprs = (1 to 64)
+        .map(i => s"CAST(sum(CAST(v[$i] AS DECIMAL(20,12))) AS DOUBLE)")
+        .mkString(", ")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), j AS (
+        |  SELECT d.source, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id
+        |), c AS (
+        |  SELECT source, [$sumExprs] AS c FROM j GROUP BY source
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  round(list_dot_product(a.c, b.c)
+        |    / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 6) AS cos_sim
+        |FROM c a JOIN c b ON a.source < b.source
+        |ORDER BY source_a, source_b""".stripMargin
+    },
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -473,6 +473,44 @@ object Similarity {
       blockCols = Seq("cell_id")).select("id_a", "id_b", "sim")
   }
 
+  /** X106 group-centroid similarity matrix: the pairwise cosine between
+    * per-group embedding centroids — "which sources are semantically
+    * the same feed" at a glance (mirror-site detection, near-duplicate
+    * scrape feeds, license-pool overlap), the embedding-space sibling of
+    * the token-level source-overlap audit (X94/q94).
+    *
+    * Scale shape: the corpus-sized work is ONE positional explode into a
+    * (group, pos)-keyed sum — partial aggregation collapses each mapper
+    * to groups×d rows before the shuffle, so the exchange never carries
+    * the vector stream. Everything after is model-sized (groups×d), and
+    * the pair join is an all-pairs over the CENTROID table only —
+    * bounded by group count (a corpus has tens of sources, not
+    * millions). Cosine is computed on the per-group SUM vectors (cosine
+    * is scale-invariant, so sum ≡ mean) with each element summed as
+    * DECIMAL(20,12): exact and order-free, so the DuckDB oracle
+    * re-derives bit-identical centroids and the cosine rounds to the
+    * same 6dp in both engines (the q18 list_dot_product precedent). */
+  def groupCentroidSimilarity(df: DataFrame, groupCol: Column,
+      vecCol: Column): DataFrame = {
+    val sums = df
+      .select(groupCol.as("_g"), posexplode(VF.vecAsDouble(vecCol)).as(Seq("_p", "_x")))
+      .groupBy("_g", "_p")
+      .agg(sum(col("_x").cast("decimal(20,12)")).as("_s"))
+      .groupBy("_g")
+      .agg(collect_list(struct(col("_p"), col("_s"))).as("_raw"))
+      .select(col("_g"),
+        transform(array_sort(col("_raw")), e => e.getField("_s").cast("double")).as("_c"))
+    VectorExprs.register(df.sparkSession)
+    val a = sums.select(col("_g").as("source_a"), col("_c").as("_ca"))
+    val b = sums.select(col("_g").as("source_b"), col("_c").as("_cb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(VectorExprs.vec_dot(col("_ca"), col("_cb")) /
+          (sqrt(VectorExprs.vec_dot(col("_ca"), col("_ca"))) *
+            sqrt(VectorExprs.vec_dot(col("_cb"), col("_cb")))), 6).as("cos_sim"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Shared tail of the SemDeDup variants: close the near-dup pairs into
     * components and mark the min-id representative of each as kept. */
   private def semanticDedupFromPairs(df: DataFrame, idCol: String,

@@ -261,6 +261,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cid == (vid / 10) * 10, s"vid $vid → cluster $cid")
   }
 
+  test("group centroid similarity: hand-computed cosines, repartition-invariant") {
+    // group a sums to (2, 0), b to (0, 3), c to (2, 2):
+    // cos(a,b)=0, cos(a,c)=1/sqrt(2), cos(b,c)=1/sqrt(2)
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),
+      ("b", Seq(0.0f, 1.0f)), ("b", Seq(0.0f, 2.0f)),
+      ("c", Seq(2.0f, 2.0f))).toDF("source", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroidSimilarity(d, col("source"), col("embedding"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val out = run(df)
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(out(("a", "b")) == 0.0)
+    assert(out(("a", "c")) == r6(1.0 / math.sqrt(2)))
+    assert(out(("b", "c")) == r6(1.0 / math.sqrt(2)))
+    assert(out.size == 3)
+    assert(run(df.repartition(7)) == out, "must be partitioning-invariant")
+  }
+
   /** Deterministic correlated + mean-shifted corpus: every dim is the
     * same base signal (plus per-dim noise), so all sign bits agree and a
     * positive mean pushes most rows into the all-ones cell — the plain

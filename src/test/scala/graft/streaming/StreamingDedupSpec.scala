@@ -7,73 +7,50 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-final case class DedupDoc(doc_id: Long, ts: Timestamp, text: String)
-
+/** N4/X107: watermark-bounded streaming dedup. Duplicates inside the
+  * horizon are suppressed across micro-batches; the state store retires
+  * keys with the watermark (the bounded-state contract that separates
+  * this from naive dropDuplicates); a key re-arriving far past the
+  * horizon is a NEW row by design (the batch layer owns long-range
+  * dedup). */
 class StreamingDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def doc(id: Long, sec: Long, text: String) =
-    DedupDoc(id, new Timestamp(sec * 1000), text)
+  private def d(id: Long, sec: Long) =
+    (id, new Timestamp(sec * 1000), s"text$id")
 
-  test("duplicates within the watermark horizon are dropped, first wins") {
-    val input = MemoryStream[DedupDoc](spark)
-    val deduped = StreamingIngest.dedupStream(
-      input.toDF(), "ts", "text", watermark = "10 seconds")
+  test("duplicates within the horizon are suppressed across batches; state retires with the watermark") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = StreamingDedup.dedupWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      "ts", "10 seconds", Seq("doc_id"))
     val q = deduped.writeStream
       .format("memory").queryName("dedup_out").outputMode("append").start()
     try {
-      // same normalized content three times (case/whitespace variants),
-      // one distinct doc
-      input.addData(
-        doc(1, 20, "Hello   World"),
-        doc(2, 21, "hello world"),
-        doc(3, 22, "HELLO\tWORLD"),
-        doc(4, 23, "something else"))
+      input.addData(d(1, 20), d(2, 21), d(1, 22)) // in-batch dup of 1
       q.processAllAvailable()
-      val out = spark.table("dedup_out").as[DedupDoc].collect()
-      assert(out.length == 2)
-      assert(out.map(_.doc_id).toSet == Set(1L, 4L)) // first arrival kept
-    } finally q.stop()
-  }
+      input.addData(d(1, 23), d(3, 24))           // cross-batch dup of 1
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
 
-  test("quality monitor reports per-window pass rates") {
-    val input = MemoryStream[DedupDoc](spark)
-    val mon = StreamingIngest.qualityMonitor(
-      input.toDF(), "ts", "text", windowLen = "1 minute", watermark = "10 seconds")
-    val q = mon.writeStream
-      .format("memory").queryName("qual_out").outputMode("append").start()
-    try {
-      val good = ("word " * 60).trim // 60 tokens, no stopwords → high score
-      input.addData(
-        doc(1, 30, good), doc(2, 40, good), doc(3, 50, "the of and"))
+      // advance the watermark far past the horizon (to 200-10=190), then
+      // re-deliver 1 at t=195: not watermark-late, but its dedup state
+      // expired back at t=33, so the re-delivery is a NEW row by design
+      input.addData(d(9, 200))
       q.processAllAvailable()
-      input.addData(doc(9, 300, good)) // advance watermark past the window
+      input.addData(d(1, 195))
       q.processAllAvailable()
-      input.addData(doc(10, 301, good))
-      q.processAllAvailable()
-      val rows = spark.table("qual_out")
-        .select("n_docs", "n_pass", "pass_rate").collect()
-      assert(rows.nonEmpty)
-      val first = rows.head
-      assert(first.getLong(0) == 3 && first.getLong(1) == 2)
-      assert(math.abs(first.getDouble(2) - 2.0 / 3.0) < 1e-9)
-    } finally q.stop()
-  }
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 1L, 2L, 3L, 9L),
+        s"expected the past-horizon re-delivery to pass: $ids")
 
-  test("the same content reappearing across batches within the horizon is dropped") {
-    val input = MemoryStream[DedupDoc](spark)
-    val deduped = StreamingIngest.dedupStream(
-      input.toDF(), "ts", "text", watermark = "1 hour")
-    val q = deduped.writeStream
-      .format("memory").queryName("dedup_out2").outputMode("append").start()
-    try {
-      input.addData(doc(1, 100, "repeated content"))
-      q.processAllAvailable()
-      input.addData(doc(2, 200, "repeated content"), doc(3, 201, "fresh"))
-      q.processAllAvailable()
-      val ids = spark.table("dedup_out2").as[DedupDoc].collect().map(_.doc_id).toSet
-      assert(ids == Set(1L, 3L))
+      // bounded state: the store holds only keys inside the live horizon
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.map(_.numRowsTotal).max <= 3,
+        s"state must retire with the watermark: ${st.map(_.numRowsTotal).toSeq}")
     } finally q.stop()
   }
 }
