@@ -1353,6 +1353,24 @@ object SparkEntry {
       joined, col("source"), col("embedding"))
   }
 
+  /** X108 incremental near-dup ([[graft.operators.Dedup.nearDupIndex]] +
+    * [[graft.operators.Dedup.incrementalNearDups]]): the corpus splits
+    * into a "previously indexed" base (doc_id % 5 ≠ 0) and an arriving
+    * delta batch; only pairs touching the delta are generated and
+    * verified, against the base's persisted-shape index. The oracle runs
+    * the FULL capped chain and keeps pairs with a delta side — the
+    * incremental plan must reproduce the full run's answer exactly
+    * without ever forming a base×base candidate. */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir).select(col("doc_id"), col("text"))
+    val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", col("text"), shingleWords = 2, k = 12)
+    Dedup.incrementalNearDups(index, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3,
+        threshold = 0.5, maxBucket = Dedup.DefaultMaxBucket)
+      .orderBy("id_a", "id_b")
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1665,6 +1683,7 @@ object SparkEntry {
     "q102_lsh_bucket_audit" -> lshBucketAuditQuery _,
     "q103_precollapse_neardup" -> preCollapseNearDupQuery _,
     "q104_source_centroids" -> sourceCentroidSimQuery _,
+    "q105_incremental_dedup" -> incrementalDedupQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3589,6 +3608,17 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.source < b.source
         |ORDER BY source_a, source_b""".stripMargin
     },
+
+    // q105: the incremental plan's contract IS the full capped run
+    // restricted to pairs touching the delta (doc_id % 5 = 0) — so the
+    // oracle runs the identical full chain and filters, while the Spark
+    // side must reach the same rows without ever forming a base×base
+    // candidate.
+    "q105_incremental_dedup" ->
+      s"""WITH $minhashCtesSql
+         |SELECT id_a, id_b, jac FROM verified
+         |WHERE jac >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

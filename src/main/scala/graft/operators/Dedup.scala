@@ -129,12 +129,16 @@ object Dedup {
       if (maxBucket == Int.MaxValue) bandsDf
       else {
         // bucket sizes are a map-side-combined count on the SAME key as
-        // the join below, and the probe is a streaming left-semi — the
-        // capped plan re-shuffles nothing it wasn't already shuffling
+        // the join below, and the probe is a shuffled left-semi on that
+        // key. The hint goes on the BUILD (right) side: a left-side
+        // shuffle_hash is unsupported for semi joins and Spark silently
+        // falls back to broadcasting the under-cap bucket list — fine at
+        // toy scale, but that list is corpus-sized (≈ bands × docs keys)
+        // on a real corpus and must never ride a broadcast.
         val ok = bandsDf.groupBy("band_id", "band_key")
           .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucket)
           .select("band_id", "band_key")
-        bandsDf.hint("shuffle_hash").join(ok, Seq("band_id", "band_key"), "left_semi")
+        bandsDf.join(ok.hint("shuffle_hash"), Seq("band_id", "band_key"), "left_semi")
       }
     val a = src.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
     val b = src.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
@@ -207,19 +211,7 @@ object Dedup {
       shingleWords: Int, k: Int, bands: Int, threshold: Double,
       maxBucket: Int = Int.MaxValue, preCollapse: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val spark = df.sparkSession
-    graft.expressions.HashFunctions.register(spark)
-    graft.expressions.TextExprs.register(spark)
-    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
-      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
-    // single-pass shingle kernel (the transform+slice+concat_ws chain
-    // interprets a lambda per shingle)
-    val shingled = df
-      .select(col(idCol), TF.tokens(textCol).as("tk"))
-      .select(col(idCol),
-        (if (shingleWords <= 1) array_distinct(col("tk"))
-         else graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords)).as("sh"))
-      .filter(size(col("sh")) > 0) // shingle-less docs can't be near-dups
+    val shingled = shingleSets(df, idCol, textCol, shingleWords, k)
     if (!preCollapse)
       verifiedPairs(shingled, idCol, k, bands, threshold, maxBucket)
     else {
@@ -255,32 +247,46 @@ object Dedup {
     }
   }
 
-  /** Signature → bands → (capped) candidates → exact-Jaccard verify over
-    * an (id, sh) frame with distinct, non-empty shingle arrays. Requires
-    * `graft_minhash_$k` registered (see [[minhashNearDups]]). */
-  private def verifiedPairs(shingled: DataFrame, idCol: String, k: Int,
-      bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
-    val r = k / bands
-    val sig = shingled
+  /** Tokenize → distinct word `shingleWords`-grams, dropping shingle-less
+    * docs, with the minhash/text kernels (incl. `graft_minhash_$k`)
+    * registered as a side effect. Map-only. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: Column,
+      shingleWords: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    graft.expressions.TextExprs.register(spark)
+    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
+      (0 until k).map(affineA).toArray, (0 until k).map(affineB).toArray)
+    // single-pass shingle kernel (the transform+slice+concat_ws chain
+    // interprets a lambda per shingle)
+    df.select(col(idCol), TF.tokens(textCol).as("tk"))
+      .select(col(idCol),
+        (if (shingleWords <= 1) array_distinct(col("tk"))
+         else graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords)).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs can't be near-dups
+  }
+
+  /** The per-doc dedup state derived from an (id, sh) frame: minhash
+    * signature (candidate generation), sorted 64-bit shingle hashes +
+    * set size (exact-Jaccard verification). Map-only; requires
+    * `graft_minhash_$k` registered (see [[shingleSets]]). */
+  private def indexColumns(shingled: DataFrame, idCol: String, k: Int): DataFrame =
+    shingled
       .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
       .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
       // sorted 64-bit shingle hashes: exact-Jaccard verification becomes a
       // codegen'd two-pointer merge instead of string-array intersection.
-      // localCheckpoint (not cache) because the banding union and the two
-      // verification joins re-scan this subtree ~10x: same reuse, but the
-      // blocks are freed by the ContextCleaner when the plan is dropped,
-      // instead of pinning executor storage for the session's lifetime.
-      // (Lineage is truncated: on preemptible clusters, prefer reliable
-      // checkpoint() — losing an executor mid-query aborts instead of
-      // recomputing.)
       .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
       .withColumn("sz", size(col("sh")))
-      .localCheckpoint(false)
-    val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol, maxBucket)
-    val withSets = cand
-      .join(sig.select(col(idCol).as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a")), "id_a")
-      .join(sig.select(col(idCol).as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b")), "id_b")
-    withSets
+      .select(col(idCol), col("sig"), col("hsh"), col("sz"))
+
+  /** Join candidate pairs back to their index rows and keep those at
+    * exact Jaccard ≥ threshold. `idx` must carry (idCol, hsh, sz). */
+  private def verifyPairs(cand: DataFrame, idx: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    cand
+      .join(idx.select(col(idCol).as("id_a"), col("hsh").as("ha"), col("sz").as("sz_a")), "id_a")
+      .join(idx.select(col(idCol).as("id_b"), col("hsh").as("hb"), col("sz").as("sz_b")), "id_b")
       // exact size bound: J = I/(sa+sb−I) with I ≤ min(sa,sb) implies
       // J ≤ min/max, so a pair with >1/t length disparity can never
       // reach the threshold — drop it BEFORE the two-pointer merge.
@@ -293,6 +299,98 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+
+  /** Signature → bands → (capped) candidates → exact-Jaccard verify over
+    * an (id, sh) frame with distinct, non-empty shingle arrays. Requires
+    * `graft_minhash_$k` registered (see [[minhashNearDups]]). */
+  private def verifiedPairs(shingled: DataFrame, idCol: String, k: Int,
+      bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    val r = k / bands
+    // localCheckpoint (not cache) because the banding union and the two
+    // verification joins re-scan this subtree ~10x: same reuse, but the
+    // blocks are freed by the ContextCleaner when the plan is dropped,
+    // instead of pinning executor storage for the session's lifetime.
+    // (Lineage is truncated: on preemptible clusters, prefer reliable
+    // checkpoint() — losing an executor mid-query aborts instead of
+    // recomputing.)
+    val sig = indexColumns(shingled, idCol, k).localCheckpoint(false)
+    val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol, maxBucket)
+    verifyPairs(cand, sig, idCol, threshold)
+  }
+
+  /** X108 near-dup index build: the PERSISTABLE per-doc state an
+    * incremental dedup run needs — the k-slot minhash signature (drives
+    * candidate generation) plus the sorted 64-bit shingle hashes and set
+    * size (drive exact-Jaccard verification). ~8 bytes per distinct
+    * shingle plus 8k per doc: orders of magnitude under re-shipping
+    * text, and the ONLY state a later [[incrementalNearDups]] batch
+    * touches. Map-only (no shuffle) — write it with the S7 parquet sink
+    * partitioned however the corpus is partitioned.
+    *
+    * Same hash contract as [[minhashNearDups]] (collision/casing note at
+    * the top of this file): identical `shingleWords`/`k` must be used at
+    * index build and incremental query time. */
+  def nearDupIndex(df: DataFrame, idCol: String, textCol: Column,
+      shingleWords: Int, k: Int): DataFrame =
+    indexColumns(shingleSets(df, idCol, textCol, shingleWords, k), idCol, k)
+
+  /** X108 incremental near-dup: verify ONLY the pairs a new `delta`
+    * batch introduces against a persisted [[nearDupIndex]] — the
+    * production shape at 100 TB, where re-running the full-corpus
+    * pipeline per arriving batch is a non-starter. Emits exactly the
+    * full-corpus run's pairs that touch at least one delta doc
+    * (spec-asserted set equality): banding, the bucket cap, and
+    * verification all run over the COMBINED bucket population, so a
+    * bucket that only goes degenerate once the delta lands is skipped
+    * exactly as the full run would skip it.
+    *
+    * Cost shape: delta-side work is map-only (shingle → signature); the
+    * corpus-sized index contributes one band-keyed shuffle (bucket
+    * count + probe) and two id-keyed verification joins against
+    * candidates — never an index×index pair. Candidates are
+    * delta-bands ⨝ all-bands on the banding key (base×base can never
+    * form), normalized via least/greatest so a delta×delta pair found
+    * from both sides collapses in the `distinct`. `delta` ids must be
+    * disjoint from the index's (enforce upstream with the J5-style
+    * anti-join); the caller appends `nearDupIndex(delta)` to the stored
+    * index afterwards. */
+  def incrementalNearDups(index: DataFrame, delta: DataFrame, idCol: String,
+      textCol: Column, shingleWords: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    // both frames are re-scanned (banding + two verify joins): checkpoint
+    // the delta pipeline once, and the union so a computed `index`
+    // argument (as in the q105 query) is not re-derived per scan
+    val deltaIdx = nearDupIndex(delta, idCol, textCol, shingleWords, k)
+      .localCheckpoint(false)
+    val all = index.unionByName(deltaIdx).localCheckpoint(false)
+    val allBands = minhashBands(all, idCol, "sig", bands, r)
+    val deltaBands = minhashBands(deltaIdx, idCol, "sig", bands, r)
+    val (aSide, bSide) =
+      if (maxBucket == Int.MaxValue) (deltaBands, allBands)
+      else {
+        // cap counts the COMBINED bucket (base + delta members): the
+        // same map-side-combined count + shuffled left-semi probe as the
+        // batch path ([[candidatePairs]] on the build-side hint), on the
+        // same key the candidate join shuffles on
+        val ok = allBands.groupBy("band_id", "band_key")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucket)
+          .select("band_id", "band_key")
+        (deltaBands.join(ok.hint("shuffle_hash"), Seq("band_id", "band_key"), "left_semi"),
+          allBands.join(ok.hint("shuffle_hash"), Seq("band_id", "band_key"), "left_semi"))
+      }
+    // see [[candidatePairs]] on why the join is forced to shuffle on the
+    // banding key rather than broadcast
+    val cand = aSide.select(col("band_id"), col("band_key"), col(idCol).as("_na"))
+      .hint("shuffle_hash")
+      .join(bSide.select(col("band_id"), col("band_key"), col(idCol).as("_ob")),
+        Seq("band_id", "band_key"))
+      .filter(col("_na") =!= col("_ob"))
+      .select(least(col("_na"), col("_ob")).as("id_a"),
+        greatest(col("_na"), col("_ob")).as("id_b"))
+      .distinct()
+    verifyPairs(cand, all, idCol, threshold)
   }
 
   /** X104 LSH bucket audit — the flagged accounting behind

@@ -382,6 +382,19 @@ class PlanAssertSpec extends AnyFunSuite {
       s"no unkeyed pair blowup anywhere in the expansion:\n${plan.take(4000)}")
   }
 
+  test("q105 incremental dedup: band-keyed shuffles only; the cap probe semi join never broadcasts") {
+    val plan = planOf("q105_incremental_dedup")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("band_key"),
+      s"delta-vs-all candidate generation must shuffle on the banding " +
+        s"key:\n${plan.take(4000)}")
+    assert(plan.linesIterator.filter(_.contains("LeftSemi"))
+      .forall(_.contains("ShuffledHashJoin")),
+      s"the under-cap bucket list is corpus-sized at scale — its semi " +
+        s"probe must be a shuffled join, never a broadcast:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no unkeyed pair blowup anywhere:\n${plan.take(4000)}")
+  }
+
   test("q101 zipf audit: ranking runs on the vocab table with a PARTIAL group limit") {
     val plan = planOf("q101_zipf_audit")
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
