@@ -1371,6 +1371,17 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** X109 UniMax epoch-capped mixture allocation
+    * ([[graft.operators.Corpus.unimaxAllocation]]): the token budget is
+    * 1.25× the corpus, no source may repeat past 1.4 epochs — small
+    * sources bind at their cap, the rest split the remainder at the
+    * water level. The oracle replays the closed-form water-filling
+    * (sorted-prefix f(r) ≤ budget test) independently in SQL. */
+  def unimaxQuery(spark: SparkSession, dir: String): DataFrame =
+    Corpus.unimaxAllocation(Tables.documentsSpread(spark, dir),
+      col("source"), size(TF.tokens(col("text"))),
+      budgetFrac = 1.25, maxEpochs = 1.4)
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1684,6 +1695,7 @@ object SparkEntry {
     "q103_precollapse_neardup" -> preCollapseNearDupQuery _,
     "q104_source_centroids" -> sourceCentroidSimQuery _,
     "q105_incremental_dedup" -> incrementalDedupQuery _,
+    "q106_unimax_mixture" -> unimaxQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3619,6 +3631,41 @@ object SparkEntry {
          |SELECT id_a, id_b, jac FROM verified
          |WHERE jac >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q106: UniMax water-filling replayed in SQL — exact DECIMAL caps and
+    // prefix sums, the bound test f(r) = pfx + cap·(S−r) ≤ budget per
+    // row (f is non-decreasing so the test marks the bound prefix), and
+    // the water level as the single double division rounded to 6.
+    "q106_unimax_mixture" ->
+      s"""WITH tc AS (
+         |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), c AS (
+         |  SELECT source, n_tokens,
+         |    CAST(CAST(n_tokens AS DECIMAL(20,4)) * CAST(1.4 AS DECIMAL(8,4)) AS DECIMAL(24,4)) AS cap
+         |  FROM tc
+         |), t AS (
+         |  SELECT CAST(CAST(sum(n_tokens) AS DECIMAL(24,4)) * CAST(1.25 AS DECIMAL(8,4)) AS DECIMAL(28,4)) AS budget,
+         |    count(*) AS s FROM tc
+         |), r AS (
+         |  SELECT c.source, c.n_tokens, c.cap, t.budget, t.s,
+         |    CAST(row_number() OVER (ORDER BY c.cap, c.source) AS BIGINT) AS rk,
+         |    sum(c.cap) OVER (ORDER BY c.cap, c.source ROWS UNBOUNDED PRECEDING) AS pfx
+         |  FROM c, t
+         |), b AS (
+         |  SELECT *, (pfx + cap * (s - rk)) <= budget AS bound FROM r
+         |), l AS (
+         |  SELECT coalesce(sum(CASE WHEN bound THEN cap END), 0) AS bp,
+         |    CAST(sum(CASE WHEN bound THEN 1 ELSE 0 END) AS BIGINT) AS j FROM b
+         |), a AS (
+         |  SELECT source, n_tokens, bound,
+         |    CASE WHEN bound THEN CAST(cap AS DOUBLE)
+         |         ELSE round(CAST(budget - bp AS DOUBLE) / (s - j), 6) END AS alloc_tokens
+         |  FROM b, l
+         |)
+         |SELECT source, n_tokens, bound, alloc_tokens,
+         |  CASE WHEN n_tokens > 0 THEN round(alloc_tokens / n_tokens, 6) ELSE 0.0 END AS epochs
+         |FROM a ORDER BY source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -190,6 +190,64 @@ object Corpus {
       .select(col("_cls"), col("_e.id").as(idCol))
   }
 
+  /** X109 UniMax epoch-capped mixture allocation (public method: Chung
+    * et al. 2023, "UniMax: Fairer and More Effective Language Sampling" —
+    * the budget water-filling that replaces temperature sampling in
+    * large-scale multilingual pretraining). Given a token budget
+    * (`budgetFrac` × corpus tokens) and a repetition ceiling
+    * (`maxEpochs`), allocate the budget as uniformly as possible without
+    * any source exceeding `maxEpochs` passes over its data: sources
+    * whose cap `n_s·maxEpochs` sits below the water level get their cap
+    * ("bound"); the rest split the remainder evenly.
+    *
+    * Closed form, no iteration: with caps sorted ascending,
+    * f(r) = Σ_{i≤r} cap_i + cap_r·(S−r) is non-decreasing, so
+    * "f(r) ≤ budget" marks exactly the bound prefix per-row — one window
+    * pass plus one conditional aggregate recovers the water level
+    * u = (budget − Σ_bound cap)/(S − #bound). All comparisons run in
+    * exact DECIMAL; u is the single double division (cross-engine
+    * identical), rounded to 6.
+    *
+    * Scale shape: the ONLY corpus-sized work is the source-keyed token
+    * sum (map-side combined). Everything after runs on the aggregated
+    * S-row table — the unpartitioned window is a deliberate single task
+    * over #sources rows (bounded: languages/domains, thousands at most),
+    * and the two one-row total frames ride along as broadcasts. */
+  def unimaxAllocation(docs: DataFrame, sourceCol: Column, tokenCol: Column,
+      budgetFrac: Double, maxEpochs: Double): DataFrame = {
+    require(budgetFrac > 0 && maxEpochs > 0, "budgetFrac and maxEpochs must be positive")
+    val me = lit(maxEpochs).cast("decimal(8,4)")
+    val bf = lit(budgetFrac).cast("decimal(8,4)")
+    val counts = docs.groupBy(sourceCol.as("source"))
+      .agg(sum(tokenCol.cast("long")).as("n_tokens"))
+    val capped = counts.withColumn("cap",
+      (col("n_tokens").cast("decimal(20,4)") * me).cast("decimal(24,4)"))
+    val tot = counts.agg(
+      (sum(col("n_tokens")).cast("decimal(24,4)") * bf).cast("decimal(28,4)").as("_budget"),
+      count(lit(1)).as("_s"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = capped
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum(col("cap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bound",
+        col("pfx") + col("cap") * (col("_s") - col("rk")) <= col("_budget"))
+    val lvl = ranked.agg(
+      coalesce(sum(when(col("bound"), col("cap"))), lit(0).cast("decimal(24,4)")).as("_bp"),
+      sum(when(col("bound"), 1L).otherwise(0L)).as("_j"))
+    ranked.crossJoin(broadcast(lvl))
+      .withColumn("alloc_tokens",
+        when(col("bound"), col("cap").cast("double"))
+          .otherwise(round((col("_budget") - col("_bp")).cast("double")
+            / (col("_s") - col("_j")), 6)))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0,
+          round(col("alloc_tokens") / col("n_tokens"), 6)).otherwise(lit(0.0)))
+      .select("source", "n_tokens", "bound", "alloc_tokens", "epochs")
+      .orderBy("source")
+  }
+
   def temperatureMixture(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("scaled", sqrt(col("n_docs").cast("double")))

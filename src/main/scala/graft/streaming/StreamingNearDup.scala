@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** X110: streaming MinHash-LSH near-dup detection with BOUNDED state —
+  * the in-flight third of the dedup triad (full batch
+  * [[graft.operators.Dedup.minhashNearDups]], incremental batch
+  * [[graft.operators.Dedup.incrementalNearDups]], this for documents
+  * still on the wire).
+  *
+  * Per arriving doc: tokenize → distinct shingles → k-slot minhash
+  * signature, all map-side with the SAME kernels and affine constants as
+  * the batch path (a pair this operator scores gets the identical exact
+  * Jaccard the batch pipeline would assign). Each doc then explodes to
+  * its `bands` LSH bucket keys — one pass, no streaming self-union — and
+  * a [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapGroupsWithState]]
+  * keyed on the bucket compares it against the bucket's live members.
+  *
+  * State is bounded on three axes, which is the whole point:
+  *   - horizon: members retire when they fall behind the event-time
+  *     watermark (EventTimeTimeout sweeps buckets no batch touches), so
+  *     the store is O(docs per horizon), never O(docs ever);
+  *   - bucket cap: a bucket at `maxBucket` live members stops admitting
+  *     and comparing — the same skip-and-flag contract as the batch
+  *     cap ([[graft.operators.Dedup.candidatePairs]]), because a
+  *     boilerplate bucket on a crawl stream is quadratic by
+  *     construction. Saturation latches for the bucket-horizon: once
+  *     saturated the bucket admits and emits nothing until its live
+  *     members expire with the watermark, so a hot bucket degrades
+  *     deterministically instead of quadratically;
+  *   - re-delivery: a doc id already live in the bucket is dropped
+  *     (at-least-once upstreams re-deliver within the horizon — the
+  *     streaming sibling of [[StreamingDedup.dedupWithinWatermark]]).
+  *
+  * A pair sharing multiple bands is emitted once PER SHARED BAND (rows
+  * carry `band_id`): distinct-across-groups inside the stream would need
+  * a second stateful stage, which Spark disallows after
+  * flatMapGroupsWithState — dedup at the sink on (id_a, id_b), e.g. the
+  * N2 foreachBatch MERGE pattern. Long-range duplicates (past the
+  * horizon) are the batch layer's job, same division of labor as X107.
+  *
+  * Output: (id_a, id_b, jac, band_id, ts) in append mode, ts = the later
+  * doc's event time. */
+object StreamingNearDup {
+
+  /** One live bucket member: doc id, sorted 64-bit shingle hashes (exact
+    * verification), shingle-set size, event-time millis. */
+  final case class BucketDoc(id: Long, hsh: Array[Long], sz: Int, tsMs: Long)
+
+  /** Bucket state: live members (≤ maxBucket) + the saturation latch. */
+  final case class BucketState(docs: List[BucketDoc], saturated: Boolean)
+
+  final case class StreamPair(id_a: Long, id_b: Long, jac: Double,
+      band_id: Int, ts: Timestamp)
+
+  /** Internal row shape between the band explode and the stateful
+    * operator (public only because encoder codegen must reach it). */
+  final case class BandRow(bandId: Int, bandKey: String, id: Long,
+      hsh: Array[Long], sz: Int, ts: Timestamp)
+
+  /** Exact |A ∩ B| over two sorted long arrays (two-pointer merge — the
+    * JVM twin of the `graft_sorted_intersect_count` codegen kernel). */
+  private def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Near-dup pairs over a streaming (id, text, event-time) frame.
+    * `delayMs` is both the watermark delay and the dedup horizon. */
+  def streamingNearDups(docs: DataFrame, idCol: String, textCol: Column,
+      tsCol: String, delayMs: Long, shingleWords: Int, k: Int, bands: Int,
+      threshold: Double,
+      maxBucket: Int = Dedup.DefaultMaxBucket): Dataset[StreamPair] = {
+    require(k % bands == 0, "k must divide into equal bands")
+    require(delayMs > 0, "delayMs must be positive")
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val marked = docs.withWatermark(tsCol, s"$delayMs milliseconds")
+    // single-pass shingle → signature → band explode, keeping ts inline
+    // (the batch path's shingleSets/indexColumns drop extra columns; the
+    // expressions, kernels, and affine constants here are the same)
+    graft.expressions.HashFunctions.register(spark)
+    graft.expressions.TextExprs.register(spark)
+    graft.expressions.HashFunctions.registerMinhash(spark, s"graft_minhash_$k",
+      (0 until k).map(Dedup.affineA).toArray, (0 until k).map(Dedup.affineB).toArray)
+    val shingled = marked
+      .select(col(idCol), col(tsCol), graft.functions.TextFunctions.tokens(textCol).as("tk"))
+      .select(col(idCol), col(tsCol),
+        (if (shingleWords <= 1) array_distinct(col("tk"))
+         else graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), shingleWords)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
+      .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
+      .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
+      .withColumn("sz", size(col("sh")))
+    val banded = shingled
+      .withColumn("band", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws(",", (0 until r).map(i => get(col("sig"), lit(b * r + i))): _*)
+            .as("band_key"))
+      }: _*)))
+      .select(col("band.band_id").as("bandId"), col("band.band_key").as("bandKey"),
+        col(idCol).as("id"), col("hsh"), col("sz"), col(tsCol).as("ts"))
+      .as[BandRow]
+
+    banded
+      .groupByKey(row => (row.bandId, row.bandKey))
+      .flatMapGroupsWithState[BucketState, StreamPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // horizon sweep for buckets this batch never touched
+            val live = state.get.docs.filter(_.tsMs >= wm)
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(BucketState(live, state.get.saturated))
+              state.setTimeoutTimestamp(math.max(
+                live.map(_.tsMs).max + delayMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+            // expired members retire before any comparison
+            var members = prev.docs.filter(_.tsMs >= wm)
+            var saturated = prev.saturated && members.nonEmpty
+            val out = List.newBuilder[StreamPair]
+            // deterministic within-batch order: event time, then id
+            for (row <- rows.toArray.sortBy(x => (x.ts.getTime, x.id))) {
+              val dup = members.exists(_.id == row.id)
+              if (!dup && !saturated) {
+                if (members.sizeIs >= maxBucket) {
+                  // skip-and-flag: past the cap the bucket stops scoring
+                  // entirely (the batch cap's semantics) until its
+                  // members expire with the horizon
+                  saturated = true
+                } else {
+                  val tMs = row.ts.getTime
+                  for (m <- members) {
+                    // exact size bound, same as the batch verify
+                    if (math.min(m.sz, row.sz) >= threshold * math.max(m.sz, row.sz)) {
+                      val inter = sortedIntersect(m.hsh, row.hsh)
+                      val jac = inter.toDouble / (m.sz + row.sz - inter)
+                      if (jac >= threshold)
+                        out += StreamPair(math.min(m.id, row.id), math.max(m.id, row.id),
+                          jac, key._1, new Timestamp(math.max(m.tsMs, tMs)))
+                    }
+                  }
+                  members = BucketDoc(row.id, row.hsh, row.sz, tMs) :: members
+                }
+              }
+            }
+            if (members.isEmpty) { state.remove(); out.result().iterator }
+            else {
+              state.update(BucketState(members, saturated))
+              state.setTimeoutTimestamp(math.max(
+                members.map(_.tsMs).max + delayMs, wm + 1))
+              out.result().iterator
+            }
+          }
+      }
+  }
+}

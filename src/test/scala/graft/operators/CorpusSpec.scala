@@ -501,4 +501,43 @@ class CorpusSpec extends AnyFunSuite {
     val expect = ((1L to 5L) ++ big).sortBy(i => (key(i), i)).take(4).toSet
     assert(kept == expect)
   }
+
+  test("unimax allocation: hand-computed water-filling, including the exact boundary case") {
+    // tokens A:100 B:200 C:700, maxEpochs=2, budget=1.0×1000=1000.
+    // caps 200/400/1400 sorted; f(1)=200+200·2=600 ≤ 1000 bound,
+    // f(2)=600+400·1=1000 ≤ 1000 bound (EXACT boundary), f(3)=2000 not.
+    // Water level u=(1000−600)/1=400 → C gets 400 at 4/7 epochs.
+    val docs = (Seq.fill(1)(("A", 100)) ++ Seq(("B", 200)) ++ Seq(("C", 700)))
+      .toDF("source", "n_tok")
+    val out = Corpus.unimaxAllocation(docs, $"source", $"n_tok",
+        budgetFrac = 1.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("A") == ((100L, true, 200.0, 2.0)))
+    assert(out("B") == ((200L, true, 400.0, 2.0)))
+    assert(out("C") == ((700L, false, 400.0, 0.571429)))
+  }
+
+  test("unimax allocation: budget past all caps binds everyone; allocations sum to min(budget, total caps)") {
+    val docs = Seq(("A", 10), ("B", 30), ("C", 60)).toDF("source", "n_tok")
+    val all = Corpus.unimaxAllocation(docs, $"source", $"n_tok",
+        budgetFrac = 5.0, maxEpochs = 2.0).collect()
+    assert(all.forall(_.getBoolean(2)), "every source must bind at its cap")
+    assert(all.map(_.getDouble(3)).sum == 200.0) // Σ caps = 2×100
+    // tight budget binds nobody: pure uniform split
+    val none = Corpus.unimaxAllocation(docs, $"source", $"n_tok",
+        budgetFrac = 0.3, maxEpochs = 2.0).collect()
+    assert(none.forall(!_.getBoolean(2)))
+    assert(none.map(_.getDouble(3)).distinct.length == 1, "uniform split expected")
+    assert(math.abs(none.map(_.getDouble(3)).sum - 30.0) < 1e-6)
+  }
+
+  test("unimax allocation is repartition-invariant") {
+    val docs = (1 to 500).map(i => (s"s${i % 7}", i % 40)).toDF("source", "n_tok")
+    val a = Corpus.unimaxAllocation(docs, $"source", $"n_tok", 1.25, 1.4)
+      .collect().toSeq
+    val b = Corpus.unimaxAllocation(docs.repartition(13), $"source", $"n_tok", 1.25, 1.4)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
