@@ -1371,6 +1371,19 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** X111 within-source embedding dispersion
+    * ([[graft.operators.Similarity.groupDispersion]]): exact mean
+    * pairwise squared distance per source without forming pairs —
+    * n·Σ‖x‖² − ‖Σx‖² over decimal-exact sums. */
+  def sourceDispersionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    graft.operators.Similarity.groupDispersion(
+      joined, col("source"), col("embedding"))
+  }
+
   /** X109 UniMax epoch-capped mixture allocation
     * ([[graft.operators.Corpus.unimaxAllocation]]): the token budget is
     * 1.25× the corpus, no source may repeat past 1.4 epochs — small
@@ -1696,6 +1709,7 @@ object SparkEntry {
     "q104_source_centroids" -> sourceCentroidSimQuery _,
     "q105_incremental_dedup" -> incrementalDedupQuery _,
     "q106_unimax_mixture" -> unimaxQuery _,
+    "q107_source_dispersion" -> sourceDispersionQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3636,6 +3650,34 @@ object SparkEntry {
     // prefix sums, the bound test f(r) = pfx + cap·(S−r) ≤ budget per
     // row (f is non-decreasing so the test marks the bound prefix), and
     // the water level as the single double division rounded to 6.
+    // q107: within-source dispersion re-derived — per-element DECIMAL
+    // sums (Σx per position, Σ‖x‖² as the per-row 64-term decimal sum:
+    // the identical term set the Spark side's exploded sum accumulates),
+    // then the closed-form combine n·Σ‖x‖² − ‖Σx‖² with the q104-style
+    // list_dot_product over the centroid-sum doubles, rounded 6.
+    "q107_source_dispersion" -> {
+      val sumExprs = (1 to 64)
+        .map(i => s"CAST(sum(CAST(v[$i] AS DECIMAL(20,12))) AS DOUBLE)")
+        .mkString(", ")
+      val sqExprs = (1 to 64)
+        .map(i => s"CAST(v[$i] * v[$i] AS DECIMAL(20,12))")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), j AS (
+         |  SELECT d.source, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id
+         |), c AS (
+         |  SELECT source, count(*) AS n,
+         |    [$sumExprs] AS c,
+         |    CAST(sum($sqExprs) AS DOUBLE) AS qq
+         |  FROM j GROUP BY source HAVING count(*) >= 2
+         |)
+         |SELECT source, n AS n_vecs,
+         |  round((n * qq - list_dot_product(c, c)) / ((n * (n - 1)) / 2.0), 6) AS mean_sq_dist,
+         |  round(sqrt(qq / n), 6) AS rms_norm
+         |FROM c ORDER BY source""".stripMargin
+    },
+
     "q106_unimax_mixture" ->
       s"""WITH tc AS (
          |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens

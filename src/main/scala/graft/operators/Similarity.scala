@@ -511,6 +511,46 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** X111 within-group embedding dispersion — the mode-collapse audit
+    * for synthetic/templated sources, complementing [[groupCentroidSimilarity]]
+    * (X106 asks "are two sources the same feed?"; this asks "did one
+    * source collapse onto itself?"). Per group: the EXACT mean pairwise
+    * squared L2 distance over all C(n,2) pairs, without forming any
+    * pair, via the identity Σ_{i<j}‖xᵢ−xⱼ‖² = n·Σ‖xᵢ‖² − ‖Σxᵢ‖².
+    * A healthy organic source sits near 2× its per-dimension variance
+    * budget; near-zero means the source's embeddings have collapsed
+    * (mass duplication, template text, or a degenerate encoder).
+    *
+    * Scale shape: ONE positional explode into a (group, pos)-keyed sum
+    * with map-side partials — the exchange carries groups×d rows per
+    * mapper, never the vector stream; both Σx (per position) and Σ‖x‖²
+    * accumulate as DECIMAL(20,12) ⇒ exact and order-free, so the only
+    * floating-point ops are the final closed-form combine (sequential
+    * d-element dot of the centroid sums + two divisions, rounded 6 —
+    * cross-engine identical). Groups need n ≥ 2 (mirrored HAVING). */
+  def groupDispersion(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame = {
+    val expl = df.select(groupCol.as("_g"),
+      posexplode(VF.vecAsDouble(vecCol)).as(Seq("_p", "_x")))
+    val perPos = expl.groupBy("_g", "_p")
+      .agg(sum(col("_x").cast("decimal(20,12)")).as("_s"),
+        sum((col("_x") * col("_x")).cast("decimal(20,12)")).as("_q"),
+        count(lit(1)).as("_n"))
+    val perGroup = perPos.groupBy("_g")
+      .agg(collect_list(struct(col("_p"), col("_s"))).as("_raw"),
+        sum(col("_q")).as("_qq"),
+        max(col("_n")).as("_n")) // every position sees all n vectors
+      .select(col("_g"), col("_qq").cast("double").as("_qq"), col("_n"),
+        transform(array_sort(col("_raw")), e => e.getField("_s").cast("double")).as("_c"))
+      .filter(col("_n") >= 2)
+    VectorExprs.register(df.sparkSession)
+    perGroup
+      .select(col("_g").as("source"), col("_n").as("n_vecs"),
+        round((col("_n") * col("_qq") - VectorExprs.vec_dot(col("_c"), col("_c")))
+          / ((col("_n") * (col("_n") - 1)) / lit(2.0)), 6).as("mean_sq_dist"),
+        round(sqrt(col("_qq") / col("_n")), 6).as("rms_norm"))
+      .orderBy("source")
+  }
+
   /** Shared tail of the SemDeDup variants: close the near-dup pairs into
     * components and mark the min-id representative of each as kept. */
   private def semanticDedupFromPairs(df: DataFrame, idCol: String,

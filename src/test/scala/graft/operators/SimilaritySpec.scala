@@ -280,6 +280,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(df.repartition(7)) == out, "must be partitioning-invariant")
   }
 
+  test("group dispersion: hand-computed mean pairwise squared distance; collapsed source reads zero") {
+    // group a: (0,0),(2,0),(0,2) — pair dists² 4,4,8 → mean 16/3;
+    //   Σ‖x‖²=8, ‖Σx‖²=8 → (3·8−8)/3 = 16/3 ✓ (identity cross-check)
+    // group b: three identical vectors → dispersion exactly 0 (collapse)
+    // group c: singleton → dropped (n ≥ 2 on both engines)
+    val df = Seq(
+      ("a", Seq(0.0f, 0.0f)), ("a", Seq(2.0f, 0.0f)), ("a", Seq(0.0f, 2.0f)),
+      ("b", Seq(3.0f, 4.0f)), ("b", Seq(3.0f, 4.0f)), ("b", Seq(3.0f, 4.0f)),
+      ("c", Seq(9.0f, 9.0f))).toDF("source", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.groupDispersion(d, col("source"), col("embedding"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val out = run(df)
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set("a", "b"), s"singleton must drop: $out")
+    assert(out("a") == ((3L, r6(16.0 / 3), r6(math.sqrt(8.0 / 3)))))
+    assert(out("b") == ((3L, 0.0, 5.0)))
+    assert(run(df.repartition(5)) == out, "must be partitioning-invariant")
+  }
+
   /** Deterministic correlated + mean-shifted corpus: every dim is the
     * same base signal (plus per-dim noise), so all sign bits agree and a
     * positive mean pushes most rows into the all-ones cell — the plain
