@@ -1395,6 +1395,39 @@ object SparkEntry {
       col("source"), size(TF.tokens(col("text"))),
       budgetFrac = 1.25, maxEpochs = 1.4)
 
+  /** X112 quality-priority cluster representative
+    * ([[graft.operators.Dedup.dedupByClusterBest]]): the q54 capped
+    * minhash chain's clusters, keeping the LONGEST member per cluster
+    * (token count as the quality score, ties to min id) instead of the
+    * arbitrary min-id. Per-source retention audit with a kept-id
+    * checksum so the oracle pins the EXACT kept set — the recursive-CTE
+    * oracle replays clusters + argmax independently. */
+  def bestDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TF.tokens(col("text"))).as("n_tok"), col("text"))
+    val pairs = Dedup.minhashNearDups(docs.select(col("doc_id"), col("text")),
+      "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3,
+      threshold = 0.5, maxBucket = Dedup.DefaultMaxBucket)
+    val kept = Dedup.dedupByClusterBest(docs.drop("text"), "doc_id",
+      pairs.select("id_a", "id_b"), col("n_tok"))
+    val before = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val after = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("kept_id_sum"))
+    before.join(after, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  /** X113 train/heldout split-leakage audit
+    * ([[graft.operators.Dedup.splitLeakage]]): deterministic LCG split,
+    * 8-token rolling-hash grams, per-source heldout contamination rate
+    * against the train side's distinct-gram set. */
+  def splitLeakageQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.splitLeakage(Tables.documentsSpread(spark, dir), "doc_id",
+      col("text"), col("source"), k = 8)
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1710,6 +1743,8 @@ object SparkEntry {
     "q105_incremental_dedup" -> incrementalDedupQuery _,
     "q106_unimax_mixture" -> unimaxQuery _,
     "q107_source_dispersion" -> sourceDispersionQuery _,
+    "q108_best_dedup" -> bestDedupQuery _,
+    "q109_split_leakage" -> splitLeakageQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3708,6 +3743,82 @@ object SparkEntry {
          |SELECT source, n_tokens, bound, alloc_tokens,
          |  CASE WHEN n_tokens > 0 THEN round(alloc_tokens / n_tokens, 6) ELSE 0.0 END AS epochs
          |FROM a ORDER BY source""".stripMargin,
+
+    // q108: clusters replayed with the q54 recursive CTE over the SAME
+    // capped chain, then the quality argmax re-derived with a window
+    // (n_tok DESC, doc_id ASC) — the kept_id_sum checksum pins the EXACT
+    // kept set, so the Spark side's no-window struct-max argmax is
+    // hash-proven equivalent to the oracle's row_number formulation.
+    "q108_best_dedup" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+        |pairs AS (SELECT id_a, id_b FROM verified WHERE jac >= 0.5),
+        |e AS (
+        |  SELECT id_a AS id, id_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT id_b AS id, id_a AS nbr FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT id, id AS r FROM e
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), nd AS (
+        |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), w AS (
+        |  SELECT cl.cluster_id, d.doc_id,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY d.n_tok DESC, d.doc_id ASC) AS rk
+        |  FROM cl JOIN nd d ON d.doc_id = cl.id
+        |), losers AS (
+        |  SELECT doc_id FROM w WHERE rk > 1
+        |)
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM nd d LEFT JOIN losers l USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // q109: the q92 rolling-gram chain with the X77-pattern LCG split
+    // (id folded into [0,2^31) before the multiply — never exceeds 2^61,
+    // engine-identical). Heldout docs shorter than 8 tokens have no
+    // grams and count clean via the LEFT JOIN.
+    "q109_split_leakage" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, source, $toksSql AS tk FROM documents
+        |), hs AS (
+        |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    list_transform(tk, t -> ${ph("t")}) AS hs,
+        |    ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483647) % 10) = 9 AS held
+        |  FROM t0
+        |), grams AS (
+        |  SELECT doc_id, source, held,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[u.i+1 : u.i+8]),
+        |      (acc, h) -> (acc * ${Hashes.SpanGramMul} + h) % ${Hashes.PolyMod}) AS g
+        |  FROM hs, UNNEST(range(0, n_tok - 8 + 1)) AS u(i)
+        |  WHERE n_tok >= 8
+        |), train_g AS (
+        |  SELECT DISTINCT g FROM grams WHERE NOT held
+        |), held_g AS (
+        |  SELECT DISTINCT doc_id, source, g FROM grams WHERE held
+        |), hit AS (
+        |  SELECT h.doc_id, h.source, h.g FROM held_g h JOIN train_g USING (g)
+        |), per_src AS (
+        |  SELECT source, count(DISTINCT doc_id) AS n_contam_docs,
+        |    count(DISTINCT g) AS n_overlap_grams
+        |  FROM hit GROUP BY source
+        |), held_docs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_held_docs
+        |  FROM hs WHERE held GROUP BY source
+        |)
+        |SELECT d.source, d.n_held_docs,
+        |  CAST(coalesce(p.n_contam_docs, 0) AS BIGINT) AS n_contam_docs,
+        |  round(CAST(coalesce(p.n_contam_docs, 0) AS DOUBLE) * 100
+        |    / d.n_held_docs, 6) AS contam_pct,
+        |  CAST(coalesce(p.n_overlap_grams, 0) AS BIGINT) AS n_overlap_grams
+        |FROM held_docs d LEFT JOIN per_src p USING (source)
+        |ORDER BY d.source""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -586,6 +586,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** X112 quality-priority cluster representative: keep the BEST-scoring
+    * document per near-dup cluster instead of [[dedupByCluster]]'s
+    * arbitrary min-id (the production rule in public curation pipelines —
+    * e.g. keep the longest / highest-quality member of a duplicate
+    * family rather than whichever crawled first). Ties break to the
+    * minimum id so the kept set is deterministic on any cluster layout.
+    * Documents absent from `pairs` are their own cluster and always kept.
+    *
+    * Scale shape: the cluster table is the verified-pair sliver, never
+    * the corpus — the scoring agg runs ONLY over clustered members (one
+    * inner join + one cluster-keyed `max(struct(score, -id))` argmax
+    * with map-side partials; no window sort), and the corpus pays a
+    * single anti-join against the loser sliver. `scoreCol` must be
+    * orderable and is evaluated against `df`'s columns. */
+  def dedupByClusterBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: Column): DataFrame = {
+    val clusters = nearDupClusters(pairs) // (id, cluster_id) — pair sliver
+    val member = df.select(col(idCol), scoreCol.as("_score"))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
+    // argmax by (score, then min id): one struct-max agg, no window.
+    // -id inverts the id order inside max(); ids are non-negative
+    // throughout this library so the negation cannot overflow.
+    val winners = member.groupBy("cluster_id")
+      .agg(max(struct(col("_score").as("s"),
+        (-col(idCol).cast("long")).as("negid"))).as("_w"))
+      .select(col("cluster_id"), (-col("_w.negid")).as("_keep"))
+    val losers = clusters.join(winners, Seq("cluster_id"))
+      .filter(col("id") =!= col("_keep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   private val SimhashBits = 30 // fits in polyHash's mod-1e9+7 range
 
   /** 30-bit SimHash fingerprint of the token array: bit i of the result is
@@ -812,6 +844,67 @@ object Dedup {
   /** One codegen pass per doc: token hashes, then the n−k+1 positional
     * gram hashes via the O(n) rolling chain, exploded to
     * (doc_id, pos, g). */
+  /** X113 train/heldout split-leakage audit (public method: Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better";
+    * the GPT-3 appendix's 13-gram train–test overlap check): split the
+    * corpus into train/heldout by a deterministic LCG scramble of the
+    * doc id (the X77 leakage-safe split pattern — engine-portable
+    * integer arithmetic, no RNG), then report per source how many
+    * heldout documents share at least one k-token gram with ANY train
+    * document, and how many distinct grams leak. This is the audit a
+    * pipeline owner runs BEFORE trusting heldout perplexity: a high
+    * contamination rate means the eval set is memorizable from train.
+    *
+    * Scale shape: grams are the O(n) rolling-hash chain ([[Hashes]]
+    * SpanGram constants — map-only, the text column never shuffles).
+    * The train side collapses to DISTINCT grams with map-side partials
+    * before the only corpus-sized shuffle (gram-keyed); the heldout
+    * probe is a left-semi join on that key — `shuffle_hash`-hinted, both
+    * sides corpus-scale so a sort-merge's double sort is wasted work and
+    * a stats-miss broadcast would OOM. The two distinct-counts fold in
+    * ONE pass over the hit sliver (Expand ×2, both branches collapse
+    * map-side on (source, doc)/(source, gram) keys before the shuffle).
+    * Heldout docs with fewer than k tokens have no grams and count as
+    * clean — mirrored by the oracle's LEFT JOIN.
+    *
+    * The split key folds the id into [0, 2^31) before the LCG multiply,
+    * so the arithmetic never exceeds 2^61 — identical in any engine with
+    * 64-bit integers, no overflow divergence (the q100 lesson). */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: Column,
+      sourceCol: Column, k: Int = 8, heldResidue: Long = 9L): DataFrame = {
+    require(k >= 2, s"split-leakage gram width must be >= 2, got $k")
+    require(heldResidue >= 0 && heldResidue < 10,
+      s"heldResidue selects one of the 10 LCG residue classes, got $heldResidue")
+    val spark = docs.sparkSession
+    graft.expressions.HashFunctions.register(spark)
+    import graft.expressions.HashFunctions.{gram_chain, poly_hash_array}
+    val key = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483647L))
+    val tagged = docs
+      .select(col(idCol).cast("long").as("doc_id"), sourceCol.as("source"),
+        textCol.as("_text"))
+      .withColumn("_held", pmod(key, lit(10L)) === lit(heldResidue))
+    val grams = tagged.select(col("doc_id"), col("source"), col("_held"),
+      explode(gram_chain(poly_hash_array(TF.tokens(col("_text"))), k)).as("g"))
+    val trainGrams = grams.filter(!col("_held")).select("g").distinct()
+    val heldGrams = grams.filter(col("_held"))
+      .select("source", "doc_id", "g").distinct()
+    val hits = heldGrams.join(trainGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+    val perSource = hits.groupBy("source").agg(
+      countDistinct(col("doc_id")).as("n_contam_docs"),
+      countDistinct(col("g")).as("n_overlap_grams"))
+    val heldCounts = tagged.filter(col("_held"))
+      .groupBy("source").agg(count(lit(1)).as("n_held_docs"))
+    heldCounts.join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_held_docs"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        round(coalesce(col("n_contam_docs"), lit(0L)).cast("double") * 100 /
+          col("n_held_docs"), 6).as("contam_pct"),
+        coalesce(col("n_overlap_grams"), lit(0L)).as("n_overlap_grams"))
+      .orderBy("source")
+  }
+
   private def positionalGrams(docs: DataFrame, idCol: String,
       textCol: Column, k: Int): DataFrame = {
     val spark = docs.sparkSession

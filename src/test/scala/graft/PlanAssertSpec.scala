@@ -407,4 +407,32 @@ class PlanAssertSpec extends AnyFunSuite {
       s"the regression reduces in closed form — no join belongs " +
         s"here:\n${plan.take(3000)}")
   }
+
+  test("q108 best-dedup: argmax is a struct-max aggregate, losers anti-join; no window sort") {
+    val plan = planOf("q108_best_dedup")
+    assert(!plan.contains("Window"),
+      s"the per-cluster winner must come from max(struct(score,-id)) with " +
+        s"map-side partials — a row_number window would sort every " +
+        s"cluster's members in one task:\n${plan.take(4000)}")
+    assert(plan.contains("LeftAnti"),
+      s"the corpus pays one anti-join against the loser sliver:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no unkeyed pair blowup anywhere:\n${plan.take(4000)}")
+  }
+
+  test("q109 split leakage: gram probe is a shuffled semi join; distinct sets fold map-side") {
+    val plan = planOf("q109_split_leakage")
+    assert(plan.linesIterator.filter(_.contains("LeftSemi"))
+      .forall(_.contains("ShuffledHashJoin")),
+      s"train grams are corpus-sized — the heldout probe must shuffle on " +
+        s"the gram key, never broadcast:\n${plan.take(4000)}")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"the audit is keyed aggregation + one semi join only:\n${plan.take(4000)}")
+    // three scans, each pruned to what its branch needs: the train gram
+    // side drops source entirely, the held-doc count drops the text
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"the train-gram scan must prune source away:\n${plan.take(4000)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"the held-doc count must never read the text column:\n${plan.take(4000)}")
+  }
 }

@@ -285,6 +285,54 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 7L))
   }
 
+  test("dedupByClusterBest keeps the top-scoring member, ties to min id") {
+    val docs = Seq(
+      (1L, base, 5), (2L, base, 9), (3L, base, 9), // one cluster: 2 and 3 tie on score
+      (7L, unrelated, 1)) // unpaired: always kept
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusterBest(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L)) // 2 beats 1 on score, beats 3 on id tie
+  }
+
+  test("dedupByClusterBest with a constant score degenerates to min-id keep") {
+    val docs = Seq((1L, base), (2L, base), (3L, base), (7L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val best = Dedup.dedupByClusterBest(docs, "doc_id", pairs, lit(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = Dedup.dedupByCluster(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == minId && best == Set(1L, 7L))
+  }
+
+  test("split leakage: contaminated held doc flagged, clean and short held docs pass") {
+    // LCG residues hand-computed: among ids 0..9 and 27, exactly 7 and 27
+    // land in the heldout class (key%10 == 9). Doc 7 repeats doc 2's
+    // 10-token text => 3 leaked 8-gram windows; doc 27 (source B) has
+    // only 5 tokens => no grams, counts clean.
+    val tenTok = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val rows = (0L to 9L).map { i =>
+      val txt = if (i == 7L) tenTok
+      else if (i == 2L) tenTok
+      else s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e " +
+        s"filler${i}f filler${i}g filler${i}h filler${i}i"
+      (i, "A", txt)
+    } :+ ((27L, "B", "kilo lima mike november oscar"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = Dedup.splitLeakage(docs, "doc_id", col("text"), col("source"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toList
+    assert(out == List(("A", 1L, 1L, 100.0, 3L), ("B", 1L, 0L, 0.0, 0L)))
+    // repartition-invariant: the audit is all keyed aggregation
+    val out2 = Dedup.splitLeakage(docs.repartition(7), "doc_id",
+      col("text"), col("source"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toList
+    assert(out2 == out)
+  }
+
   test("end-to-end dedup: minhash pairs -> clusters -> deduped corpus") {
     val docs = Seq((1L, base), (2L, nearDup), (3L, base), (4L, unrelated))
       .toDF("doc_id", "text")
