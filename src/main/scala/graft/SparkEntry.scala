@@ -1428,6 +1428,15 @@ object SparkEntry {
     Dedup.splitLeakage(Tables.documentsSpread(spark, dir), "doc_id",
       col("text"), col("source"), k = 8)
 
+  /** X114 reproducible training-shard audit
+    * ([[graft.operators.Corpus.shardAudit]]): the deterministic Knuth
+    * scramble assigns every doc to one of 16 shards; the audit pins each
+    * shard's membership with an id-sum checksum, so the oracle's
+    * re-derived assignment must agree doc-for-doc. */
+  def shardAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shardAudit(Tables.documentsSpread(spark, dir), "doc_id",
+      col("text"), nShards = 16)
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1745,6 +1754,7 @@ object SparkEntry {
     "q107_source_dispersion" -> sourceDispersionQuery _,
     "q108_best_dedup" -> bestDedupQuery _,
     "q109_split_leakage" -> splitLeakageQuery _,
+    "q110_shard_audit" -> shardAuditQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3819,6 +3829,20 @@ object SparkEntry {
         |  CAST(coalesce(p.n_overlap_grams, 0) AS BIGINT) AS n_overlap_grams
         |FROM held_docs d LEFT JOIN per_src p USING (source)
         |ORDER BY d.source""".stripMargin,
+
+    // q110: the Knuth scramble re-derived in SQL (fold into [0,2^31)
+    // before the multiply — products stay under 2^63 in both engines);
+    // the id_sum checksum makes any misrouted doc a hash mismatch.
+    "q110_shard_audit" ->
+      s"""WITH a AS (
+        |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+        |    (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16 AS shard
+        |  FROM documents
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

@@ -869,6 +869,49 @@ object Corpus {
       .limit(k)
   }
 
+  /** X114 reproducible training-shard assignment — the last step of
+    * every curation pipeline: materialize the cleaned corpus as N
+    * shards in a pseudorandom but DETERMINISTIC global order, so a
+    * re-run (or a second team) produces byte-identical training shards
+    * and any shard can be re-created alone. Assignment is a pure
+    * function of the id: the widening-safe Knuth multiplicative
+    * scramble (fold into [0,2^31) first — products stay under 2^63,
+    * engine-identical; the q100 lesson) gives `sort_key`, and
+    * `shard = sort_key % nShards`. Training order within a shard is
+    * (sort_key, id) ascending; the scramble decorrelates it from crawl
+    * order, source, and time.
+    *
+    * Scale shape: assignment is MAP-ONLY — no shuffle until the writer
+    * re-buckets. Write with
+    * `.repartition(col("shard")).sortWithinPartitions("shard", "sort_key")
+    *  .write.partitionBy("shard")` — one hash shuffle on the shard id,
+    * local sorts, one directory per shard. (`partitionBy` on the write
+    * keeps shard→file exact even where `repartition(n, col)`'s
+    * hash-mod-n would fold two shard ids into one task.) */
+  def trainingShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.withColumn("sort_key", key)
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+  }
+
+  /** X114 shard-balance audit over [[trainingShards]]: one row per
+    * shard — doc count, token mass, and an id-sum checksum that pins
+    * the exact membership (the oracle re-derives the assignment, so a
+    * single misrouted doc breaks the hash compare). One shard-keyed
+    * aggregation with map-side partials; the wide text never shuffles
+    * (token counts reduce in the map stage). */
+  def shardAudit(docs: DataFrame, idCol: String, textCol: Column,
+      nShards: Int): DataFrame =
+    trainingShards(docs.select(col(idCol), size(TF.tokens(textCol)).cast("long").as("_ntok")),
+        idCol, nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).cast("long").as("n_tokens"),
+        sum(col(idCol)).cast("long").as("id_sum"))
+      .orderBy("shard")
+
   def packingStats(docs: DataFrame, budget: Int = 512): DataFrame = {
     val packed = packAssignments(docs, budget)
 

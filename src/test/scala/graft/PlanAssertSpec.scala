@@ -435,4 +435,16 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       s"the held-doc count must never read the text column:\n${plan.take(4000)}")
   }
+
+  test("q110 shard audit: map-only assignment, one shard-keyed agg, no join") {
+    val plan = planOf("q110_shard_audit")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"assignment is a pure function of the id — nothing to join or " +
+        s"sort:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(shard#\\d+".r.findFirstIn(plan).isDefined,
+      s"the only shuffle is the shard-keyed aggregation:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"token mass must reduce map-side (the wide text never " +
+        s"shuffles):\n${plan.take(3000)}")
+  }
 }

@@ -540,4 +540,37 @@ class CorpusSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("training shards: assignment is the documented Knuth scramble, deterministic, complete") {
+    val d = (0L until 200L).map(i => (i, s"tok$i word$i")).toDF("doc_id", "text")
+    val assigned = Corpus.trainingShards(d, "doc_id", 16)
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc assigned exactly once, to the hand-derivable shard
+    assert(assigned.length == 200)
+    assigned.foreach { case (id, shard, key) =>
+      val expectKey = java.lang.Math.floorMod(
+        java.lang.Math.floorMod(id, 2147483648L) * 2654435761L, 4294967296L)
+      assert(key == expectKey && shard == expectKey % 16,
+        s"doc $id: got (shard=$shard, key=$key), want key=$expectKey")
+    }
+    // re-run and repartition produce the identical assignment
+    val again = Corpus.trainingShards(d.repartition(7), "doc_id", 16)
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == assigned.sortBy(_._1).toSeq)
+  }
+
+  test("shard audit: checksums pin membership; shard sizes stay balanced") {
+    val d = (0L until 1600L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val audit = Corpus.shardAudit(d, "doc_id", $"text", 16).collect()
+    assert(audit.length == 16)
+    assert(audit.map(_.getLong(1)).sum == 1600L, "every doc in exactly one shard")
+    assert(audit.map(_.getLong(3)).sum == (0L until 1600L).sum, "id checksum total")
+    assert(audit.forall(r => r.getLong(2) == r.getLong(1) * 3), "3 tokens per doc")
+    // the multiplicative scramble should spread 1600 sequential ids
+    // roughly evenly over 16 shards (no shard starved or doubled)
+    assert(audit.map(_.getLong(1)).forall(n => n > 50 && n < 200),
+      s"shard sizes skewed: ${audit.map(_.getLong(1)).mkString(",")}")
+  }
 }
