@@ -124,6 +124,68 @@ object Bench {
       pct(0.5), pct(0.95), wmLag, wSec)
   }
 
+  /** X110 streaming near-dup throughput: a document stream with 5k
+    * planted exact-twin pairs (doc i and doc i+100000 share text for
+    * i < 5000; every other doc's 12-token set is unique) replayed
+    * through [[graft.streaming.StreamingNearDup.streamingNearDups]].
+    * Reports input docs/s, emitted pair rows (one per shared band —
+    * the sink dedups), and the bucket-state footprint. The planted
+    * count makes the number self-checking: 3 bands × 5k twins ⇒
+    * 15k pair rows, anything else means the stream dropped or
+    * double-emitted. */
+  final case class NearDupStreamStats(docs: Long, sec: Double,
+      pairRows: Long, stateRows: Long, stateBytes: Long)
+
+  def streamingNearDupThroughput(spark: SparkSession,
+      nDocs: Long): NearDupStreamStats = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_nd")
+    val inDir = tmp.resolve("in").toString
+    val eff = when(col("id").between(100000L, 104999L), col("id") - 100000L)
+      .otherwise(col("id"))
+    // token windows [13·eff, 13·eff+11] stride 13 > width 12 ⇒ no two
+    // distinct effs share a bigram (no modulus — a wrap would overlap
+    // windows p/13 apart in 9 consecutive tokens, jac 8/14 ≥ 0.5, and
+    // silently inflate the planted pair count ~4×; measured)
+    val txt = concat_ws(" ",
+      (0 until 12).map(i => format_string("w%d", eff * 13 + i)): _*)
+    spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        timestamp_seconds(lit(1700000000L) + floor(col("id") / 1000)).as("ts"),
+        txt.as("text"))
+      .repartitionByRange(32, col("ts"))
+      .write.mode("overwrite").parquet(inDir)
+    // ascending mtimes in part order (same FileStreamSource discipline
+    // as streamingThroughput: the writer stamps every part identically)
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(inPath).filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, i) =>
+        fs.setTimes(st.getPath, 1000000000000L + i * 60000L, -1)
+      }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(inDir)
+    val pairs = graft.streaming.StreamingNearDup.streamingNearDups(
+      stream, "doc_id", col("text"), "ts", delayMs = 600000L,
+      shingleWords = 2, k = 12, bands = 3, threshold = 0.5)
+    val emitted = new java.util.concurrent.atomic.LongAdder
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_nd_ckpt").toString
+    val t0 = System.nanoTime()
+    val q = pairs.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.add(b.count()); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val st = q.recentProgress.flatMap(_.stateOperators)
+    NearDupStreamStats(nDocs, sec, emitted.sum(),
+      if (st.isEmpty) 0L else st.map(_.numRowsTotal).max,
+      if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max)
+  }
+
   /** read → validate → normalize → partitioned-write over a synthetic
     * JSONL corpus; returns (rows, seconds). */
   def ingestThroughput(spark: SparkSession, nRows: Long, nEpisodes: Int): (Long, Double) = {
@@ -343,7 +405,8 @@ object Bench {
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
       case "streaming" =>
         val s = streamingThroughput(spark, 2000000L, 5000)
-        f"""{"sessionize_rows_per_sec":${(s.rows / s.sessionizeSec).toLong},"sessions":${s.sessions},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes},"batch_ms_p50":${s.batchMsP50},"batch_ms_p95":${s.batchMsP95},"watermark_lag_ms":${s.watermarkLagMs},"window_rows_per_sec":${(s.rows / s.windowSec).toLong}}"""
+        val nd = streamingNearDupThroughput(spark, 200000L)
+        f"""{"sessionize_rows_per_sec":${(s.rows / s.sessionizeSec).toLong},"sessions":${s.sessions},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes},"batch_ms_p50":${s.batchMsP50},"batch_ms_p95":${s.batchMsP95},"watermark_lag_ms":${s.watermarkLagMs},"window_rows_per_sec":${(s.rows / s.windowSec).toLong},"neardup_docs_per_sec":${(nd.docs / nd.sec).toLong},"neardup_pair_rows":${nd.pairRows},"neardup_state_rows":${nd.stateRows},"neardup_state_bytes":${nd.stateBytes}}"""
       case "quality" =>
         val (_, _, sec, timings) = qualityAssessThroughput(spark)
         // per-category wall seconds so a composite-number regression is
