@@ -1437,6 +1437,42 @@ object SparkEntry {
     Corpus.shardAudit(Tables.documentsSpread(spark, dir), "doc_id",
       col("text"), nShards = 16)
 
+  /** Multimodal pipeline audit (M-family,
+    * [[graft.multimodal.Multimodal]]): a deterministic media table
+    * synthesized from the documents corpus (payload = text bytes,
+    * media_type cycling image/audio/video) runs the full binary-column
+    * pipeline — batched stub decode via mapPartitions, perceptual
+    * difference-hash, pigeonhole-banded near-dup pairs blocked by
+    * media_type — and reports one audit row per media_type: assets,
+    * distinct fingerprints, near-dup pairs. No SQL oracle (the decode
+    * stub is JVM-side by design — the documented class of non-SQL
+    * operators); the driver records a rows-only check, and the
+    * MultimodalSpec units pin the numeric behavior. Exact-dup documents
+    * collapse to identical fingerprints, so the pair count is driven by
+    * the corpus's real duplicate mass, not noise. */
+  def mediaPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documentsSpread(spark, dir).select(
+      col("doc_id").cast("string").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"))
+    val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 64)
+    val hashed = graft.multimodal.Multimodal.perceptualHash(feats)
+      .localCheckpoint(false) // decode once: feeds both the audit and the pair join
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(
+      hashed, "asset_id", "phash", blockCols = Seq("media_type"),
+      maxDist = 4, bits = 63)
+    val perType = hashed.groupBy("media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("phash")).as("n_fingerprints"))
+    val pairCounts = pairs.groupBy("media_type")
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    perType.join(pairCounts, Seq("media_type"), "left")
+      .select(col("media_type"), col("n_assets"), col("n_fingerprints"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"))
+      .orderBy("media_type")
+  }
+
   /** X60 per-source duplication rate ([[Corpus.sourceDupRates]]). */
   def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
     Corpus.sourceDupRates(Tables.documents(spark, dir))
@@ -1755,6 +1791,7 @@ object SparkEntry {
     "q108_best_dedup" -> bestDedupQuery _,
     "q109_split_leakage" -> splitLeakageQuery _,
     "q110_shard_audit" -> shardAuditQuery _,
+    "q111_media_pipeline" -> mediaPipelineQuery _,
   )
 
   private val stopwordsSqlList: String =
