@@ -413,6 +413,17 @@ object SparkEntry {
     graft.operators.Similarity.topPairsExactBlocked(
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 20, nBlocks = 8)
 
+  /** q23's contract through the exact-duplicate pre-collapse path (see
+    * [[graft.operators.Similarity.topPairsExactCollapsed]]): identical
+    * result by construction — the oracle replays q23's SQL verbatim — but
+    * the n²·d kernel work is paid on DISTINCT vectors only, which is what
+    * rescues the exact contract on duplicate-dense corpora (the replica
+    * ladder's twin density made the uncollapsed q23 the last superlinear
+    * family; measured side by side in SCALE.md). */
+  def embeddingTopPairsCollapsed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.topPairsExactCollapsed(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 20, nBlocks = 8)
+
   /** Heuristic quality score rollup per language (DECIMAL-exact mean). */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1792,6 +1803,7 @@ object SparkEntry {
     "q109_split_leakage" -> splitLeakageQuery _,
     "q110_shard_audit" -> shardAuditQuery _,
     "q111_media_pipeline" -> mediaPipelineQuery _,
+    "q112_collapsed_pairs" -> embeddingTopPairsCollapsed _,
   )
 
   private val stopwordsSqlList: String =
@@ -3880,6 +3892,19 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q112 is q23's contract through the pre-collapse path: same output
+    // by construction, so the oracle replays q23's all-pairs SQL — the
+    // oracle gate IS the equivalence proof at data scale.
+    "q112_collapsed_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin,
   )
 
   /** Brute-force top-5 cosine neighbors for queries vec_id < 10 — the

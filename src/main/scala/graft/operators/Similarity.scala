@@ -299,10 +299,18 @@ object Similarity {
       maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
     Guards.requireAtMost(df, maxRows, "topPairsExactBlocked",
       "switch to the IVF path (trainIvfCentroids + topKIvf) for the approximate regime")
-    val spark = df.sparkSession
+    blockedTopCore(
+      df.select(col(idCol).cast("long").as("_id"), VF.vecAsDouble(col(vecCol)).as("_v")),
+      k, nBlocks, roundDp)
+  }
+
+  /** Shared core of the blocked exact top-k: input is an (_id long,
+    * _v double[]) frame; output is the global top-k (id_a, id_b, sim). */
+  private def blockedTopCore(ids: DataFrame, k: Int, nBlocks: Int,
+      roundDp: Int): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
-    val packed = df
-      .select(col(idCol).cast("long").as("_id"), VF.vecAsDouble(col(vecCol)).as("_v"))
+    val packed = ids
       .groupBy(pmod(col("_id"), lit(nBlocks)).cast("int").as("bid"))
       .agg(collect_list(struct(col("_id"), col("_v"))).as("items"))
     val a = packed.select(col("bid").as("bid_a"), col("items").as("ia"))
@@ -319,6 +327,78 @@ object Similarity {
       }
       .toDF("id_a", "id_b", "sim")
     top.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(k)
+  }
+
+  /** [[topPairsExactBlocked]] with exact-duplicate pre-collapse — the
+    * vector analog of `Dedup.minhashNearDups(preCollapse = true)`, for
+    * corpora whose duplicate density makes the exact kernel's true pair
+    * mass quadratic (a crawl dump where one page has 10⁵ verbatim
+    * copies: its vectors are bit-identical, and every one of the
+    * C(10⁵, 2) twin pairs scores cosine 1.0 — the exact top-k contract
+    * CANNOT skip them, but it can stop paying n²·d flops for them).
+    *
+    * Vectors are grouped by VALUE (the full double array, not a digest —
+    * a digest collision would merge two distinct vectors into a false
+    * sim-1.0 family); the blocked kernel then runs over one
+    * representative per distinct vector, and the top-k rep pairs are
+    * re-expanded through group membership. Within-group pairs (identical
+    * vectors, sim = round(dot(v,v)/‖v‖², dp) — 1.0 up to the kernel's own
+    * arithmetic) come from a bounded generator: each group emits only its
+    * first min(k, C(m,2)) member pairs in (id_a, id_b) order, which is
+    * all that can ever reach a global top-k.
+    *
+    * EXACTNESS (same output as [[topPairsExactBlocked]], spec-asserted):
+    * representatives are group minima, so a rep pair's best expanded pair
+    * is the rep pair itself; if a cross-group pair belongs to the true
+    * top-k, every rep pair ordered before its rep pair contributes a
+    * strictly better pair, so its rep pair is inside the top-k rep pairs
+    * the kernel keeps. Within-group candidates all carry their group's
+    * single sim value, and only a group's k smallest-id pairs can survive
+    * the final (sim desc, id_a, id_b) limit. Zero-norm and NaN vectors
+    * are excluded by both paths (cosine undefined).
+    *
+    * Scale story: the kernel's O(B·n_rep·d) network and n_rep²·d/2 flops
+    * are paid on DISTINCT vectors only; an f-fold duplicated corpus costs
+    * f² less kernel work plus one value-keyed shuffle of the corpus (the
+    * same mass the blocked pack shuffles anyway). The size guard moves to
+    * representatives — the deduplicated corpus is what must fit the exact
+    * contract, not the raw row count. */
+  def topPairsExactCollapsed(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBlocks: Int = 8, roundDp: Int = 6,
+      maxReps: Long = Guards.DefaultExactPairRows): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // localCheckpoint: the grouped frame feeds the rep kernel, both
+    // expansion joins, and the within-group generator.
+    val grouped = df
+      .select(col(idCol).cast("long").as("_id"), VF.vecAsDouble(col(vecCol)).as("_v"))
+      .groupBy(col("_v"))
+      .agg(min(col("_id")).as("_rep"),
+        sort_array(collect_list(col("_id"))).as("_ms"),
+        count(lit(1)).as("_m"))
+      .localCheckpoint(false)
+    val reps = grouped.select(col("_rep").as("_id"), col("_v"))
+    Guards.requireAtMost(reps, maxReps, "topPairsExactCollapsed",
+      "switch to the IVF path (trainIvfCentroids + topKIvf) for the approximate regime")
+    val repTop = blockedTopCore(reps, k, nBlocks, roundDp)
+    // cross-group: every member of A × every member of B at the reps'
+    // sim; ids re-ordered (members of a later group can carry smaller
+    // ids than an earlier group's). repTop is ≤ k rows — broadcast it
+    // through both joins so membership never shuffles.
+    val memA = grouped.select(col("_rep").as("id_a"), col("_ms").as("_ma"))
+    val memB = grouped.select(col("_rep").as("id_b"), col("_ms").as("_mb"))
+    val expanded = broadcast(broadcast(repTop).join(memA, "id_a"))
+      .join(memB, "id_b")
+      .select(explode(col("_ma")).as("_a"), col("_mb"), col("sim"))
+      .select(col("_a"), explode(col("_mb")).as("_b"), col("sim"))
+      .select(least(col("_a"), col("_b")).as("id_a"),
+        greatest(col("_a"), col("_b")).as("id_b"), col("sim"))
+    val within = grouped.filter(col("_m") >= 2)
+      .select(col("_ms"), col("_v")).as[(Array[Long], Array[Double])]
+      .flatMap { case (ms, v) => SimilarityKernels.withinPairs(ms, v, k, roundDp) }
+      .toDF("id_a", "id_b", "sim")
+    expanded.unionByName(within)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(k)
   }
 
   /** All pairs (a < b) with cosine above a threshold, blocked by optional
@@ -626,6 +706,34 @@ object SimilarityKernels {
       i += 1
     }
     pq.iterator.map(e => (e.idA, e.idB, e.sim)).toArray.iterator
+  }
+
+  /** Within-group pairs for [[Similarity.topPairsExactCollapsed]]: the
+    * first min(k, C(m,2)) member pairs of one identical-vector group in
+    * (id_a, id_b) order (ms must arrive sorted ascending), all at the
+    * group's self-cosine — computed with the SAME dot/norm/rounding
+    * arithmetic [[topPairs]] uses, so a twin pair scores bit-identically
+    * to what the uncollapsed kernel would have emitted for it. Zero-norm
+    * and NaN vectors yield nothing (both are skipped by [[topPairs]]
+    * too: cosine is undefined for them). */
+  def withinPairs(ms: Array[Long], v: Array[Double], k: Int,
+      dp: Int): Iterator[(Long, Long, Double)] = {
+    val nv = norm(v)
+    if (!(nv > 0.0)) Iterator.empty
+    else {
+      val sim = roundHalfUp(dot(v, v) / (nv * nv), dp)
+      var emitted = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ms.length - 1 && emitted < k) {
+        var j = i + 1
+        while (j < ms.length && emitted < k) {
+          out += ((ms(i), ms(j), sim)); emitted += 1; j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

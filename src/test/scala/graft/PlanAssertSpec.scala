@@ -447,4 +447,23 @@ class PlanAssertSpec extends AnyFunSuite {
       s"token mass must reduce map-side (the wide text never " +
         s"shuffles):\n${plan.take(3000)}")
   }
+
+  test("q112 collapsed pairs: expansion joins broadcast the k-row top; no cartesian") {
+    val plan = planOf("q112_collapsed_pairs")
+    // the only nested-loop join allowed is the blocked core's B×B block
+    // pairing (bounded by nBlocks, not by data — q23 plans the same)
+    assert(!plan.contains("CartesianProduct"),
+      s"the collapsed path must never plan an all-pairs row join — the " +
+        s"n²·d work lives inside the blocked kernel, on representatives " +
+        s"only:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both membership-expansion joins must broadcast the <= k-row " +
+        s"rep-pair side (group membership never shuffles for " +
+        s"expansion):\n${plan.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"the value-grouped frame must be checkpointed ONCE and feed the " +
+        s"rep kernel, both expansion joins, and the within-group " +
+        s"generator — without it the corpus-sized groupBy executes four " +
+        s"times:\n${plan.take(3000)}")
+  }
 }

@@ -160,6 +160,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("IVF"))
   }
 
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("collapsed top-pairs == blocked top-pairs on a duplicate-dense corpus") {
+    // verbatim twins: vectors 0-9 each gain 3 extra copies under new ids —
+    // the exact regime the pre-collapse exists for. Equivalence must hold
+    // through the k boundary (k = 25 lands inside the twin-pair tie mass).
+    val base = vectors.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val twins = base.filter(_._1 < 10).flatMap { case (id, v) =>
+      (1 to 3).map(c => (1000L + id * 10 + c, v))
+    }
+    val df = (base ++ twins).toSeq.toDF("vec_id", "embedding")
+    for (k <- Seq(5, 25)) {
+      val collapsed = pairs(Similarity.topPairsExactCollapsed(df, "vec_id", "embedding", k, nBlocks = 3))
+      val blocked = pairs(Similarity.topPairsExactBlocked(df, "vec_id", "embedding", k, nBlocks = 3))
+      assert(collapsed == blocked, s"k=$k")
+    }
+  }
+
+  test("collapsed top-pairs == blocked top-pairs when no duplicates exist") {
+    val collapsed = pairs(Similarity.topPairsExactCollapsed(vectors, "vec_id", "embedding", k = 17, nBlocks = 3))
+    val blocked = pairs(Similarity.topPairsExactBlocked(vectors, "vec_id", "embedding", k = 17, nBlocks = 3))
+    assert(collapsed == blocked)
+  }
+
+  test("collapsed: two twin families tie at sim 1.0, selection by (id_a, id_b)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (10L, Seq(0.0f, 2.0f)), (11L, Seq(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = pairs(Similarity.topPairsExactCollapsed(df, "vec_id", "embedding", k = 4, nBlocks = 2))
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    assert(out.forall(_._3 == 1.0))
+  }
+
+  test("collapsed excludes zero-norm vectors, including their twins") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.0f, 0.0f)),
+      (4L, Seq(1.0f, 2.0f)), (5L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = pairs(Similarity.topPairsExactCollapsed(df, "vec_id", "embedding", k = 5, nBlocks = 2))
+    assert(out.map(t => (t._1, t._2)) == Seq((4L, 5L)))
+  }
+
+  test("collapsed guard counts REPRESENTATIVES, not raw rows") {
+    // 120 rows / 4 distinct vectors: passes a 10-rep cap the uncollapsed
+    // path would refuse — the deduplicated corpus is what must fit the
+    // exact contract
+    val df = (0 until 120).map(i => (i.toLong, Seq((i % 4).toFloat + 1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = pairs(Similarity.topPairsExactCollapsed(df, "vec_id", "embedding", k = 3,
+      nBlocks = 2, maxReps = 10))
+    assert(out.map(t => (t._1, t._2)) == Seq((0L, 4L), (0L, 8L), (0L, 12L)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topPairsExactCollapsed(df, "vec_id", "embedding", k = 3, maxReps = 3)
+    }
+    assert(e.getMessage.contains("IVF"))
+  }
+
+  test("withinPairs kernel: lexical order, k cap, zero/NaN-norm guard") {
+    val v = Array(3.0, 4.0)
+    val ms = Array(1L, 5L, 9L)
+    assert(SimilarityKernels.withinPairs(ms, v, k = 2, dp = 6).toSeq ==
+      Seq((1L, 5L, 1.0), (1L, 9L, 1.0)))
+    assert(SimilarityKernels.withinPairs(ms, v, k = 10, dp = 6).toSeq.map(t => (t._1, t._2)) ==
+      Seq((1L, 5L), (1L, 9L), (5L, 9L)))
+    assert(SimilarityKernels.withinPairs(ms, Array(0.0, 0.0), k = 5, dp = 6).isEmpty)
+    assert(SimilarityKernels.withinPairs(ms, Array(Double.NaN, 1.0), k = 5, dp = 6).isEmpty)
+  }
+
   test("IVF-bucketed pairs recover most high-sim pairs of clustered data") {
     // three tight blobs: all qualifying pairs are intra-blob, and tight
     // blobs land in one cell each, so recall should be high
