@@ -405,6 +405,24 @@ object SparkEntry {
     Dedup.jaccardTopPairsBlocked(docs, "lang", "doc_id", "hsh", k = 20, nBlocks = 8)
   }
 
+  /** q22's contract through the exact-duplicate pre-collapse path (see
+    * [[graft.operators.Dedup.jaccardTopPairsCollapsed]]): identical
+    * result by construction — the oracle replays q22's SQL verbatim —
+    * but the O(n²·set) intersection work is paid on DISTINCT shingle
+    * encodings only. On the replica ladder the uncollapsed q22 was the
+    * worst remaining superlinear query (its ~40 verbatim twins per doc
+    * inflate the true jac-1.0 pair mass quadratically); measured side by
+    * side in SCALE.md. */
+  def jaccardTopPairsCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.TextExprs.register(spark)
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("lang"), col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .select(col("lang"), col("doc_id"),
+        graft.expressions.TextExprs.xx_sorted_hash(
+          graft.expressions.TextExprs.distinct_word_ngrams(col("tk"), 2)).as("hsh"))
+    Dedup.jaccardTopPairsCollapsed(docs, "lang", "doc_id", "hsh", k = 20, nBlocks = 8)
+  }
+
   /** Embedding near-dup: top-20 vector pairs by cosine (a < b).
     * Blocked all-pairs kernel (see [[graft.operators.Similarity
     * .topPairsExactBlocked]]): O(B·n·d) network instead of an n²-row
@@ -1804,6 +1822,7 @@ object SparkEntry {
     "q110_shard_audit" -> shardAuditQuery _,
     "q111_media_pipeline" -> mediaPipelineQuery _,
     "q112_collapsed_pairs" -> embeddingTopPairsCollapsed _,
+    "q113_collapsed_jaccard" -> jaccardTopPairsCollapsed _,
   )
 
   private val stopwordsSqlList: String =
@@ -3892,6 +3911,21 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q113 is q22's contract through the pre-collapse path: same output
+    // by construction, so the oracle replays q22's all-pairs SQL — the
+    // oracle gate IS the equivalence proof at data scale.
+    "q113_collapsed_jaccard" ->
+      s"""WITH t0 AS (
+        |  SELECT lang, doc_id, $toksSql AS tk FROM documents
+        |), d AS (
+        |  SELECT lang, doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+        |)
+        |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // q112 is q23's contract through the pre-collapse path: same output
     // by construction, so the oracle replays q23's all-pairs SQL — the

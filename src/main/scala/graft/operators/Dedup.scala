@@ -451,6 +451,13 @@ object Dedup {
       maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
     Guards.requireAtMost(df, maxRows, "jaccardTopPairsBlocked",
       "switch to minhashNearDups (MinHash-LSH) for the approximate regime")
+    jaccardBlockedCore(df, keyCol, idCol, sortedHashCol, k, nBlocks)
+  }
+
+  /** Shared core of the blocked exact Jaccard top-k (guard-free; see
+    * [[jaccardTopPairsBlocked]] / [[jaccardTopPairsCollapsed]]). */
+  private def jaccardBlockedCore(df: DataFrame, keyCol: String, idCol: String,
+      sortedHashCol: String, k: Int, nBlocks: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val packed = df
@@ -475,6 +482,69 @@ object Dedup {
       }
       .toDF(keyCol, "id_a", "id_b", "jac")
     top.orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(k)
+  }
+
+  /** [[jaccardTopPairsBlocked]] with exact-duplicate pre-collapse — the
+    * set-overlap analog of `Similarity.topPairsExactCollapsed`, for
+    * duplicate-dense corpora where the exact top-k contract's true pair
+    * mass is quadratic in the twin count (every pair of docs with the
+    * SAME distinct-shingle encoding scores jac = 1.0 and cannot be
+    * skipped — but need not be paid O(set) intersection work each).
+    *
+    * Docs are grouped by (blocking key, sorted-hash array VALUE) — the
+    * exact encoding the kernel intersects, so the collapse is
+    * equivalence-preserving by construction: two docs in one group are
+    * precisely two docs the uncollapsed kernel would score 1.0 (the
+    * hash-collision contract is the kernel's own, documented at the top
+    * of this file). The blocked kernel runs over one representative per
+    * distinct encoding; the top-k rep pairs re-expand through ≤ k-row
+    * broadcast joins; within-group pairs (jac exactly 1.0 — sz/sz) come
+    * from a bounded first-min(k, C(m,2))-in-id-order generator, all a
+    * global top-k can ever admit. Two shingle-less docs pair nowhere in
+    * either path (0/0 undefined); a shingle-less group still crosses
+    * with real groups at jac 0.0, exactly like the uncollapsed kernel.
+    *
+    * EXACTNESS: same rep-minima argument as the vector analog —
+    * representatives are group minima, so a rep pair's best expanded
+    * pair is itself; any cross-group pair of the true top-k has ≥ its
+    * rep pair inside the kernel's kept top-k (spec-asserted equality
+    * with the uncollapsed path, and q113's oracle replays q22's SQL).
+    * The size guard moves to REPRESENTATIVES: the deduplicated corpus
+    * is what must fit the exact contract. */
+  def jaccardTopPairsCollapsed(df: DataFrame, keyCol: String, idCol: String,
+      sortedHashCol: String, k: Int, nBlocks: Int = 8,
+      maxReps: Long = Guards.DefaultExactPairRows): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // localCheckpoint: the grouped frame feeds the rep kernel, both
+    // expansion joins, and the within-group generator
+    val grouped = df
+      .groupBy(col(keyCol).cast("string").as("_key"), col(sortedHashCol).as("_h"))
+      .agg(min(col(idCol).cast("long")).as("_rep"),
+        sort_array(collect_list(col(idCol).cast("long"))).as("_ms"),
+        count(lit(1)).as("_m"))
+      .localCheckpoint(false)
+    val reps = grouped.select(col("_key").as(keyCol), col("_rep").as(idCol),
+      col("_h").as(sortedHashCol))
+    Guards.requireAtMost(reps, maxReps, "jaccardTopPairsCollapsed",
+      "switch to minhashNearDups (MinHash-LSH, preCollapse = true) for the approximate regime")
+    val repTop = jaccardBlockedCore(reps, keyCol, idCol, sortedHashCol, k, nBlocks)
+    val memA = grouped.select(col("_rep").as("id_a"), col("_ms").as("_ma"))
+    val memB = grouped.select(col("_rep").as("id_b"), col("_ms").as("_mb"))
+    val expanded = broadcast(broadcast(repTop).join(memA, "id_a"))
+      .join(memB, "id_b")
+      .select(col(keyCol), explode(col("_ma")).as("_a"), col("_mb"), col("jac"))
+      .select(col(keyCol), col("_a"), explode(col("_mb")).as("_b"), col("jac"))
+      .select(col(keyCol), least(col("_a"), col("_b")).as("id_a"),
+        greatest(col("_a"), col("_b")).as("id_b"), col("jac"))
+    val within = grouped.filter(col("_m") >= 2 && size(col("_h")) > 0)
+      .select(col("_key"), col("_ms")).as[(String, Array[Long])]
+      .flatMap { case (key, ms) =>
+        JaccardKernels.withinPairs(ms, k).map { case (a, b) => (key, a, b, 1.0) }
+      }
+      .toDF(keyCol, "id_a", "id_b", "jac")
+    expanded.unionByName(within)
+      .orderBy(col("jac").desc, col("id_a"), col("id_b")).limit(k)
   }
 
   /** Connected components over near-dup pairs: iterative min-label
@@ -990,5 +1060,24 @@ object JaccardKernels {
       else j += 1
     }
     c
+  }
+
+  /** Within-group id pairs for [[Dedup.jaccardTopPairsCollapsed]]: the
+    * first min(k, C(m,2)) member pairs of one identical-encoding group in
+    * (id_a, id_b) order (ms must arrive sorted ascending) — all that can
+    * ever survive a global top-k limit. The jac of every such pair is
+    * exactly 1.0 (sz/sz), attached by the caller. */
+  def withinPairs(ms: Array[Long], k: Int): Iterator[(Long, Long)] = {
+    var emitted = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < ms.length - 1 && emitted < k) {
+      var j = i + 1
+      while (j < ms.length && emitted < k) {
+        out += ((ms(i), ms(j))); emitted += 1; j += 1
+      }
+      i += 1
+    }
+    out.iterator
   }
 }

@@ -466,4 +466,20 @@ class PlanAssertSpec extends AnyFunSuite {
         s"generator — without it the corpus-sized groupBy executes four " +
         s"times:\n${plan.take(3000)}")
   }
+
+  test("q113 collapsed jaccard: expansion joins broadcast the k-row top; no cartesian") {
+    val plan = planOf("q113_collapsed_jaccard")
+    assert(!plan.contains("CartesianProduct"),
+      s"the collapsed path must never plan an all-pairs row join — the " +
+        s"intersection work lives inside the blocked kernel, on distinct " +
+        s"encodings only:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both membership-expansion joins must broadcast the <= k-row " +
+        s"rep-pair side (group membership never shuffles for " +
+        s"expansion):\n${plan.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"the encoding-grouped frame must be checkpointed ONCE and feed " +
+        s"the rep kernel, both expansion joins, and the within-group " +
+        s"generator:\n${plan.take(3000)}")
+  }
 }

@@ -214,6 +214,64 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  private def jacRows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Double)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  /** Hash-set fixture with twin families across two blocking keys: sets
+    * A (ids 1,2,3 identical), B (ids 10,11 identical, overlaps A), a
+    * singleton C, two shingle-less docs (90, 91), and a second key with
+    * its own twins — the duplicate-dense regime the pre-collapse is for. */
+  private lazy val collapseFixture = Seq(
+    ("en", 1L, Array(1L, 2L, 3L, 4L)), ("en", 2L, Array(1L, 2L, 3L, 4L)),
+    ("en", 3L, Array(1L, 2L, 3L, 4L)),
+    ("en", 10L, Array(2L, 3L, 4L, 5L)), ("en", 11L, Array(2L, 3L, 4L, 5L)),
+    ("en", 20L, Array(7L, 8L)),
+    ("en", 90L, Array.empty[Long]), ("en", 91L, Array.empty[Long]),
+    ("de", 50L, Array(1L, 2L, 3L, 4L)), ("de", 51L, Array(1L, 2L, 3L, 4L)),
+    ("de", 52L, Array(9L, 10L)))
+    .toDF("lang", "doc_id", "hsh")
+
+  test("jaccard collapsed == blocked on a twin-dense corpus, through the k boundary") {
+    for (k <- Seq(3, 6, 50)) {
+      val collapsed = jacRows(Dedup.jaccardTopPairsCollapsed(
+        collapseFixture, "lang", "doc_id", "hsh", k, nBlocks = 3))
+      val blocked = jacRows(Dedup.jaccardTopPairsBlocked(
+        collapseFixture, "lang", "doc_id", "hsh", k, nBlocks = 3))
+      assert(collapsed == blocked, s"k=$k")
+    }
+  }
+
+  test("jaccard collapsed: shingle-less docs never pair each other, cross real docs at 0.0") {
+    val out = jacRows(Dedup.jaccardTopPairsCollapsed(
+      collapseFixture, "lang", "doc_id", "hsh", k = 50, nBlocks = 2))
+    assert(!out.exists(t => t._2 == 90L && t._3 == 91L),
+      "two empty sets give 0/0 - undefined, skipped by both paths")
+    assert(out.exists(t => (t._2, t._3, t._4) == (1L, 90L, 0.0)),
+      "an empty set still crosses real docs at jac 0.0, like the uncollapsed kernel")
+  }
+
+  test("jaccard collapsed guard counts REPRESENTATIVES, not raw rows") {
+    // 40 rows / 2 distinct encodings: passes a 5-rep cap the uncollapsed
+    // path would refuse
+    val df = (0 until 40).map(i => ("en", i.toLong, Array(1L + i % 2, 5L)))
+      .toSeq.toDF("lang", "doc_id", "hsh")
+    val out = jacRows(Dedup.jaccardTopPairsCollapsed(df, "lang", "doc_id", "hsh",
+      k = 2, nBlocks = 2, maxReps = 5))
+    assert(out.map(t => (t._2, t._3, t._4)) == Seq((0L, 2L, 1.0), (0L, 4L, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardTopPairsCollapsed(df, "lang", "doc_id", "hsh", k = 2, maxReps = 1)
+    }
+    assert(e.getMessage.contains("preCollapse"))
+  }
+
+  test("JaccardKernels.withinPairs: lexical order and k cap") {
+    assert(JaccardKernels.withinPairs(Array(2L, 5L, 9L), k = 2).toSeq ==
+      Seq((2L, 5L), (2L, 9L)))
+    assert(JaccardKernels.withinPairs(Array(2L, 5L, 9L), k = 10).toSeq ==
+      Seq((2L, 5L), (2L, 9L), (5L, 9L)))
+    assert(JaccardKernels.withinPairs(Array(7L), k = 5).isEmpty)
+  }
+
   test("size guard refuses oversized exact-pair inputs") {
     val df = spark.range(100).select(col("id").as("doc_id"),
       lit(7).as("blk"), array(lit(1L)).as("hsh"))
