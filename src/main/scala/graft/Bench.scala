@@ -319,6 +319,82 @@ object Bench {
     (qps, hits.toDouble / denom, exhaustiveQps)
   }
 
+  /** X117 IVF-PQ serving configuration on the SAME clustered corpus
+    * shape as [[annPrunedThroughput]] (so the recall/qps rows are
+    * directly comparable): build the compressed index, time warm ADC
+    * search at the production probe setting, measure recall@k against
+    * exact brute-force cosine, and put the storage ratio vs the float64
+    * index ON the record — compression is the entire reason PQ exists,
+    * so a phase that only reported qps would be measuring the wrong
+    * thing. */
+  def pqThroughput(spark: SparkSession, nVec: Long = 50000L,
+      dim: Int = 64, nCells: Int = 64, m: Int = 8, nProbe: Int = 4,
+      k: Int = 10): (Double, Double, Double, Long, Long, Double, Double) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_pq").toString
+    val pqDir = base + "/pq"
+    val plainDir = base + "/ivf"
+    val cluster = col("id") % nCells
+    def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed * dim + i), lit(1000)).cast("double") / 500.0 - 1.0
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (u(cluster, i) + u(col("id") + 7919L * nVec, i) * 0.5)
+          .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    // one untimed warmup build (codegen JIT of the build plan shapes —
+    // the annThroughput methodology), then time a fresh build
+    graft.index.PqIndex.build(emb, "vec_id", "embedding", nCells, pqDir + "w", m = m)
+    val t0 = System.nanoTime()
+    graft.index.PqIndex.build(emb, "vec_id", "embedding", nCells, pqDir, m = m)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    graft.index.VectorIndex.build(emb, "vec_id", "embedding", nCells, plainDir)
+    val queries = emb.limit(200).select(col("vec_id").as("query_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
+      .localCheckpoint(true)
+    def searchOnce(): Double = {
+      val t1 = System.nanoTime()
+      val got = graft.index.PqIndex.search(spark, pqDir, queries, k, nProbe).count()
+      require(got > 0, "pq search returned no rows")
+      (System.nanoTime() - t1) / 1e9
+    }
+    searchOnce() // warmup: codegen + model read
+    val qps = 200.0 / math.min(searchOnce(), searchOnce())
+    val approx = graft.index.PqIndex.search(spark, pqDir, queries, k, nProbe)
+      .select("query_id", "neighbor_id")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("nv"))
+    val exact = graft.operators.Similarity.topKExact(queries, corpus, k)
+      .select("query_id", "neighbor_id")
+    val denom = exact.count()
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+    def bytesUnder(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      walk(new java.io.File(dir))
+    }
+    val pqBytes = bytesUnder(s"$pqDir/assigned.parquet")
+    val floatBytes = bytesUnder(s"$plainDir/assigned.parquet")
+    // two-stage serving: ADC shortlist (5k window) + exact re-rank — the
+    // production configuration when the float store is reachable
+    val embStore = emb.select(col("vec_id"), col("embedding"))
+    def rerankOnce(): Double = {
+      val t1 = System.nanoTime()
+      val got = graft.index.PqIndex.searchReranked(spark, pqDir, queries,
+        embStore, "vec_id", "embedding", k, nProbe, window = 5 * k).count()
+      require(got > 0, "pq rerank returned no rows")
+      (System.nanoTime() - t1) / 1e9
+    }
+    rerankOnce() // warmup
+    val rrQps = 200.0 / math.min(rerankOnce(), rerankOnce())
+    val rr = graft.index.PqIndex.searchReranked(spark, pqDir, queries,
+      embStore, "vec_id", "embedding", k, nProbe, window = 5 * k)
+      .select("query_id", "neighbor_id")
+    val rrHits = rr.join(exact, Seq("query_id", "neighbor_id")).count()
+    (buildSec, qps, hits.toDouble / denom, pqBytes / nVec, floatBytes / nVec,
+      rrQps, rrHits.toDouble / denom)
+  }
+
   /** Full seven-category quality assessment (incl. embeddings and the
     * MinHash near-dup pass the reference SKIPS above 10k segments) over a
     * synthesized corpus at the baseline's published scale — directly
@@ -403,6 +479,9 @@ object Bench {
       case "ann_pruned" =>
         val (qps, recall, exhaustiveQps) = annPrunedThroughput(spark)
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
+      case "ann_pq" =>
+        val (buildSec, qps, recall, pqBpv, floatBpv, rrQps, rrRecall) = pqThroughput(spark)
+        f"""{"build_sec":$buildSec%.3f,"qps":${qps.toLong},"recall":$recall%.3f,"bytes_per_vec":$pqBpv,"float_bytes_per_vec":$floatBpv,"rerank_qps":${rrQps.toLong},"rerank_recall":$rrRecall%.3f}"""
       case "streaming" =>
         val s = streamingThroughput(spark, 2000000L, 5000)
         val nd = streamingNearDupThroughput(spark, 200000L)
@@ -535,13 +614,15 @@ object Bench {
       .map(j => s""","ann":$j""").getOrElse("")
     val annPrunedJson = withSteal("ann_pruned") { forkPhase("ann_pruned") }
       .map(j => s""","ann_pruned":$j""").getOrElse("")
+    val annPqJson = withSteal("ann_pq") { forkPhase("ann_pq") }
+      .map(j => s""","ann_pq":$j""").getOrElse("")
     val qaJson = withSteal("quality") { forkPhase("quality") }
       .map(j => s""","quality_assess":$j""").getOrElse("")
     val streamingJson = withSteal("streaming") { forkPhase("streaming") }
       .map(j => s""","streaming":$j""").getOrElse("")
     val stealJson = steals
       .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(""","steal_cpu_s":{""", ",", "}")
-    val phases = ingestJson + annJson + annPrunedJson + qaJson + streamingJson + stealJson
+    val phases = ingestJson + annJson + annPrunedJson + annPqJson + qaJson + streamingJson + stealJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
     // record lost q01-q15 because the driver captures only the stdout

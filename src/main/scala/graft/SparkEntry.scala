@@ -1118,6 +1118,10 @@ object SparkEntry {
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     Corpus.perplexityBuckets(Tables.documentsSpread(spark, dir))
 
+  /** X119 bigram-LM cross-entropy per source ([[Corpus.bigramPerplexity]]). */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bigramPerplexity(Tables.documentsSpread(spark, dir))
+
   /** X79 DSIR importance weights ([[Corpus.importanceWeights]]). */
   def importanceWeights(spark: SparkSession, dir: String): DataFrame =
     Corpus.importanceWeights(Tables.documentsSpread(spark, dir))
@@ -1823,6 +1827,7 @@ object SparkEntry {
     "q111_media_pipeline" -> mediaPipelineQuery _,
     "q112_collapsed_pairs" -> embeddingTopPairsCollapsed _,
     "q113_collapsed_jaccard" -> jaccardTopPairsCollapsed _,
+    "q114_bigram_perplexity" -> bigramPerplexity _,
   )
 
   private val stopwordsSqlList: String =
@@ -3926,6 +3931,39 @@ object SparkEntry {
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |ORDER BY jac DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // X119: the add-one bigram LM replayed in SQL — bigrams from the
+    // same list device as q55/q113 (tokens are whitespace-split, so the
+    // "w1 w2" string key is injective and split_part recovers the
+    // context); NLL rounds to 6dp before DECIMAL sums, the q82 contract.
+    "q114_bigram_perplexity" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, source, $toksSql AS tk FROM documents
+        |), tf AS (
+        |  SELECT doc_id, source, tk FROM t0 WHERE len(tk) >= 2
+        |), bg AS (
+        |  SELECT doc_id, source, unnest($bigramsFromTkSql) AS b FROM tf
+        |), cb AS (
+        |  SELECT b, count(*) AS nbg FROM bg GROUP BY b
+        |), cu AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(nbg) AS BIGINT) AS nw1
+        |  FROM cb GROUP BY 1
+        |), vocab AS (
+        |  SELECT count(*) AS v FROM (SELECT DISTINCT unnest($toksSql) AS tok FROM documents)
+        |), lm AS (
+        |  SELECT cb.b, round(-ln((cb.nbg + 1.0) / (cu.nw1 + vocab.v)), 6) AS nll
+        |  FROM cb JOIN cu ON split_part(cb.b, ' ', 1) = cu.w1 CROSS JOIN vocab
+        |), d AS (
+        |  SELECT bg.doc_id, bg.source,
+        |    CAST(sum(CAST(lm.nll AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS score
+        |  FROM bg JOIN lm USING (b) GROUP BY bg.doc_id, bg.source
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(20,12))) AS DOUBLE)
+        |    / count(*), 6) AS avg_nll,
+        |  round(min(score), 6) AS min_nll,
+        |  round(max(score), 6) AS max_nll
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // q112 is q23's contract through the pre-collapse path: same output
     // by construction, so the oracle replays q23's all-pairs SQL — the

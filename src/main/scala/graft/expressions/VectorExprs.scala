@@ -161,6 +161,52 @@ case class WhitenExpr(child: Expression, mean: Array[Double],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Kernel for [[ProjectExpr]]: out = P(x − μ) with P a DENSE r×d matrix
+  * packed row-major (row i at offset i·d) — the PCA projection sibling of
+  * [[WhitenKernels]]' triangular multiply. j-ascending accumulation
+  * matches [[graft.operators.Pca.Model.transform]] exactly. */
+object ProjectKernels {
+  def project(v: ArrayData, mean: Array[Double], p: Array[Double], r: Int): ArrayData = {
+    val d = mean.length
+    if (v.numElements() != d)
+      throw new IllegalArgumentException(
+        s"project_vec: expected dim $d, got ${v.numElements()}")
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = v.getDouble(i) - mean(i); i += 1 }
+    val out = new Array[Double](r)
+    i = 0
+    while (i < r) {
+      var s = 0.0
+      val base = i * d
+      var j = 0
+      while (j < d) { s += p(base + j) * c(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Map-only dense projection P(x − μ): r×d model rides as a codegen
+  * reference object — one O(r·d) primitive loop per row inside
+  * whole-stage codegen (the [[WhitenExpr]] convention). */
+case class ProjectExpr(child: Expression, mean: Array[Double],
+    pFlat: Array[Double], r: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ProjectKernels.project(v.asInstanceOf[ArrayData], mean, pFlat, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("mean", mean, "double[]")
+    val pRef = ctx.addReferenceObj("pFlat", pFlat, "double[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.ProjectKernels.project($v, $mRef, $pRef, $r)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Map-only nearest-centroid assignment: the centroid table is a small
   * model object (nCells rows), so it rides along as a codegen reference
   * instead of a crossJoin that materializes nCells rows per vector. */
@@ -230,6 +276,14 @@ object VectorExprs {
   def whiten_vec(v: Column, mean: Array[Double], wPacked: Array[Double]): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(WhitenExpr(ColumnShim.expression(v), mean, wPacked))
+  }
+
+  /** PCA projection P(x − μ) of a double-array column; `pFlat` is the
+    * r×d component matrix packed row-major. Same eager Column wrapping
+    * rationale as [[nearest_cell]]. */
+  def project_vec(v: Column, mean: Array[Double], pFlat: Array[Double], r: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(ProjectExpr(ColumnShim.expression(v), mean, pFlat, r))
   }
 
   /** Top-`nProbe` cell positions of a double-array column, ordered

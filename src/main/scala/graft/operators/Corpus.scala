@@ -629,6 +629,59 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** X119 bigram-LM cross-entropy per source (the second-order extension
+    * of X78 — the public KenLM/CCNet filter recipe actually conditions on
+    * context, and a bigram model is the smallest LM that does): every
+    * adjacent token pair scores −ln p(w₂|w₁) under add-one smoothing
+    * (p = (c(w₁w₂)+1)/(c(w₁·)+V), V = corpus unigram vocabulary),
+    * averaged per document, summarized per source. Templated/synthetic
+    * sources read LOW (their continuations are predictable) even when
+    * their unigram mix looks natural — exactly the signal the unigram
+    * model cannot see.
+    *
+    * Scale shape: bigrams explode map-only from the token array (the
+    * X25 sequence/element_at device — no per-doc window sort); the
+    * bigram count is the one corpus-sized gram-keyed shuffle; context
+    * counts c(w₁·) fold from the ALREADY-AGGREGATED bigram table (no
+    * second corpus pass); the vocabulary count is one distinct over
+    * tokens; scoring joins the bigram stream to the vocab-sized LM on
+    * the gram key with `shuffle_hash` — at crawl scale the bigram vocab
+    * is far past broadcast range and sort-merge would sort the corpus
+    * stream for a join that hashing serves in one pass (the X113
+    * rationale). Per-doc and per-source reductions mirror X78's DECIMAL
+    * exactness contract. Docs with < 2 tokens have no bigrams and drop
+    * from the report on both engines (JOIN semantics, documented). */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val tkArr = docs.select(col("doc_id"), col("source"), toks.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val bg = tkArr.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(0), size(col("_tk")) - 2),
+        i => struct(element_at(col("_tk"), i + 1).as("w1"),
+          element_at(col("_tk"), i + 2).as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("source"),
+        col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nbg"))
+    val cu = cb.groupBy("w1").agg(sum(col("nbg")).as("nw1"))
+    val vocab = docs.select(explode(toks).as("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val lm = cb.join(cu, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(-log((col("nbg") + lit(1)).cast("double") /
+          (col("nw1") + col("v"))), 6).as("nll"))
+    val perDoc = bg.join(lm.hint("shuffle_hash"), Seq("w1", "w2"))
+      .groupBy("doc_id", "source")
+      .agg(
+        (sum(col("nll").cast("decimal(20,12)")).cast("double") / count(lit(1)))
+          .as("score"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(dmean(round(col("score"), 6)), 6).as("avg_nll"),
+        round(min(col("score")), 6).as("min_nll"),
+        round(max(col("score")), 6).as("max_nll"))
+      .orderBy("source")
+  }
+
   /** X79 DSIR-style importance weights (public method: Xie et al.,
     * "Data Selection for Language Models via Importance Resampling" —
     * hashed-ngram feature LM ratio; here the features are the unigram

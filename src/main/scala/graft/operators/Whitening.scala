@@ -94,11 +94,11 @@ object Whitening {
     out
   }
 
-  /** Model from accumulated moments: Σ = E[xxᵀ] − μμᵀ, then W = chol(Σ
-    * + εI)⁻¹. Exposed for the distributed==local test. */
-  def modelFromMoments(acc: Array[Double], d: Int, eps: Double): Model = {
+  /** (μ, Σ) from accumulated moments: Σ = E[xxᵀ] − μμᵀ. Shared by the
+    * whitening and PCA fits (both are one moment pass + driver algebra). */
+  def meanCov(acc: Array[Double], d: Int): (Array[Double], Array[Array[Double]]) = {
     val n = acc(0)
-    require(n > 1, s"whitening needs more than one vector, got ${n.toLong}")
+    require(n > 1, s"moment fit needs more than one vector, got ${n.toLong}")
     val mean = Array.tabulate(d)(i => acc(1 + i) / n)
     val cov = Array.ofDim[Double](d, d)
     var k = 1 + d
@@ -112,6 +112,14 @@ object Whitening {
       }
       i += 1
     }
+    (mean, cov)
+  }
+
+  /** Model from accumulated moments: Σ = E[xxᵀ] − μμᵀ, then W = chol(Σ
+    * + εI)⁻¹. Exposed for the distributed==local test. */
+  def modelFromMoments(acc: Array[Double], d: Int, eps: Double): Model = {
+    val (mean, cov) = meanCov(acc, d)
+    var i = 0
     // Cholesky of cov + eps*I (in place into L, lower-triangular)
     val l = Array.ofDim[Double](d, d)
     i = 0
@@ -153,27 +161,33 @@ object Whitening {
     * cross-checks), so fitting is exactly one Spark job — no separate
     * `.first()` probe job ahead of it. */
   def fit(df: DataFrame, vecCol: Column, eps: Double = 1e-6): Model = {
+    val (d, acc) = momentPass(df, vecCol)
+    modelFromMoments(acc, d, eps)
+  }
+
+  /** The distributed moment pass by itself: (dim, accumulated moments).
+    * Shared with [[Pca.fit]] — both models are pure functions of the same
+    * sufficient statistics. */
+  def momentPass(df: DataFrame, vecCol: Column): (Int, Array[Double]) = {
     import graft.functions.{VectorFunctions => VF}
     val vecs = df.select(VF.vecAsDouble(vecCol).as("_v")).filter(col("_v").isNotNull)
-    val (d, acc) =
-      try vecs.rdd.mapPartitions { rows =>
-        val it = rows.map(_.getSeq[Double](0).toArray)
-        if (!it.hasNext) Iterator.empty
-        else {
-          val first = it.next()
-          val d = first.length
-          Iterator.single((d, moments(Iterator.single(first) ++ it, d)))
-        }
-      }.reduce { (a, b) =>
-        require(a._1 == b._1,
-          s"whitening: inconsistent vector dims ${a._1} vs ${b._1}")
-        (a._1, combine(a._2, b._2))
+    try vecs.rdd.mapPartitions { rows =>
+      val it = rows.map(_.getSeq[Double](0).toArray)
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val d = first.length
+        Iterator.single((d, moments(Iterator.single(first) ++ it, d)))
       }
-      catch { case _: UnsupportedOperationException => // reduce on empty RDD
-        throw new IllegalArgumentException(
-          "whitening needs more than one vector, got 0")
-      }
-    modelFromMoments(acc, d, eps)
+    }.reduce { (a, b) =>
+      require(a._1 == b._1,
+        s"moment fit: inconsistent vector dims ${a._1} vs ${b._1}")
+      (a._1, combine(a._2, b._2))
+    }
+    catch { case _: UnsupportedOperationException => // reduce on empty RDD
+      throw new IllegalArgumentException(
+        "moment fit needs more than one vector, got 0")
+    }
   }
 
   /** Map-only transform: appends `outCol` = W(x − μ) as array<double>

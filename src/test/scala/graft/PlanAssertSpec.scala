@@ -482,4 +482,20 @@ class PlanAssertSpec extends AnyFunSuite {
         s"the rep kernel, both expansion joins, and the within-group " +
         s"generator:\n${plan.take(3000)}")
   }
+
+  test("q114 bigram LM: scoring join is hashed, not sort-merge; no window; text-only scans") {
+    val plan = planOf("q114_bigram_perplexity")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the corpus-sized bigram stream joins the vocab-sized LM on the " +
+        s"gram key — sort-merge would sort the corpus stream for a join " +
+        s"hashing serves in one pass:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"bigrams explode map-only from the token array (the X25 device) — " +
+        s"a lead() window would doc-sort the whole corpus:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the vocabulary total must ride as a 1-row broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>") ||
+      plan.contains("ReadSchema: struct<text:string>"),
+      s"scans must prune to the consumed columns:\n${plan.take(3000)}")
+  }
 }

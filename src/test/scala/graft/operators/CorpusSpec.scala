@@ -561,6 +561,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == assigned.sortBy(_._1).toSeq)
   }
 
+  test("bigram perplexity: hand-computed add-one bigram NLLs; short docs drop") {
+    // corpus bigrams: "x y"×3, "y x"×2, "y z"×1, "p q"×1; contexts
+    // c(x·)=3, c(y·)=3, c(p·)=1; vocab {x,y,z,p,q} → V=5
+    val d = docs(
+      (1L, "x y x y x", "en", "a"),
+      (2L, "x y z", "en", "a"),
+      (3L, "z", "en", "b"), // single token: no bigrams, drops from the report
+      (4L, "p q", "en", "b"))
+    val out = Corpus.bigramPerplexity(d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def nll(nbg: Long, nw1: Long): Double =
+      BigDecimal(-math.log((nbg + 1.0) / (nw1 + 5.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xy = nll(3, 3); val yx = nll(2, 3); val yz = nll(1, 3); val pq = nll(1, 1)
+    val d1 = (2 * xy + 2 * yx) / 4.0
+    val d2 = (xy + yz) / 2.0
+    val (nA, avgA, minA, maxA) = out("a")
+    assert(nA == 2L)
+    assert(math.abs(avgA - (d1 + d2) / 2.0) < 2e-6, s"a avg $avgA")
+    assert(math.abs(minA - math.min(d1, d2)) < 2e-6)
+    assert(math.abs(maxA - math.max(d1, d2)) < 2e-6)
+    val (nB, avgB, _, _) = out("b")
+    assert(nB == 1L, "the 1-token doc must not count")
+    assert(math.abs(avgB - pq) < 2e-6, s"b avg $avgB want $pq")
+    // the repetitive doc (d1) must read as MORE predictable (lower NLL)
+    // than the novel-continuation doc (d2) — the signal the op exists for
+    assert(d1 < d2)
+  }
+
   test("shard audit: checksums pin membership; shard sizes stay balanced") {
     val d = (0L until 1600L).map(i => (i, "a b c")).toDF("doc_id", "text")
     val audit = Corpus.shardAudit(d, "doc_id", $"text", 16).collect()
