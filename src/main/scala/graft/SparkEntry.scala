@@ -1350,6 +1350,14 @@ object SparkEntry {
     graft.operators.TextAnalysis.zipfAudit(
       Tables.documentsSpread(spark, dir), col("text"), col("source"), topK = 100)
 
+  /** X122 tokenizer fertility audit ([[graft.operators.TextAnalysis.fertilityAudit]]). */
+  def fertilityAuditQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.fertilityAudit(Tables.documentsSpread(spark, dir))
+
+  /** X123 char-entropy quality audit ([[graft.operators.TextAnalysis.charEntropyAudit]]). */
+  def charEntropyQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.charEntropyAudit(Tables.documentsSpread(spark, dir))
+
   /** X104 LSH bucket audit ([[graft.operators.Dedup.minhashBucketAudit]]):
     * the flagged accounting behind q19's band-bucket cap — per band, the
     * bucket count, how many buckets the cap skips, the rows and
@@ -1828,6 +1836,8 @@ object SparkEntry {
     "q112_collapsed_pairs" -> embeddingTopPairsCollapsed _,
     "q113_collapsed_jaccard" -> jaccardTopPairsCollapsed _,
     "q114_bigram_perplexity" -> bigramPerplexity _,
+    "q115_fertility" -> fertilityAuditQuery _,
+    "q116_char_entropy" -> charEntropyQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -3964,6 +3974,58 @@ object SparkEntry {
         |  round(min(score), 6) AS min_nll,
         |  round(max(score), 6) AS max_nll
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // X122: per-doc byte/char/subword-per-token ratios round to 6dp, then
+    // the DECIMAL-mean device (order-free). strlen = bytes in DuckDB
+    // (Spark octet_length); zero-token docs drop on both sides.
+    "q115_fertility" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    strlen(text) AS b, length(text) AS ch,
+        |    len($toksSql) AS nws,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS nbpe
+        |  FROM documents
+        |), f AS (
+        |  SELECT source,
+        |    round(CAST(b AS DOUBLE) / nws, 6) AS bpt,
+        |    round(CAST(ch AS DOUBLE) / nws, 6) AS cpt,
+        |    round(CAST(nbpe AS DOUBLE) / nws, 6) AS fert
+        |  FROM d WHERE nws >= 1
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(bpt AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_bytes_per_tok,
+        |  round(CAST(sum(CAST(cpt AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_chars_per_tok,
+        |  round(CAST(sum(CAST(fert AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_bpe_fertility
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // X123: the oracle explodes characters (fine at oracle scale; the
+    // Spark side histograms map-only instead) and replays the entropy
+    // fold term-for-term: p = cnt/len in DOUBLE, ln rounds to 6dp before
+    // the product, terms round to 12dp into DECIMAL so the sum is
+    // order-free, and the final entropy rounds to 6dp.
+    "q116_char_entropy" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, text, unnest(generate_series(1, length(text))) AS i
+        |  FROM documents WHERE length(text) >= 1
+        |), hist AS (
+        |  SELECT doc_id, source, substring(text, i, 1) AS c, count(*) AS cnt
+        |  FROM pos GROUP BY 1, 2, 3
+        |), lens AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len FROM hist GROUP BY 1
+        |), ent AS (
+        |  SELECT h.doc_id, h.source,
+        |    round(-CAST(sum(CAST(round(
+        |      (h.cnt / CAST(l.len AS DOUBLE)) *
+        |      round(ln(h.cnt / CAST(l.len AS DOUBLE)), 6), 12) AS DECIMAL(20,14))) AS DOUBLE), 6) AS entropy
+        |  FROM hist h JOIN lens l USING (doc_id) GROUP BY 1, 2
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(entropy AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS avg_entropy,
+        |  round(min(entropy), 6) AS min_entropy,
+        |  round(max(entropy), 6) AS max_entropy,
+        |  round(CAST(sum(CASE WHEN entropy < 2.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS low_share
+        |FROM ent GROUP BY source ORDER BY source""".stripMargin,
 
     // q112 is q23's contract through the pre-collapse path: same output
     // by construction, so the oracle replays q23's all-pairs SQL — the

@@ -149,6 +149,41 @@ case class RegexCountExpr(child: Expression, pattern: String) extends UnaryExpre
 }
 
 /** Sorted xxhash64 array of a string array (set-intersection encoding). */
+/** Kernel for [[CharHistExpr]]: CODEPOINT histogram counts, ascending
+  * codepoint order (deterministic; downstream decimal sums are order-free
+  * anyway). Codepoints, not UTF-16 units, so the count matches a
+  * character-semantics engine (DuckDB `length`) on non-BMP text too. */
+object EntropyKernels {
+  def charHist(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Long](counts.size)
+    var j = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Map-only codepoint histogram of a string column (array<long> counts;
+  * which codepoint each count belongs to is deliberately dropped — the
+  * entropy consumers only need the multiset). One O(len) pass per row
+  * inside whole-stage codegen. */
+case class CharHistExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    EntropyKernels.charHist(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.EntropyKernels.charHist($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class XxSortedHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -188,4 +223,11 @@ object TextExprs {
     call_function("graft_distinct_word_ngrams", toks, org.apache.spark.sql.functions.lit(n))
 
   def xx_sorted_hash(a: Column): Column = call_function("graft_xx_sorted_hash", a)
+
+  /** Eagerly-bound codepoint histogram (no registry — the nearest_cell
+    * convention). */
+  def char_hist(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(CharHistExpr(ColumnShim.expression(s)))
+  }
 }

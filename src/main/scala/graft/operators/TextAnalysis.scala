@@ -353,6 +353,81 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Decimal-exact mean of a double column (order-independent — the
+    * shared X78 contract). */
+  private def dmean(c: Column): Column =
+    sum(c.cast("decimal(20,12)")).cast("double") / count(lit(1))
+
+  /** X122 tokenizer fertility audit per source: bytes/token, chars/token,
+    * and subword fertility (BPE-ish tokens per whitespace token). The
+    * standard pre-training cost/fit audit — a source whose bytes-per-token
+    * or fertility is far off corpus norm either isn't the language the
+    * tokenizer was built for or isn't natural text, and its TOKEN budget
+    * (what training actually pays for) diverges from its byte size.
+    *
+    * Scale shape: every per-doc measure is a map-only expression (byte
+    * length, char length, token counts — no explode); the only shuffle is
+    * the source-keyed agg with map-side partials. Ratios round to 6dp
+    * before DECIMAL means (order-free, engine-exact). Docs with zero
+    * whitespace tokens have no defined ratio and drop on both sides. */
+  def fertilityAudit(docs: DataFrame): DataFrame = {
+    val tk = TF.tokens(col("text"))
+    val perDoc = docs.select(col("source"),
+      octet_length(col("text")).cast("long").as("_bytes"),
+      length(col("text")).cast("long").as("_chars"),
+      size(tk).cast("long").as("_nws"),
+      bpeishTokenCount(col("text")).cast("long").as("_nbpe"))
+      .filter(col("_nws") >= 1)
+      .select(col("source"),
+        round(col("_bytes").cast("double") / col("_nws"), 6).as("_bpt"),
+        round(col("_chars").cast("double") / col("_nws"), 6).as("_cpt"),
+        round(col("_nbpe").cast("double") / col("_nws"), 6).as("_fert"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(dmean(col("_bpt")), 6).as("avg_bytes_per_tok"),
+      round(dmean(col("_cpt")), 6).as("avg_chars_per_tok"),
+      round(dmean(col("_fert")), 6).as("avg_bpe_fertility"))
+      .orderBy("source")
+  }
+
+  /** X123 character-entropy audit per source: Shannon entropy (nats) of
+    * each document's codepoint distribution, summarized per source with
+    * the share of docs under `lowThreshold`. A Gopher-family quality
+    * signal: natural prose sits ~2.6–3.1 nats; templated/repetitive or
+    * binary-ish text reads far lower or higher, and the unigram WORD
+    * model (X78) cannot see character-level degeneracy at all.
+    *
+    * Scale shape: the histogram is ONE map-only codegen pass per row
+    * ([[graft.expressions.CharHistExpr]] — no per-character explode, so
+    * the corpus never fans out to a (doc, char) stream); entropy folds
+    * over the bounded histogram array with Spark's own `aggregate`, all
+    * parity-sensitive arithmetic through the same built-in round/log the
+    * 113-query surface already pins cross-engine (terms round to 12dp
+    * into DECIMAL before the order-free sum); the only shuffle is the
+    * source-keyed agg. Empty texts have no distribution and drop on both
+    * sides. */
+  def charEntropyAudit(docs: DataFrame, lowThreshold: Double = 2.0): DataFrame = {
+    import graft.expressions.TextExprs
+    val withEnt = docs
+      .filter(length(col("text")) >= 1)
+      .select(col("source"), TextExprs.char_hist(col("text")).as("_h"))
+      .withColumn("_len", aggregate(col("_h"), lit(0L), (a, c) => a + c))
+      .withColumn("entropy", round(
+        -aggregate(col("_h"), lit(0).cast("decimal(20,14)"),
+          (a, c) => (a + round((c.cast("double") / col("_len")) *
+            round(log(c.cast("double") / col("_len")), 6), 12)
+            .cast("decimal(20,14)")).cast("decimal(20,14)"))
+          .cast("double"), 6))
+    withEnt.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(dmean(col("entropy")), 6).as("avg_entropy"),
+      round(min(col("entropy")), 6).as("min_entropy"),
+      round(max(col("entropy")), 6).as("max_entropy"),
+      round(sum(when(col("entropy") < lowThreshold, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6).as("low_share"))
+      .orderBy("source")
+  }
+
   def nbQualityScores(docs: DataFrame, idCol: String, textCol: Column,
       weakLabel: Column): DataFrame = {
     val labeled = docs.select(col(idCol), weakLabel.cast("boolean").as("_y"), textCol.as("_t"))

@@ -498,4 +498,28 @@ class PlanAssertSpec extends AnyFunSuite {
       plan.contains("ReadSchema: struct<text:string>"),
       s"scans must prune to the consumed columns:\n${plan.take(3000)}")
   }
+
+  test("q115 fertility: map-only measures, single source-keyed agg, no join/window/explode") {
+    val plan = planOf("q115_fertility")
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("Generate"),
+      s"every per-doc measure is a scalar expression — nothing may fan " +
+        s"out or join:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(source#\\d+".r.findFirstIn(plan).isDefined,
+      s"the only shuffle is the source-keyed agg:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<source:string,text:string>") ||
+      plan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"the scan must prune to (source, text):\n${plan.take(3000)}")
+  }
+
+  test("q116 char entropy: histogram is map-only (no per-char explode), single agg") {
+    val plan = planOf("q116_char_entropy")
+    assert(!plan.contains("Generate"),
+      s"the codepoint histogram is one codegen pass per row — a " +
+        s"per-character explode would fan the corpus out |text|-fold:\n${plan.take(3000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"entropy folds per row; the per-source summary is one agg:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(source#\\d+".r.findFirstIn(plan).isDefined,
+      s"the only shuffle is the source-keyed agg:\n${plan.take(3000)}")
+  }
 }

@@ -26,6 +26,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 4) // hello , world !
   }
 
+  test("fertility audit: hand-computed byte/char/subword ratios; zero-token docs drop") {
+    val d = Seq(
+      (1L, "ab cd!", "s1"),   // bytes 6, chars 6, nws 2, bpeish [ab][cd][!] = 3
+      (2L, "xyz", "s1"),      // bytes 3, chars 3, nws 1, bpeish 1
+      (3L, "   ", "s2"),      // zero tokens: must drop
+      (4L, "a b", "s2"))      // bytes 3, chars 3, nws 2, bpeish 2
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.fertilityAudit(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (n1, bpt1, cpt1, f1) = out("s1")
+    assert(n1 == 2L)
+    assert(math.abs(bpt1 - 3.0) < 1e-9 && math.abs(cpt1 - 3.0) < 1e-9)
+    assert(math.abs(f1 - (1.5 + 1.0) / 2) < 1e-9)
+    val (n2, bpt2, _, f2) = out("s2")
+    assert(n2 == 1L, "the whitespace-only doc must not count")
+    assert(math.abs(bpt2 - 1.5) < 1e-9 && math.abs(f2 - 1.0) < 1e-9)
+  }
+
+  test("char entropy: hand-computed distributions; empty text drops; low share flags") {
+    val d = Seq(
+      (1L, "aaaa", "s1"),  // single symbol: entropy 0 (low)
+      (2L, "aabb", "s1"),  // uniform over 2: ln 2 = 0.693147
+      (3L, "abcd", "s2"),  // uniform over 4: ln 4 = 1.386294 (2 * round(ln .25, 6) * .25 * 4)
+      (4L, "", "s2"))      // empty: no distribution, drops
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.charEntropyAudit(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (n1, avg1, min1, max1, low1) = out("s1")
+    assert(n1 == 2L)
+    assert(math.abs(min1 - 0.0) < 1e-9)
+    assert(math.abs(max1 - 0.693147) < 1e-9)
+    assert(math.abs(avg1 - 0.6931470 / 2) < 1e-6)
+    assert(math.abs(low1 - 1.0) < 1e-9, "both docs are under 2.0 nats")
+    val (n2, _, min2, _, _) = out("s2")
+    assert(n2 == 1L, "the empty doc must not count")
+    assert(math.abs(min2 - 1.386294) < 1e-6)
+  }
+
+  test("char entropy is repartition-invariant (order-free decimal fold)") {
+    val d = (0L until 60L).map(i => (i, s"doc $i " + ("xy" * (i % 5 + 1).toInt), s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = TextAnalysis.charEntropyAudit(d).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.charEntropyAudit(d.repartition(17)).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("heavy hitters: exact regime equals the explode-groupBy truth") {
     val docs = Seq("a b a", "b c b a", "d d d d").toDF("text").repartition(3)
     val got = TextAnalysis.heavyHitters(docs, k = 10, capacity = 100)
