@@ -1350,6 +1350,10 @@ object SparkEntry {
     graft.operators.TextAnalysis.zipfAudit(
       Tables.documentsSpread(spark, dir), col("text"), col("source"), topK = 100)
 
+  /** X124 token-distribution divergence audit ([[Corpus.tokenDivergence]]). */
+  def tokenDivergenceQuery(spark: SparkSession, dir: String): DataFrame =
+    Corpus.tokenDivergence(Tables.documentsSpread(spark, dir))
+
   /** X122 tokenizer fertility audit ([[graft.operators.TextAnalysis.fertilityAudit]]). */
   def fertilityAuditQuery(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.fertilityAudit(Tables.documentsSpread(spark, dir))
@@ -1838,6 +1842,7 @@ object SparkEntry {
     "q114_bigram_perplexity" -> bigramPerplexity _,
     "q115_fertility" -> fertilityAuditQuery _,
     "q116_char_entropy" -> charEntropyQuery _,
+    "q117_token_divergence" -> tokenDivergenceQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -4026,6 +4031,37 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN entropy < 2.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS low_share
         |FROM ent GROUP BY source ORDER BY source""".stripMargin,
+
+    // X124: the unigram-distribution triple replayed in SQL — one
+    // (source, token) count, totals folded from it, the same
+    // round-ln-before-products / 12dp-terms-into-DECIMAL contract.
+    "q117_token_divergence" ->
+      s"""WITH tk AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents
+        |), st AS (
+        |  SELECT source, tok, count(*) AS n_st FROM tk GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+        |), c AS (
+        |  SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(sum(n_t) AS BIGINT) AS n FROM c
+        |), terms AS (
+        |  SELECT st.source,
+        |    round((st.n_st / CAST(s.n_s AS DOUBLE)) *
+        |      round(ln((st.n_st / CAST(s.n_s AS DOUBLE)) /
+        |                (c.n_t / CAST(n.n AS DOUBLE))), 6), 12) AS klt,
+        |    round((st.n_st / CAST(s.n_s AS DOUBLE)) *
+        |      round(ln(st.n_st / CAST(s.n_s AS DOUBLE)), 6), 12) AS ht,
+        |    round((st.n_st / CAST(s.n_s AS DOUBLE)) *
+        |          (st.n_st / CAST(s.n_s AS DOUBLE)), 12) AS sqt
+        |  FROM st JOIN s USING (source) JOIN c USING (tok) CROSS JOIN n
+        |)
+        |SELECT source, count(*) AS n_types,
+        |  round(CAST(sum(CAST(klt AS DECIMAL(20,14))) AS DOUBLE), 6) AS kl_vs_corpus,
+        |  round(-CAST(sum(CAST(ht AS DECIMAL(20,14))) AS DOUBLE), 6) AS token_entropy,
+        |  round(CAST(sum(CAST(sqt AS DECIMAL(20,14))) AS DOUBLE), 6) AS simpson
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // q112 is q23's contract through the pre-collapse path: same output
     // by construction, so the oracle replays q23's all-pairs SQL — the

@@ -420,6 +420,50 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** X124 token-distribution divergence audit per source: KL(source ‖
+    * corpus) over the unigram distribution, token-level Shannon entropy,
+    * and Simpson concentration Σp² (1/Σp² = effective vocabulary size).
+    * The domain-shift triple a mixture planner reads before weighting
+    * sources: KL says how far a source's language sits from the corpus
+    * mean, entropy/Simpson say whether the source is diverse or a
+    * handful of tokens wearing a long tail — signals the per-doc quality
+    * ops (X78/X119/X123) cannot see because they never compare
+    * DISTRIBUTIONS across sources.
+    *
+    * Scale shape: the one corpus-sized shuffle is the (source, token)
+    * count; source totals AND corpus token counts both fold from that
+    * already-aggregated table (no second corpus pass — the q114 device);
+    * the scoring join runs on vocabulary-sized frames keyed by token
+    * with `shuffle_hash` (corpus-scale vocabularies are past broadcast
+    * range); the corpus total rides as a 1-row broadcast. All
+    * parity-sensitive arithmetic follows the established order-free
+    * contract: ln rounds to 6dp before products, terms to 12dp into
+    * DECIMAL sums. KL is well-defined with no smoothing because q(t) > 0
+    * for every token the source contains (the corpus includes the
+    * source). */
+  def tokenDivergence(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+    val srcTot = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+    val corpus = st.groupBy("tok").agg(sum(col("n_st")).as("n_t"))
+    val corpusTot = corpus.agg(sum(col("n_t")).as("n"))
+    val p = col("n_st").cast("double") / col("n_s")
+    val q = col("n_t").cast("double") / col("n")
+    val scored = st.join(srcTot, "source")
+      .join(corpus.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"),
+        round(p * round(log(p / q), 6), 12).cast("decimal(20,14)").as("_kl"),
+        round(p * round(log(p), 6), 12).cast("decimal(20,14)").as("_h"),
+        round(p * p, 12).cast("decimal(20,14)").as("_sq"))
+    scored.groupBy("source").agg(
+      count(lit(1)).as("n_types"),
+      round(sum(col("_kl")).cast("double"), 6).as("kl_vs_corpus"),
+      round(-sum(col("_h")).cast("double"), 6).as("token_entropy"),
+      round(sum(col("_sq")).cast("double"), 6).as("simpson"))
+      .orderBy("source")
+  }
+
   /** Bigram novelty per source: the fraction of a source's distinct
     * bigrams that appear in NO other source — high novelty means the
     * source adds variety, near-zero means it restates the corpus. One

@@ -522,4 +522,16 @@ class PlanAssertSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(source#\\d+".r.findFirstIn(plan).isDefined,
       s"the only shuffle is the source-keyed agg:\n${plan.take(3000)}")
   }
+
+  test("q117 token divergence: hashed vocab join, corpus total broadcasts, one corpus-sized shuffle") {
+    val plan = planOf("q117_token_divergence")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the vocab-keyed scoring join must hash, not sort-merge:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row corpus total must ride as a broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"everything reduces through aggregates:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(source#\\d+, tok#\\d+".r.findFirstIn(plan).isDefined,
+      s"the one corpus-sized shuffle is the (source, token) count:\n${plan.take(3000)}")
+  }
 }

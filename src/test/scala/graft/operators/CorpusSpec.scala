@@ -591,6 +591,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(d1 < d2)
   }
 
+  test("token divergence: hand-computed KL, entropy, and Simpson on a two-source corpus") {
+    // s1: a a b (n=3); s2: b c (n=2); corpus: a:2 b:2 c:1 (N=5)
+    val d = docs(
+      (1L, "a a b", "en", "s1"),
+      (2L, "b c", "en", "s2"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def term(p: Double, lnArg: Double): BigDecimal = r12(p * r6(math.log(lnArg)))
+    val klS1 = r6((term(2.0 / 3, (2.0 / 3) / 0.4) + term(1.0 / 3, (1.0 / 3) / 0.4)).toDouble)
+    val hS1 = r6(-(term(2.0 / 3, 2.0 / 3) + term(1.0 / 3, 1.0 / 3)).toDouble)
+    val sqS1 = r6((r12(2.0 / 3 * (2.0 / 3)) + r12(1.0 / 3 * (1.0 / 3))).toDouble)
+    val out = Corpus.tokenDivergence(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (nt1, kl1, h1, sq1) = out("s1")
+    assert(nt1 == 2L)
+    assert(math.abs(kl1 - klS1) < 1e-9, s"kl $kl1 want $klS1")
+    assert(math.abs(h1 - hS1) < 1e-9, s"entropy $h1 want $hS1")
+    assert(math.abs(sq1 - sqS1) < 1e-9, s"simpson $sq1 want $sqS1")
+    // s2 is uniform over 2 types: entropy ln 2, simpson 0.5
+    val (nt2, kl2, h2, sq2) = out("s2")
+    assert(nt2 == 2L)
+    assert(math.abs(h2 - 0.693147) < 1e-6)
+    assert(math.abs(sq2 - 0.5) < 1e-9)
+    // both sources diverge from the corpus mix, KL strictly positive
+    assert(kl1 > 0 && kl2 > 0)
+  }
+
   test("shard audit: checksums pin membership; shard sizes stay balanced") {
     val d = (0L until 1600L).map(i => (i, "a b c")).toDF("doc_id", "text")
     val audit = Corpus.shardAudit(d, "doc_id", $"text", 16).collect()
