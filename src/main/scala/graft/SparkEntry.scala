@@ -1350,6 +1350,14 @@ object SparkEntry {
     graft.operators.TextAnalysis.zipfAudit(
       Tables.documentsSpread(spark, dir), col("text"), col("source"), topK = 100)
 
+  /** X125 chunk-stitch boundary audit ([[graft.operators.Dedup.chunkStitchAudit]]).
+    * k=3 here: the synthetic corpus's 31-word vocabulary needs a short
+    * boundary for the stitch regime to occur at sf0.01; production text
+    * uses the k=8 default. */
+  def chunkStitchQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.chunkStitchAudit(
+      Tables.documentsSpread(spark, dir), col("text"), k = 3)
+
   /** X124 token-distribution divergence audit ([[Corpus.tokenDivergence]]). */
   def tokenDivergenceQuery(spark: SparkSession, dir: String): DataFrame =
     Corpus.tokenDivergence(Tables.documentsSpread(spark, dir))
@@ -1843,6 +1851,7 @@ object SparkEntry {
     "q115_fertility" -> fertilityAuditQuery _,
     "q116_char_entropy" -> charEntropyQuery _,
     "q117_token_divergence" -> tokenDivergenceQuery _,
+    "q118_chunk_stitch" -> chunkStitchQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -4062,6 +4071,32 @@ object SparkEntry {
         |  round(-CAST(sum(CAST(ht AS DECIMAL(20,14))) AS DOUBLE), 6) AS token_entropy,
         |  round(CAST(sum(CAST(sqt AS DECIMAL(20,14))) AS DOUBLE), 6) AS simpson
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // X125: boundary keys where some doc's leading k tokens equal another
+    // doc's trailing k tokens; counts, never pair enumeration. k=3 for
+    // the synthetic corpus's 31-word vocabulary.
+    "q118_chunk_stitch" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS tk FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk[1:3], ' ') AS head,
+        |    array_to_string(tk[-3:], ' ') AS tail
+        |  FROM t WHERE len(tk) >= 6
+        |), h AS (
+        |  SELECT head AS boundary_key, count(*) AS n_heads FROM f GROUP BY 1
+        |), tl AS (
+        |  SELECT tail AS boundary_key, count(*) AS n_tails FROM f GROUP BY 1
+        |), s AS (
+        |  SELECT head AS boundary_key, count(*) AS n_self
+        |  FROM f WHERE head = tail GROUP BY 1
+        |)
+        |SELECT h.boundary_key, h.n_heads, tl.n_tails,
+        |  coalesce(s.n_self, CAST(0 AS BIGINT)) AS n_self,
+        |  h.n_heads * tl.n_tails - coalesce(s.n_self, CAST(0 AS BIGINT)) AS stitch_pairs
+        |FROM h JOIN tl USING (boundary_key) LEFT JOIN s USING (boundary_key)
+        |WHERE h.n_heads * tl.n_tails - coalesce(s.n_self, CAST(0 AS BIGINT)) >= 1
+        |ORDER BY stitch_pairs DESC, boundary_key LIMIT 20""".stripMargin,
 
     // q112 is q23's contract through the pre-collapse path: same output
     // by construction, so the oracle replays q23's all-pairs SQL — the

@@ -986,6 +986,47 @@ object Dedup {
       .toDF("doc_id", "pos", "g")
   }
 
+  /** X125 chunk-stitch boundary audit: find k-token boundary keys where
+    * some document's LEADING k tokens equal another document's TRAILING k
+    * tokens — the signature of sliding-window chunking artifacts
+    * re-entering a corpus as "documents" (a chunk's head restates the
+    * previous chunk's tail, so re-spliced fragments chain head-to-tail).
+    * Self-matches (a doc whose own head equals its own tail — short
+    * repetitive docs) are counted separately and excluded from the
+    * stitch-pair count.
+    *
+    * Scale shape: two map-only projections (head key, tail key — token
+    * slices, no explode), one key-keyed count agg each, one equi-join of
+    * two AGGREGATED key tables (boundary-vocabulary-sized, not
+    * corpus-sized), top-N via TakeOrderedAndProject. The pair count is
+    * arithmetic on counts — no pair enumeration, so a boilerplate
+    * opening shared by a million docs costs one row, not 10¹² pairs. */
+  def chunkStitchAudit(docs: DataFrame, textCol: Column, k: Int = 8,
+      topN: Int = 20): DataFrame = {
+    require(k >= 1, s"chunkStitchAudit: k must be >= 1, got $k")
+    val tk = docs.select(col("doc_id"), TF.tokens(textCol).as("_tk"))
+      .filter(size(col("_tk")) >= 2 * k) // head and tail must not overlap
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("_tk"), 1, k)).as("_head"),
+        concat_ws(" ", slice(col("_tk"), -k, k)).as("_tail"))
+    val heads = tk.groupBy(col("_head").as("boundary_key"))
+      .agg(count(lit(1)).as("n_heads"))
+    val tails = tk.groupBy(col("_tail").as("boundary_key"))
+      .agg(count(lit(1)).as("n_tails"))
+    val selfs = tk.filter(col("_head") === col("_tail"))
+      .groupBy(col("_head").as("boundary_key"))
+      .agg(count(lit(1)).as("n_self"))
+    heads.join(tails, "boundary_key")
+      .join(selfs, Seq("boundary_key"), "left")
+      .select(col("boundary_key"), col("n_heads"), col("n_tails"),
+        coalesce(col("n_self"), lit(0L)).as("n_self"),
+        (col("n_heads") * col("n_tails") - coalesce(col("n_self"), lit(0L)))
+          .as("stitch_pairs"))
+      .filter(col("stitch_pairs") >= 1)
+      .orderBy(col("stitch_pairs").desc, col("boundary_key"))
+      .limit(topN)
+  }
+
   /** Doc-keyed gaps-and-islands over flagged window positions: break when
     * the next window starts past the previous one's coverage (gap > k),
     * min/max per island ⇒ maximal span. */

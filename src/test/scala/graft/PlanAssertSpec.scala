@@ -534,4 +534,14 @@ class PlanAssertSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(source#\\d+, tok#\\d+".r.findFirstIn(plan).isDefined,
       s"the one corpus-sized shuffle is the (source, token) count:\n${plan.take(3000)}")
   }
+
+  test("q118 chunk stitch: counts never pairs — no explode, bounded top-N, no cartesian") {
+    val plan = planOf("q118_chunk_stitch")
+    assert(!plan.contains("Generate"),
+      s"head/tail keys are token slices, map-only:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"the stitch count is arithmetic on aggregated key tables:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be a bounded heap, not a global sort:\n${plan.take(3000)}")
+  }
 }

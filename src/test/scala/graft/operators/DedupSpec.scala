@@ -19,6 +19,21 @@ class DedupSpec extends AnyFunSuite {
   private val unrelated =
     "completely different content about databases indexes and storage engines at scale"
 
+  test("chunk-stitch audit: planted head-tail stitches found, self-matches excluded, short docs skipped") {
+    val d = Seq(
+      (1L, "a b c x y z p q r"),   // head "a b c", tail "p q r"
+      (2L, "p q r m n o a b c"),   // head "p q r", tail "a b c" — stitches with d1 both ways
+      (3L, "s s s t t t s s s"),   // own head == own tail: self only, 0 stitch pairs
+      (4L, "a b c"))               // < 2k tokens: head/tail would overlap, skipped
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkStitchAudit(d, col("text"), k = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set("a b c", "p q r"), s"got ${out.keySet}")
+    assert(out("a b c") == ((1L, 1L, 0L, 1L)))
+    assert(out("p q r") == ((1L, 1L, 0L, 1L)))
+  }
+
   test("exact duplicate groups found after whitespace normalization") {
     val df = Seq((1L, "Hello  World"), (2L, " hello world "), (3L, "other"))
       .toDF("doc_id", "text")
