@@ -1358,6 +1358,10 @@ object SparkEntry {
     graft.operators.Dedup.chunkStitchAudit(
       Tables.documentsSpread(spark, dir), col("text"), k = 3)
 
+  /** X126 per-source length-distribution divergence ([[Corpus.lengthDivergence]]). */
+  def lengthDivergenceQuery(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lengthDivergence(Tables.documentsSpread(spark, dir))
+
   /** X124 token-distribution divergence audit ([[Corpus.tokenDivergence]]). */
   def tokenDivergenceQuery(spark: SparkSession, dir: String): DataFrame =
     Corpus.tokenDivergence(Tables.documentsSpread(spark, dir))
@@ -1852,6 +1856,7 @@ object SparkEntry {
     "q116_char_entropy" -> charEntropyQuery _,
     "q117_token_divergence" -> tokenDivergenceQuery _,
     "q118_chunk_stitch" -> chunkStitchQuery _,
+    "q119_length_divergence" -> lengthDivergenceQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -4097,6 +4102,32 @@ object SparkEntry {
         |FROM h JOIN tl USING (boundary_key) LEFT JOIN s USING (boundary_key)
         |WHERE h.n_heads * tl.n_tails - coalesce(s.n_self, CAST(0 AS BIGINT)) >= 1
         |ORDER BY stitch_pairs DESC, boundary_key LIMIT 20""".stripMargin,
+
+    // X126: decile-grid KS over n_chars — quantile_cont matches Spark's
+    // exact interpolated percentile (the q46 parity); both CDFs are
+    // conditional sums against the same nine boundaries.
+    "q119_length_divergence" -> {
+      val sumsFor = (p: String) => (1 to 9).map(i =>
+        s"sum(CASE WHEN n_chars <= b.qs[$i] THEN 1 ELSE 0 END) AS $p$i").mkString(",\n        |    ")
+      val ks = (1 to 9).map(i =>
+        s"abs(CAST(s$i AS DOUBLE) / n_docs - CAST(t$i AS DOUBLE) / n)").mkString(",\n        |    ")
+      s"""WITH b AS (
+        |  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM documents
+        |), src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    ${sumsFor("s")}
+        |  FROM documents, b GROUP BY source
+        |), tot AS (
+        |  SELECT count(*) AS n,
+        |    ${sumsFor("t")}
+        |  FROM documents, b
+        |)
+        |SELECT source, n_docs,
+        |  round(greatest(
+        |    $ks), 6) AS ks_stat
+        |FROM src, tot ORDER BY source""".stripMargin
+    },
 
     // q112 is q23's contract through the pre-collapse path: same output
     // by construction, so the oracle replays q23's all-pairs SQL — the

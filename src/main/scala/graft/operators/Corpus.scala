@@ -464,6 +464,44 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** X126 per-source length-distribution divergence: a decile-grid
+    * Kolmogorov–Smirnov statistic — max over the corpus's nine exact
+    * length deciles of |CDF_source − CDF_corpus|. q35's length-bias check
+    * compares MEANS; a source can match the corpus mean while being
+    * bimodal (half stubs, half walls of text — exactly what chunking
+    * bugs and boilerplate injection produce), which only a
+    * distribution-level comparison sees.
+    *
+    * Scale shape: the decile boundaries are ONE exact-percentile agg
+    * collected to the driver (nine doubles — a bounded model object, the
+    * IVF-trainer device; `Stats.pct` documents the `approx_percentile`
+    * escape hatch where exact percentiles stop being affordable); both
+    * CDFs then evaluate as conditional sums inside ordinary aggs — the
+    * per-source one and a 1-row corpus one that rides as a broadcast.
+    * The KS max is a 9-term `greatest` — closed form, order-free. */
+  def lengthDivergence(docs: DataFrame): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val bounds = docs
+      .agg(percentile(col("n_chars"), typedlit(ps)).as("qs"))
+      .first().getSeq[Double](0)
+    def cdfSums(prefix: String): Seq[Column] = bounds.zipWithIndex.map {
+      case (b, i) =>
+        sum(when(col("n_chars") <= b, 1L).otherwise(0L)).as(s"_$prefix$i")
+    }
+    val totAggs = cdfSums("t")
+    val tot = docs.agg(count(lit(1)).as("_n"), totAggs: _*)
+    val srcAggs = cdfSums("s")
+    val src = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), srcAggs: _*)
+    val terms = bounds.indices.map(i =>
+      abs(col(s"_s$i").cast("double") / col("n_docs") -
+        col(s"_t$i").cast("double") / col("_n")))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(greatest(terms: _*), 6).as("ks_stat"))
+      .orderBy("source")
+  }
+
   /** Bigram novelty per source: the fraction of a source's distinct
     * bigrams that appear in NO other source — high novelty means the
     * source adds variety, near-zero means it restates the corpus. One

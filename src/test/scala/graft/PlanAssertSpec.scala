@@ -544,4 +544,13 @@ class PlanAssertSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-N must be a bounded heap, not a global sort:\n${plan.take(3000)}")
   }
+
+  test("q119 length divergence: CDFs are conditional sums; corpus row broadcasts; pruned scan") {
+    val plan = planOf("q119_length_divergence")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"the 1-row corpus CDF must broadcast; the KS max is closed form:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<source:string,n_chars:bigint>") ||
+      plan.contains("ReadSchema: struct<n_chars:bigint,source:string>"),
+      s"the scan must prune to (source, n_chars):\n${plan.take(3000)}")
+  }
 }

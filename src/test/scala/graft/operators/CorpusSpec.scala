@@ -621,6 +621,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(kl1 > 0 && kl2 > 0)
   }
 
+  test("length divergence: identical distributions score 0, disjoint ones score high") {
+    val same = (Seq(10L, 20L, 30L, 40L).map(n => ("s1", n)) ++
+      Seq(10L, 20L, 30L, 40L).map(n => ("s2", n)))
+      .toDF("source", "n_chars")
+    val ksSame = Corpus.lengthDivergence(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ksSame.values.forall(v => math.abs(v) < 1e-9),
+      s"identical per-source distributions must have KS 0: $ksSame")
+
+    val split = (Seq(1L, 2L, 3L, 4L).map(n => ("lo", n)) ++
+      Seq(100L, 200L, 300L, 400L).map(n => ("hi", n)))
+      .toDF("source", "n_chars")
+    val ksSplit = Corpus.lengthDivergence(split).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ksSplit("lo") > 0.4 && ksSplit("hi") > 0.4, s"$ksSplit")
+    assert(math.abs(ksSplit("lo") - ksSplit("hi")) < 1e-9,
+      "the two halves sit symmetrically around the corpus CDF")
+  }
+
   test("shard audit: checksums pin membership; shard sizes stay balanced") {
     val d = (0L until 1600L).map(i => (i, "a b c")).toDF("doc_id", "text")
     val audit = Corpus.shardAudit(d, "doc_id", $"text", 16).collect()
