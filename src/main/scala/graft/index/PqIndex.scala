@@ -232,7 +232,10 @@ object PqIndex {
         get(typedlit(cellIds.toSeq), col("_cp")).as("cell_id"))
     encoded.repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(p.assigned)
-    writeMetadata(spark, p, n, nCells, model)
+    // persist the ACTUAL cell count (the trainer drops empty cells), the
+    // same value the append path recomputes — so metadata.n_cells never
+    // silently changes across an update that touched no cells
+    writeMetadata(spark, p, n, cellIds.length, model)
   }
 
   private def saveCodebooks(spark: SparkSession, p: Paths, model: PqModel): Unit = {
@@ -282,7 +285,15 @@ object PqIndex {
         .getFileStatus(marker).getModificationTime
       catch { case _: Exception => -1L }
     if (mtime < 0) load()
-    else modelCache.getOrElseUpdate((p.codebooks, mtime), load())
+    else modelCache.getOrElseUpdate((p.codebooks, mtime), {
+      // evict superseded builds of the SAME path: a serving loop that
+      // rebuilds in place would otherwise leak one collected model
+      // (~hundreds of KB) per rebuild for the life of the session
+      modelCache.keys
+        .filter(key => key._1 == p.codebooks && key._2 != mtime)
+        .foreach(modelCache.remove)
+      load()
+    })
   }
 
   /** ADC search over the persisted index: nProbe-cell pruned top-k per
@@ -311,9 +322,17 @@ object PqIndex {
         col("_lut"), col("_qc"), col("_qn"))
     val cands = broadcast(qCells).join(corpus, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+    // degenerate norms (zero query vector, or a code whose reconstruction
+    // is the zero vector) have UNDEFINED cosine — 0/0 = NaN would rank
+    // FIRST under perQueryTopK's SQL-DESC ordering (NaN largest), so such
+    // rows are guarded to NaN and then EXCLUDED before the top-k, leaving
+    // genuine candidates to fill the k slots
     val sims = cands.select(col("query_id"), col("neighbor_id"),
-      round((col("_qc") + PqExprs.pq_adc(col("_lut"), col("_codes"), model.k)) /
-        (col("_qn") * col("_rn")), 6).as("sim"))
+      when(col("_qn") > 0 && col("_rn") > 0,
+        round((col("_qc") + PqExprs.pq_adc(col("_lut"), col("_codes"), model.k)) /
+          (col("_qn") * col("_rn")), 6))
+        .otherwise(lit(Double.NaN)).as("sim"))
+      .filter(not(isnan(col("sim"))))
     Similarity.perQueryTopK(sims, k)
   }
 
@@ -340,9 +359,12 @@ object PqIndex {
     val pairs = broadcast(shortlist.join(q, "query_id"))
       .join(vectors.select(col(idCol).as("neighbor_id"),
         VF.vecAsDouble(col(vecCol)).as("_nv")), "neighbor_id")
+    // same degenerate-row exclusion as search(): a zero stored vector's
+    // cosine is undefined (0/0 = NaN ranks first under SQL-DESC ordering)
     val sims = pairs.select(col("query_id"), col("neighbor_id"),
       round(vec_dot(col("qv"), col("_nv")) /
         (col("_qn") * sqrt(vec_dot(col("_nv"), col("_nv")))), 6).as("sim"))
+      .filter(not(isnan(col("sim"))))
     Similarity.perQueryTopK(sims, k)
   }
 
@@ -360,6 +382,16 @@ object PqIndex {
       nCells: Int, outDir: String, m: Int = 8, k: Int = 256): String = {
     val spark = vectors.sparkSession
     val p = Paths(outDir)
+    // the VectorIndex.update contract: a crashed mid-build write leaves
+    // files but no _SUCCESS — appending onto that silently compounds a
+    // corrupt index, so refuse and direct the caller to rebuild
+    val marker = new org.apache.hadoop.fs.Path(p.assigned, "_SUCCESS")
+    val complete =
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+    if (!complete)
+      throw new IllegalStateException(
+        s"index at $outDir is incomplete (no _SUCCESS in ${p.assigned}) — " +
+          "rebuild from the corpus via PqIndex.build before updating")
     val existingIds = spark.read.parquet(p.assigned).select(col("_id").as(idCol))
     val fresh = vectors.join(existingIds, Seq(idCol), "left_anti").cache()
     try {

@@ -189,7 +189,14 @@ object VectorIndex {
         .getFileStatus(marker).getModificationTime
       catch { case _: Exception => -1L }
     if (mtime < 0) load()
-    else centroidCache.getOrElseUpdate((p.centroids, mtime), load())
+    else centroidCache.getOrElseUpdate((p.centroids, mtime), {
+      // evict superseded builds of the SAME path so a rebuild-in-place
+      // serving loop doesn't leak one collected centroid table per rebuild
+      centroidCache.keys
+        .filter(key => key._1 == p.centroids && key._2 != mtime)
+        .foreach(centroidCache.remove)
+      load()
+    })
   }
 
   /** Search the persisted index: nProbe-cell pruned top-k per query.
@@ -226,6 +233,9 @@ object VectorIndex {
     val sims = cands
       .select(col("query_id"), col("neighbor_id"),
         round(vec_dot(col("qv"), col("nv")) / (col("_qn") * col("_nn")), 6).as("sim"))
+      // a zero-norm row's cosine is undefined: 0/0 = NaN would rank FIRST
+      // under perQueryTopK's SQL-DESC ordering — exclude it instead
+      .filter(not(isnan(col("sim"))))
     // bounded top-k aggregate, not a ranking window: the shuffle carries
     // ≤ k rows per (query, partition) instead of every probed candidate
     graft.operators.Similarity.perQueryTopK(sims, k)

@@ -450,7 +450,9 @@ object Dedup {
       sortedHashCol: String, k: Int, nBlocks: Int = 8,
       maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
     Guards.requireAtMost(df, maxRows, "jaccardTopPairsBlocked",
-      "switch to minhashNearDups (MinHash-LSH) for the approximate regime")
+      "on a duplicate-dense corpus collapse exact twins first via " +
+        "jaccardTopPairsCollapsed (preserves the exact contract); otherwise " +
+        "switch to minhashNearDups (MinHash-LSH) for the approximate regime")
     jaccardBlockedCore(df, keyCol, idCol, sortedHashCol, k, nBlocks)
   }
 

@@ -298,7 +298,9 @@ object Similarity {
       k: Int, nBlocks: Int = 8, roundDp: Int = 6,
       maxRows: Long = Guards.DefaultExactPairRows): DataFrame = {
     Guards.requireAtMost(df, maxRows, "topPairsExactBlocked",
-      "switch to the IVF path (trainIvfCentroids + topKIvf) for the approximate regime")
+      "on a duplicate-dense corpus collapse exact twins first via " +
+        "topPairsExactCollapsed (preserves the exact contract); otherwise " +
+        "switch to the IVF path (trainIvfCentroids + topKIvf) for the approximate regime")
     blockedTopCore(
       df.select(col(idCol).cast("long").as("_id"), VF.vecAsDouble(col(vecCol)).as("_v")),
       k, nBlocks, roundDp)

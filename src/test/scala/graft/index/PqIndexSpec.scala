@@ -223,6 +223,73 @@ class PqIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/assigned.parquet").count() == 330)
   }
 
+  test("update refuses an incomplete index (no _SUCCESS), naming the rebuild route") {
+    val dir = tmp("crash")
+    val base = losslessCorpus(120).toDF("id", "vec")
+    PqIndex.build(base, "id", "vec", nCells = 2, dir, m = 4, k = 8)
+    // simulate a crashed mid-build write: files present, marker gone
+    val marker = new java.io.File(s"$dir/assigned.parquet/_SUCCESS")
+    assert(marker.delete(), "fixture: _SUCCESS must exist to be deleted")
+    val e = intercept[IllegalStateException] {
+      PqIndex.update(losslessCorpus(130).toDF("id", "vec"), "id", "vec",
+        nCells = 2, dir, m = 4, k = 8)
+    }
+    assert(e.getMessage.contains("incomplete") && e.getMessage.contains("rebuild"))
+  }
+
+  test("zero-reconstruction rows (stored _rn == 0) sort last, sims stay finite") {
+    // 60 all-zero vectors + 60 copies of one integer-component pattern,
+    // nCells = 2: Lloyd's means stay in exact integer fp arithmetic, the
+    // two point masses get centroids EXACTLY 0 and EXACTLY the pattern,
+    // every residual is exactly zero, so the zero rows persist _rn == 0.0
+    // bit-exact — the degenerate-division row the guard exists for. The
+    // guard maps them to NaN (undefined cosine) and search EXCLUDES them
+    // before the top-k (perQueryTopK's SQL-DESC ordering would otherwise
+    // rank NaN first), so the top-k must be genuine rows only.
+    val dir = tmp("zero")
+    val pattern = Array(10.0, 0.0, 5.0, 0.0, 10.0, 0.0, 5.0, 0.0, 10.0, 0.0, 5.0, 0.0)
+    val rows = (0 until 60).map(i => (i.toLong, Array.fill(12)(0.0))) ++
+      (60 until 120).map(i => (i.toLong, pattern))
+    val vecs = rows.toDF("id", "vec")
+    PqIndex.build(vecs, "id", "vec", nCells = 2, dir, m = 4, k = 8)
+    val rns = spark.read.parquet(s"$dir/assigned.parquet")
+      .select("_rn").collect().map(_.getDouble(0))
+    assert(rns.count(_ == 0.0) == 60,
+      s"fixture: the 60 zero rows must reconstruct to exactly zero (got ${rns.count(_ == 0.0)})")
+    val q = vecs.filter(col("id") === 70L).select(col("id").as("query_id"),
+      VF.vecAsDouble(col("vec")).as("qv"))
+    val got = PqIndex.search(spark, dir, q, k = 10, nProbe = 2)
+      .select("neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2.isInfinite), s"infinite sims: ${got.mkString(",")}")
+    // 59 genuine candidates exist, so no degenerate (zero) row may place
+    assert(got.forall { case (nid, sim) => nid >= 60 && !sim.isNaN },
+      s"degenerate neighbor ranked in top-k: ${got.mkString(",")}")
+  }
+
+  test("metadata n_cells is the actual (non-empty) cell count and stable across append") {
+    // 3 distinct vectors duplicated 60× each: an 8-cell request can fill
+    // at most 3 cells, so the trainer drops the rest
+    val pats = losslessCorpus(3).map(_._2)
+    val rows = (0 until 180).map(i => (i.toLong, pats(i % 3)))
+    val dir = tmp("ncells")
+    PqIndex.build(rows.toDF("id", "vec"), "id", "vec", nCells = 8, dir, m = 4, k = 8)
+    def metaCells(): Int = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/metadata.json")), "UTF-8")
+      """"n_cells":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+    }
+    val actual = spark.read.parquet(s"$dir/centroids.parquet").count().toInt
+    val built = metaCells()
+    assert(built == actual, s"build wrote n_cells=$built, centroids table has $actual")
+    // +10% duplicates of the same patterns → append; n_cells must not move
+    val plus = (0 until 198).map(i => (i.toLong, pats(i % 3)))
+    assert(PqIndex.update(plus.toDF("id", "vec"), "id", "vec",
+      nCells = 8, dir, m = 4, k = 8) == "append")
+    assert(metaCells() == built, "n_cells changed value across a no-cell-change append")
+  }
+
   test("codebook training is deterministic and repartition-invariant") {
     val vecs = losslessCorpus(200).toDF("id", "vec")
       .select(col("id").as("_id"), VF.vecAsDouble(col("vec")).as("_v"))

@@ -294,6 +294,10 @@ class DedupSpec extends AnyFunSuite {
       Dedup.jaccardTopPairsBlocked(df, "blk", "doc_id", "hsh", k = 5, maxRows = 50)
     }
     assert(e.getMessage.contains("guard"))
+    // the exact-contract escalation comes FIRST in the guidance, then the
+    // approximate route
+    assert(e.getMessage.contains("jaccardTopPairsCollapsed"))
+    assert(e.getMessage.contains("minhashNearDups"))
   }
 
   test("64-bit simhash + banding: near-dups pair up, unrelated don't") {

@@ -158,6 +158,8 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.topPairsExactBlocked(vectors, "vec_id", "embedding", k = 5, maxRows = 10)
     }
     assert(e.getMessage.contains("IVF"))
+    // the exact-contract escalation (collapse exact twins) is named first
+    assert(e.getMessage.contains("topPairsExactCollapsed"))
   }
 
   private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
