@@ -1501,10 +1501,13 @@ object SparkEntry {
     * pipeline — batched stub decode via mapPartitions, perceptual
     * difference-hash, pigeonhole-banded near-dup pairs blocked by
     * media_type — and reports one audit row per media_type: assets,
-    * distinct fingerprints, near-dup pairs. No SQL oracle (the decode
-    * stub is JVM-side by design — the documented class of non-SQL
-    * operators); the driver records a rows-only check, and the
-    * MultimodalSpec units pin the numeric behavior. Exact-dup documents
+    * distinct fingerprints, near-dup pairs, and an ORDER-FREE content
+    * checksum (bit_xor of the perceptual hashes). No SQL oracle (the
+    * decode stub is JVM-side by design — the documented class of non-SQL
+    * operators), so the driver records a rows-only check; the checksum
+    * column makes those rows content-bearing anyway: MultimodalSpec pins
+    * the full sf0.01 output (counts AND phash_xor) as golden values, the
+    * deterministic-decode equivalent of a hash gate. Exact-dup documents
     * collapse to identical fingerprints, so the pair count is driven by
     * the corpus's real duplicate mass, not noise. */
   def mediaPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -1521,12 +1524,14 @@ object SparkEntry {
       maxDist = 4, bits = 63)
     val perType = hashed.groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),
-        countDistinct(col("phash")).as("n_fingerprints"))
+        countDistinct(col("phash")).as("n_fingerprints"),
+        expr("bit_xor(phash)").as("phash_xor"))
     val pairCounts = pairs.groupBy("media_type")
       .agg(count(lit(1)).as("n_neardup_pairs"))
     perType.join(pairCounts, Seq("media_type"), "left")
       .select(col("media_type"), col("n_assets"), col("n_fingerprints"),
-        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"))
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+        col("phash_xor"))
       .orderBy("media_type")
   }
 

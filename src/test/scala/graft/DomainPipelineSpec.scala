@@ -255,6 +255,24 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(pairs == Set(("imgA", "imgB")))
   }
 
+  test("q111 media pipeline is checksum-backed: golden per-type counts + phash_xor at sf0.01") {
+    // The ONLY SparkEntry.queries entry without a DuckDB oracle (the
+    // decode is JVM-side by design), so the driver records a rows-only
+    // check. The pipeline is deterministic end to end, so this pins the
+    // FULL sf0.01 output — counts and the order-free bit_xor of the
+    // perceptual hashes — as golden values over the same fixture the
+    // driver runs: a content gate equivalent to the oracle hash check.
+    val got = graft.SparkEntry.mediaPipelineQuery(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    val golden = List(
+      ("audio", 167L, 167L, 0L, 2519956421962649656L),
+      ("image", 167L, 167L, 0L, 3477035295979449007L),
+      ("video", 166L, 166L, 0L, 6080151846363310030L))
+    assert(got == golden, s"sf0.01 media audit drifted:\n  got    $got\n  golden $golden")
+  }
+
   test("multimodal: custom decoder plugs in; audio windows cover the duration") {
     val media = Seq(
       ("aud1", "audio", Array[Byte](1, 2), None: Option[Int], None: Option[Int],
