@@ -22,7 +22,7 @@ import graft.operators.Dedup
   * a [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapGroupsWithState]]
   * keyed on the bucket compares it against the bucket's live members.
   *
-  * State is bounded on three axes, which is the whole point:
+  * State is bounded on four axes, which is the whole point:
   *   - horizon: members retire when they fall behind the event-time
   *     watermark (EventTimeTimeout sweeps buckets no batch touches), so
   *     the store is O(docs per horizon), never O(docs ever);
@@ -34,6 +34,15 @@ import graft.operators.Dedup
   *     saturated the bucket admits and emits nothing until its live
   *     members expire with the watermark, so a hot bucket degrades
   *     deterministically instead of quadratically;
+  *   - member payload: each live member stores at most `maxStoredHashes`
+  *     of its sorted shingle hashes — the ASCENDING-sorted array's prefix
+  *     is a bottom-k (KMV) sketch, so a member costs ≤ 8·maxStoredHashes
+  *     + ~32 bytes per band REGARDLESS of document length. Pairs where
+  *     both sides fit under the cap score the batch pipeline's EXACT
+  *     jaccard (`exact = true`); a truncated side downgrades the score to
+  *     the standard KMV estimate (matches / union-size below the smaller
+  *     truncation threshold, std-err ≈ √(j(1−j)/maxStoredHashes)) and the
+  *     emitted row says so (`exact = false`);
   *   - re-delivery: a doc id already live in the bucket is dropped
   *     (at-least-once upstreams re-deliver within the horizon — the
   *     streaming sibling of [[StreamingDedup.dedupWithinWatermark]]).
@@ -45,43 +54,75 @@ import graft.operators.Dedup
   * N2 foreachBatch MERGE pattern. Long-range duplicates (past the
   * horizon) are the batch layer's job, same division of labor as X107.
   *
-  * Output: (id_a, id_b, jac, band_id, ts) in append mode, ts = the later
-  * doc's event time. */
+  * Output: (id_a, id_b, jac, exact, band_id, ts) in append mode, ts =
+  * the later doc's event time. */
 object StreamingNearDup {
 
-  /** One live bucket member: doc id, sorted 64-bit shingle hashes (exact
-    * verification), shingle-set size, event-time millis. */
+  /** One live bucket member: doc id, ascending-sorted 64-bit shingle
+    * hashes CAPPED at maxStoredHashes (a bottom-k sketch when truncated),
+    * TRUE shingle-set size, event-time millis. Truncation is derivable:
+    * hsh.length < sz. */
   final case class BucketDoc(id: Long, hsh: Array[Long], sz: Int, tsMs: Long)
 
   /** Bucket state: live members (≤ maxBucket) + the saturation latch. */
   final case class BucketState(docs: List[BucketDoc], saturated: Boolean)
 
   final case class StreamPair(id_a: Long, id_b: Long, jac: Double,
-      band_id: Int, ts: Timestamp)
+      exact: Boolean, band_id: Int, ts: Timestamp)
 
   /** Internal row shape between the band explode and the stateful
     * operator (public only because encoder codegen must reach it). */
   final case class BandRow(bandId: Int, bandKey: String, id: Long,
       hsh: Array[Long], sz: Int, ts: Timestamp)
 
-  /** Exact |A ∩ B| over two sorted long arrays (two-pointer merge — the
-    * JVM twin of the `graft_sorted_intersect_count` codegen kernel). */
-  private def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
-    var i = 0; var j = 0; var n = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
+  /** Jaccard over two ascending-sorted hash prefixes of sets with true
+    * sizes aSz/bSz. When neither side is truncated this is the EXACT
+    * |∩| / |∪| the batch pipeline computes (bit-identical division: the
+    * merge's union count equals aSz + bSz − matches). When a side is
+    * truncated, the score is the standard bottom-k (KMV) estimate: only
+    * hashes at or below the smaller truncation threshold τ are visible
+    * COMPLETELY on both sides (a sorted prefix holds every set element
+    * ≤ its last value), so matches/union over that slice is an unbiased
+    * jaccard estimator over a uniform-hash subsample. Returns
+    * (jac, exact). */
+  private[streaming] def jaccardBottomK(a: Array[Long], aSz: Int,
+      b: Array[Long], bSz: Int): (Double, Boolean) = {
+    val aTrunc = a.length < aSz
+    val bTrunc = b.length < bSz
+    val tau =
+      if (!aTrunc && !bTrunc) Long.MaxValue
+      else math.min(if (aTrunc) a(a.length - 1) else Long.MaxValue,
+        if (bTrunc) b(b.length - 1) else Long.MaxValue)
+    var i = 0; var j = 0; var m = 0; var u = 0
+    var done = false
+    while (!done) {
+      val av = if (i < a.length) a(i) else Long.MaxValue
+      val bv = if (j < b.length) b(j) else Long.MaxValue
+      if ((i >= a.length && j >= b.length) || math.min(av, bv) > tau) done = true
+      else {
+        u += 1
+        if (av == bv) { m += 1; i += 1; j += 1 }
+        else if (av < bv) i += 1
+        else j += 1
+      }
     }
-    n
+    (if (u == 0) 0.0 else m.toDouble / u, !aTrunc && !bTrunc)
   }
+
+  /** Default per-member stored-hash cap: 8 KB of longs per member per
+    * band. KMV std-err ≈ √(j(1−j)/1024) ≈ 0.016 at j = 0.5 — well inside
+    * the margin any near-dup threshold tolerates — and documents under
+    * 1024 distinct shingles (the overwhelming mass of a chunked corpus)
+    * still score EXACT jaccard. */
+  val DefaultMaxStoredHashes: Int = 1024
 
   /** Near-dup pairs over a streaming (id, text, event-time) frame.
     * `delayMs` is both the watermark delay and the dedup horizon. */
   def streamingNearDups(docs: DataFrame, idCol: String, textCol: Column,
       tsCol: String, delayMs: Long, shingleWords: Int, k: Int, bands: Int,
       threshold: Double,
-      maxBucket: Int = Dedup.DefaultMaxBucket): Dataset[StreamPair] = {
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      maxStoredHashes: Int = DefaultMaxStoredHashes): Dataset[StreamPair] = {
     require(k % bands == 0, "k must divide into equal bands")
     require(delayMs > 0, "delayMs must be positive")
     val r = k / bands
@@ -104,7 +145,10 @@ object StreamingNearDup {
       .filter(size(col("sh")) > 0)
       .withColumn("hs", graft.expressions.HashFunctions.poly_hash_array(col("sh")))
       .withColumn("sig", call_function(s"graft_minhash_$k", col("hs")))
-      .withColumn("hsh", graft.expressions.TextExprs.xx_sorted_hash(col("sh")))
+      // the stored payload caps at maxStoredHashes: the ascending-sorted
+      // array's PREFIX is a bottom-k sketch, so the slice is the sketch
+      .withColumn("hsh", slice(
+        graft.expressions.TextExprs.xx_sorted_hash(col("sh")), 1, maxStoredHashes))
       .withColumn("sz", size(col("sh")))
     val banded = shingled
       .withColumn("band", explode(array((0 until bands).map { b =>
@@ -150,13 +194,15 @@ object StreamingNearDup {
                 } else {
                   val tMs = row.ts.getTime
                   for (m <- members) {
-                    // exact size bound, same as the batch verify
+                    // exact size bound on TRUE set sizes, same as the
+                    // batch verify — valid whether or not payloads are
+                    // truncated
                     if (math.min(m.sz, row.sz) >= threshold * math.max(m.sz, row.sz)) {
-                      val inter = sortedIntersect(m.hsh, row.hsh)
-                      val jac = inter.toDouble / (m.sz + row.sz - inter)
+                      val (jac, isExact) =
+                        jaccardBottomK(m.hsh, m.sz, row.hsh, row.sz)
                       if (jac >= threshold)
                         out += StreamPair(math.min(m.id, row.id), math.max(m.id, row.id),
-                          jac, key._1, new Timestamp(math.max(m.tsMs, tMs)))
+                          jac, isExact, key._1, new Timestamp(math.max(m.tsMs, tMs)))
                     }
                   }
                   members = BucketDoc(row.id, row.hsh, row.sz, tMs) :: members

@@ -99,6 +99,80 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("jaccardBottomK: exact (bit-identical to the batch formula) when untruncated, unbiased KMV estimate when capped") {
+    val rnd = new scala.util.Random(42)
+    def randSet(n: Int): Array[Long] = {
+      val s = scala.collection.mutable.SortedSet[Long]()
+      while (s.size < n) s += rnd.nextLong()
+      s.toArray
+    }
+    // 2000-element sets with ~60% true overlap
+    val shared = randSet(1200)
+    val a = (shared ++ randSet(800)).distinct.sorted
+    val b = (shared ++ randSet(800)).distinct.sorted
+    val inter = a.intersect(b).length
+    val trueJac = inter.toDouble / (a.length + b.length - inter)
+
+    // untruncated: EXACT, same division as the batch pipeline
+    val (exactJac, exactFlag) = StreamingNearDup.jaccardBottomK(a, a.length, b, b.length)
+    assert(exactFlag)
+    assert(exactJac == inter.toDouble / (a.length + b.length - inter))
+
+    // capped to 256 stored hashes per side: the flag drops, the KMV
+    // estimate stays within ~5 std-errs (√(j(1−j)/256) ≈ 0.031)
+    val cap = 256
+    val (estJac, estFlag) =
+      StreamingNearDup.jaccardBottomK(a.take(cap), a.length, b.take(cap), b.length)
+    assert(!estFlag)
+    assert(math.abs(estJac - trueJac) < 0.16,
+      s"KMV estimate $estJac vs true $trueJac")
+
+    // one-sided truncation also downgrades the flag and stays close
+    val (oneJac, oneFlag) =
+      StreamingNearDup.jaccardBottomK(a.take(cap), a.length, b, b.length)
+    assert(!oneFlag)
+    assert(math.abs(oneJac - trueJac) < 0.16, s"one-sided $oneJac vs true $trueJac")
+  }
+
+  test("member payload is bounded: capped stream state is a fraction of uncapped on long documents, pairs flagged estimated") {
+    // 8 docs × ~3000 distinct bigrams each, in two verbatim-duplicate
+    // families — long enough that the stored-hash cap dominates state
+    def longText(fam: Int): String =
+      (0 until 3000).map(i => s"w${fam}_${i * 2654435761L % 99991}").mkString(" ")
+    def run(name: String, cap: Int): (Long, Set[(Long, Long, Boolean)]) = {
+      val input = MemoryStream[(Long, Timestamp, String)](spark)
+      val pairs = StreamingNearDup.streamingNearDups(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", col("text"), "ts", delayMs = 10000L,
+        shingleWords = 2, k = 12, bands = 4, threshold = 0.5,
+        maxStoredHashes = cap)
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((0L until 8L).map(i => doc(i, 20 + i, longText((i % 2).toInt))): _*)
+        q.processAllAvailable()
+        val st = q.lastProgress.stateOperators
+        val bytes = if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max
+        val got = spark.table(name).select("id_a", "id_b", "exact").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        (bytes, got)
+      } finally q.stop()
+    }
+    val (cappedBytes, cappedPairs) = run("snd_capped", 64)
+    val (fullBytes, fullPairs) = run("snd_full", Int.MaxValue)
+    // verbatim duplicates within each family: same shingle set → KMV
+    // prefix identical → estimate 1.0, so the same pairs emerge, but
+    // flagged estimated under the cap and exact without it
+    assert(cappedPairs.map(p => (p._1, p._2)) == fullPairs.map(p => (p._1, p._2)),
+      s"capped $cappedPairs vs full $fullPairs")
+    assert(cappedPairs.nonEmpty && cappedPairs.forall(!_._3), "capped pairs must be flagged estimated")
+    assert(fullPairs.forall(_._3), "uncapped pairs on full payloads must be exact")
+    // the bytes-per-member bound: 64 stored longs ≪ 3000 — state shrinks
+    // by at least 5× (3000/64 ≈ 47× on payload alone; overhead dilutes)
+    assert(cappedBytes * 5 < fullBytes,
+      s"capped state $cappedBytes bytes vs uncapped $fullBytes — cap not bounding")
+  }
+
   test("bucket cap: a saturated bucket stops scoring (skip-and-flag) but honest buckets keep working") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val q = startQuery(input, "snd_cap", cap = 3)
