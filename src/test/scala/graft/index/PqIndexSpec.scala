@@ -200,6 +200,77 @@ class PqIndexSpec extends AnyFunSuite {
     assert(rb >= 0.9, s"reranked strict recall@5 $rb (adc was $ra)")
   }
 
+  test("recall decomposes: ADC ≤ reranked ≤ probe ceiling; a full-shortlist window recovers the ceiling EXACTLY") {
+    // clustered corpus + MIDPOINT queries (each query sits halfway
+    // between two cluster centers) at nProbe = 1: a query's true top-k
+    // draws from BOTH flanking clusters but only one cell is probed, so
+    // the probe ceiling (exact cosine restricted to the probed cells —
+    // the float index at the same deterministic coarse quantizer) sits
+    // strictly below 1, which is what makes the decomposition
+    // non-trivial. Rerank can never recover a neighbor in an unprobed
+    // cell, so reranked ≤ ceiling per query; with the window covering
+    // EVERY probed candidate, rerank IS exact-within-probed and must
+    // equal the ceiling bit-for-bit.
+    //
+    // NOTE the full splitmix64 finalizer: the bare one-multiply hash the
+    // sibling tests use is a Weyl sequence over consecutive seeds —
+    // centers come out correlated and one flanking cluster sweeps every
+    // midpoint query's top-k, collapsing the fixture.
+    def u(seed: Long): Double = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    val dim = 24
+    def center(cl: Int): Array[Double] = Array.tabulate(dim)(j => u(cl * dim + j + 7919))
+    val vecs = (0 until 600).map { i =>
+      val cl = i % 6
+      (i.toLong, Array.tabulate(dim)(j =>
+        center(cl)(j) + 0.35 * u(i * dim.toLong + j + 1)))
+    }.toDF("id", "embedding").cache()
+    val pqDir = tmp("dec")
+    val plainDir = tmp("decp")
+    PqIndex.build(vecs, "id", "embedding", nCells = 6, pqDir, m = 8, k = 32)
+    VectorIndex.build(vecs, "id", "embedding", nCells = 6, plainDir)
+    val queries = (0 until 5).map { p =>
+      val (a, b) = (center(p), center(p + 1))
+      // midpoint of the NORMALIZED centers so cosine treats both flanking
+      // clusters symmetrically (raw centers differ in norm, and the
+      // larger-norm cluster would sweep the whole top-k)
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      (9000L + p, Array.tabulate(dim)(j => a(j) / na + b(j) / nb))
+    }.toDF("query_id", "qv")
+    def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+      val rs = want.keys.toSeq.map(q =>
+        want(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / want(q).size)
+      rs.sum / rs.size
+    }
+    val k = 5
+    val nProbe = 1
+    val exact = toSets(graft.operators.Similarity.topKExact(queries,
+      vecs.select(col("id").as("neighbor_id"), VF.vecAsDouble(col("embedding")).as("nv")), k))
+    val ceiling = recallOf(toSets(VectorIndex.search(spark, plainDir, queries, k, nProbe)), exact)
+    val adc = recallOf(toSets(PqIndex.search(spark, pqDir, queries, k, nProbe)), exact)
+    val rrNarrow = recallOf(toSets(PqIndex.searchReranked(spark, pqDir, queries,
+      vecs, "id", "embedding", k, nProbe, window = 2 * k)), exact)
+    // window 250 > the ~200 candidates two probed cells hold: the
+    // shortlist is every probed candidate, so rerank == exact-in-probed
+    val rrFull = recallOf(toSets(PqIndex.searchReranked(spark, pqDir, queries,
+      vecs, "id", "embedding", k, nProbe, window = 250)), exact)
+    assert(ceiling < 1.0, s"fixture: probe miss must exist (ceiling $ceiling)")
+    assert(adc <= ceiling + 1e-12, s"adc $adc above ceiling $ceiling")
+    assert(rrNarrow <= ceiling + 1e-12, s"narrow rerank $rrNarrow above ceiling $ceiling")
+    assert(rrNarrow >= adc - 1e-12, s"narrow rerank $rrNarrow lost to adc $adc")
+    assert(rrFull == ceiling,
+      s"full-shortlist rerank $rrFull must EQUAL the probe ceiling $ceiling")
+  }
+
   test("incremental update: noop on no new ids, append encodes with the persisted model, rebuild past 30%") {
     val dir = tmp("upd")
     val base = losslessCorpus(200).toDF("id", "vec")

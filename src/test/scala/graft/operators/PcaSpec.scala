@@ -115,6 +115,36 @@ class PcaSpec extends AnyFunSuite {
     assert(out(0).getSeq[Double](0) != null && out(1).isNullAt(0))
   }
 
+  test("whiten → PCA composes into ONE affine map: stage-wise equals the composed transform") {
+    // the PCAR,PQ index chain applies whiten then project per row; at
+    // 100 TB one would fold both into a single r×d matrix — this pins
+    // that the fold is exact: P(W(x−μw) − μp) == (P·W)(x−μw) − P·μp
+    val xs = corpus(300)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val wModel = Whitening.fit(df, col("vec"))
+    val whitened = Whitening.transform(df, col("vec"), wModel, "w")
+    val pModel = Pca.fit(whitened, col("w"), r = 2)
+    val d = 4
+    // probe W's columns black-box: W·e_i = wTransform(μw + e_i)
+    val wCols = Array.tabulate(d) { i =>
+      val probe = wModel.mean.clone(); probe(i) += 1.0
+      wModel.transform(probe)
+    }
+    val m = Array.tabulate(pModel.r, d)((r0, c) =>
+      (0 until d).map(t => pModel.components(r0)(t) * wCols(c)(t)).sum)
+    val o = Array.tabulate(pModel.r)(r0 =>
+      (0 until d).map(t => pModel.components(r0)(t) * pModel.mean(t)).sum)
+    xs.take(50).foreach { x =>
+      val stagewise = pModel.transform(wModel.transform(x))
+      val composed = Array.tabulate(pModel.r) { r0 =>
+        (0 until d).map(t => m(r0)(t) * (x(t) - wModel.mean(t))).sum - o(r0)
+      }
+      for (t <- 0 until pModel.r)
+        assert(math.abs(stagewise(t) - composed(t)) < 1e-9,
+          s"dim $t: stage-wise ${stagewise(t)} vs composed ${composed(t)}")
+    }
+  }
+
   test("rank bounds are refused") {
     val df = corpus(50).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
     val e = intercept[IllegalArgumentException] { Pca.fit(df, col("vec"), r = 5) }
