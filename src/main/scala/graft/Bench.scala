@@ -644,17 +644,51 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.length >= 2 && args(0) == "--phase") { runPhase(args(1), sfDir); return }
 
-    // Orchestrator: queries first (the headline number), then the three
+    // Orchestrator: queries first (the headline number), then the
     // one-shot phases, each on a fresh heap. Per-phase steal CPU-seconds
-    // (USER_HZ=100) are collected alongside.
+    // (USER_HZ=100) are collected alongside, and each phase is GATED on
+    // them: a phase whose run lost more than max(2 CPU-s, 5% of its
+    // wall) to hypervisor steal re-runs (up to 3 attempts, keeping the
+    // last) — the r9 official record carried 326 stolen CPU-s in the
+    // query phase alone, which made every cross-round delta
+    // uninterpretable from the artifact; the gate makes the committed
+    // record contention-proof instead of contention-annotated.
     val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def withSteal[A](name: String)(body: => A): A = {
-      val s0 = stealJiffies()
-      val r = body
-      steals(name) = (stealJiffies() - s0) / 100.0
-      r
+    var stealRetries = 0
+    def gatedPhase(name: String): Option[String] = {
+      // keep the MINIMUM-steal attempt, not the last: on a box where
+      // contention comes in waves, attempt 2 can be clean and attempt 3
+      // polluted again — the record should carry the cleanest measurement
+      // it managed, with its own steal number beside it
+      var best: Option[(Double, String)] = None
+      var attempt = 1
+      var done = false
+      while (!done) {
+        val s0 = stealJiffies()
+        val t0 = System.nanoTime()
+        val result = forkPhase(name)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val steal = (stealJiffies() - s0) / 100.0
+        result.foreach { j =>
+          if (best.forall(_._1 > steal)) best = Some((steal, j))
+        }
+        val polluted = steal > math.max(2.0, 0.05 * wall)
+        if (polluted && attempt < 3 && result.nonEmpty) {
+          System.err.println(f"[bench] phase '$name' lost $steal%.1f CPU-s " +
+            f"to steal over $wall%.0f s wall (attempt $attempt) — retrying")
+          stealRetries += 1
+          attempt += 1
+        } else {
+          if (polluted) System.err.println(f"[bench] phase '$name' still " +
+            f"contended after $attempt attempts — keeping the min-steal " +
+            f"attempt (${best.fold(-1.0)(_._1)}%.1f CPU-s)")
+          done = true
+        }
+      }
+      steals(name) = best.fold(-1.0)(_._1)
+      best.map(_._2)
     }
-    val queries = withSteal("queries") { forkPhase("queries") }.getOrElse {
+    val queries = gatedPhase("queries").getOrElse {
       // fork unavailable (unexpected classpath) — degrade to in-process
       val spark = GraftSession.create()
       try queriesJson(spark, sfDir) finally spark.stop()
@@ -665,49 +699,60 @@ object Bench {
       case totalRe(t, q) => (t, q)
       case _ => ("-1", "{}")
     }
-    val ingestJson = withSteal("ingest") { forkPhase("ingest") }
+    val ingestJson = gatedPhase("ingest")
       .map(j => s""","ingest":$j""").getOrElse("")
-    val annJson = withSteal("ann") { forkPhase("ann") }
+    val annJson = gatedPhase("ann")
       .map(j => s""","ann":$j""").getOrElse("")
-    val annPrunedJson = withSteal("ann_pruned") { forkPhase("ann_pruned") }
+    val annPrunedJson = gatedPhase("ann_pruned")
       .map(j => s""","ann_pruned":$j""").getOrElse("")
-    val annPqJson = withSteal("ann_pq") { forkPhase("ann_pq") }
+    val annPqJson = gatedPhase("ann_pq")
       .map(j => s""","ann_pq":$j""").getOrElse("")
-    val qaJson = withSteal("quality") { forkPhase("quality") }
+    val qaJson = gatedPhase("quality")
       .map(j => s""","quality_assess":$j""").getOrElse("")
-    val streamingJson = withSteal("streaming") { forkPhase("streaming") }
+    val streamingJson = gatedPhase("streaming")
       .map(j => s""","streaming":$j""").getOrElse("")
+    val retriesJson = if (stealRetries > 0) s""","steal_retries":$stealRetries""" else ""
     val stealJson = steals
-      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(""","steal_cpu_s":{""", ",", "}")
+      .map { case (k, v) => f""""$k":$v%.1f""" }
+      .mkString(""","steal_cpu_s":{""", ",", "}") + retriesJson
     val phases = ingestJson + annJson + annPrunedJson + annPqJson + qaJson + streamingJson + stealJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
-    // record lost q01-q15 because the driver captures only the stdout
-    // tail and the full-name line overflowed it. The stdout line below
-    // carries the SAME numbers under short keys (q01..qNN) so it stays
-    // well under the capture window and the permanent record never again
-    // depends on log-tail length.
+    // record lost q01-q15 because the driver captures only the LAST
+    // ~2000 stdout chars and the full-name line overflowed it. The
+    // stdout line below carries the SAME numbers so the permanent record
+    // never depends on log-tail length.
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$phases}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
-    // stdout stays compact: short keys AND integer-millisecond values
-    // under "queries_ms" (the file keeps full names + seconds at 3dp) so
-    // the line sits inside the driver's ~2 KB stdout tail even as the
-    // query surface grows — r8's official record parsed to null because
-    // the 101-query seconds map pushed the line just past the tail.
-    // Values ROUND (not truncate) so stdout agrees with the file.
-    val shortQs0 = qs.replaceAll("\"(q[0-9]+)_[a-z0-9_]+\":", "\"$1\":")
-    val shortQs = "([0-9]+\\.[0-9]+)".r
-      .replaceAllIn(shortQs0, m => (m.group(1).toDouble * 1000).round.toString)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$shortQs,"sf":"$sfDir"$phases,"detail":"$outFile"}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] stdout line is ${line.length} chars — " +
-        "nearing the driver's ~2 KB tail capture; trim phase fields or " +
-        "drop 'detail' before the next query lands")
-    println(line)
+    // stdout carries per-query integer MILLISECONDS as a positional
+    // ARRAY ordered by ascending query name (the file keeps the
+    // name-keyed seconds map) — round 9's record went parsed:null
+    // because even the short-KEY map at 119 queries pushed the one-liner
+    // past the 2000-char tail capture; the keyed form costs ~7 chars a
+    // query that the array form doesn't, and the order is recoverable
+    // from `queries_key_order` + the committed detail file. Values ROUND
+    // (not truncate) so stdout agrees with the file.
+    val msArray = "\"(q[^\"]+)\":([0-9.]+)".r.findAllMatchIn(qs)
+      .map(m => (m.group(1), (m.group(2).toDouble * 1000).round))
+      .toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]")
+    def line(withCats: Boolean): String = {
+      val ph = if (withCats) phases
+        else phases.replaceAll(""","categories":\{[^}]*\}""", "")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$msArray,""" +
+        s""""queries_key_order":"ascending name; seconds map in detail file"""" +
+        s""","sf":"$sfDir"$ph,"detail":"$outFile"}"""
+    }
+    // deterministic trim ladder against the 2000-char capture: drop the
+    // quality category sub-map first (it lives in the detail file)
+    val out = if (line(true).length <= 1900) line(true) else line(false)
+    if (out.length > 1900)
+      System.err.println(s"[bench] stdout line is ${out.length} chars — " +
+        "past the driver's 2000-char tail capture even after trimming; " +
+        "shorten phase fields before the next query lands")
+    println(out)
   }
 }

@@ -1366,6 +1366,20 @@ object SparkEntry {
   def tokenDivergenceQuery(spark: SparkSession, dir: String): DataFrame =
     Corpus.tokenDivergence(Tables.documentsSpread(spark, dir))
 
+  /** X127 duplicate-family size histogram + dedup yield forecast
+    * ([[graft.operators.Dedup.dupFamilyStats]]). */
+  def dupFamilyStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupFamilyStats(
+      Tables.documentsSpread(spark, dir), col("text"))
+
+  /** X128 Gopher-style composite quality-rule audit
+    * ([[graft.operators.TextAnalysis.gopherRules]]). minWords=5 here: the
+    * synthetic docs are short; production uses the paper's 50. */
+  def gopherRulesQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(
+      Tables.documentsSpread(spark, dir), col("text"), col("source"),
+      minWords = 5)
+
   /** X122 tokenizer fertility audit ([[graft.operators.TextAnalysis.fertilityAudit]]). */
   def fertilityAuditQuery(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.fertilityAudit(Tables.documentsSpread(spark, dir))
@@ -1862,6 +1876,8 @@ object SparkEntry {
     "q117_token_divergence" -> tokenDivergenceQuery _,
     "q118_chunk_stitch" -> chunkStitchQuery _,
     "q119_length_divergence" -> lengthDivergenceQuery _,
+    "q120_dup_families" -> dupFamilyStatsQuery _,
+    "q121_gopher_rules" -> gopherRulesQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -4132,6 +4148,62 @@ object SparkEntry {
         |  round(greatest(
         |    $ks), 6) AS ks_stat
         |FROM src, tot ORDER BY source""".stripMargin
+    },
+
+    // X127: families keyed on the q09 normalized text; members of an
+    // exact family share text hence token counts, so removable tokens per
+    // family = total − one kept copy.
+    "q120_dup_families" ->
+      s"""WITH d AS (
+        |  SELECT $normTextSql AS t,
+        |    CAST(len($toksSql) AS BIGINT) AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT t, count(*) AS s, CAST(sum(tok) AS BIGINT) AS toks,
+        |    min(tok) AS tok1
+        |  FROM d GROUP BY t
+        |)
+        |SELECT s AS family_size, count(*) AS n_families,
+        |  CAST(sum(s) AS BIGINT) AS n_docs,
+        |  CAST(sum(s - 1) AS BIGINT) AS removable_docs,
+        |  CAST(sum(toks - tok1) AS BIGINT) AS removable_tokens
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // X128: every rule is the same closed-form arithmetic over the
+    // lowercased whitespace tokens; booleans fold as conditional sums.
+    "q121_gopher_rules" -> {
+      val toksL = """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
+      val stopList = graft.operators.TextAnalysis.GopherStopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+        |  SELECT source,
+        |    CAST(len($toksL) AS BIGINT) AS ntok,
+        |    CAST(list_aggregate(list_transform($toksL, t -> length(t)), 'sum') AS BIGINT) AS chars,
+        |    CAST(len(list_filter($toksL, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS symbols,
+        |    CAST(len(list_intersect(list_distinct($toksL), $stopList)) AS BIGINT) AS stops
+        |  FROM documents
+        |), r AS (
+        |  SELECT source,
+        |    (ntok >= 5 AND ntok <= 100000) AS r_words,
+        |    (ntok > 0 AND CAST(chars AS DOUBLE) / ntok >= 3.0
+        |      AND CAST(chars AS DOUBLE) / ntok <= 10.0) AS r_mean_len,
+        |    (ntok > 0 AND CAST(alpha AS DOUBLE) >= 0.8 * CAST(ntok AS DOUBLE)) AS r_alpha,
+        |    (ntok > 0 AND CAST(symbols AS DOUBLE) <= 0.1 * CAST(ntok AS DOUBLE)) AS r_symbol,
+        |    (stops >= 2) AS r_stop
+        |  FROM d
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN r_mean_len THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_len,
+        |  CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+        |  CAST(sum(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+        |  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |  CAST(sum(CASE WHEN r_words AND r_mean_len AND r_alpha AND r_symbol AND r_stop
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  round(CAST(sum(CASE WHEN r_words AND r_mean_len AND r_alpha AND r_symbol AND r_stop
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pass_rate
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
 
     // q112 is q23's contract through the pre-collapse path: same output

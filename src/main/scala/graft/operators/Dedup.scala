@@ -1029,6 +1029,39 @@ object Dedup {
       .limit(topN)
   }
 
+  /** X127 duplicate-family size histogram + dedup yield forecast: group
+    * docs into exact-duplicate families (whitespace-normalized text, the
+    * q09 key) and report, PER FAMILY SIZE, how many families exist and
+    * what a keep-one-per-family dedup would remove in documents and
+    * tokens — the planning table behind "is exact dedup worth a pass on
+    * this crawl slice" (the reference's quality report reports only the
+    * aggregate dup rate; training pipelines budget by the histogram: a
+    * corpus of twins dedups 2×, a corpus with one million-member family
+    * barely shrinks).
+    *
+    * Members of an exact family share text, hence token counts, so
+    * removable tokens per family = family total − one kept copy.
+    *
+    * Scale shape: one text-keyed agg (the q09 shuffle; at 100 TB the
+    * group key would be the q26 fingerprint hash so only 8 bytes ride
+    * the exchange — here the raw key keeps the oracle contract exact),
+    * then one histogram-sized agg over the family table. No pairs, no
+    * explode. */
+  def dupFamilyStats(docs: DataFrame, textCol: Column): DataFrame = {
+    val fams = docs
+      .select(TF.normalizeWs(textCol).as("_t"),
+        TF.tokenCount(textCol).cast("long").as("_tok"))
+      .groupBy("_t")
+      .agg(count(lit(1)).as("s"), sum(col("_tok")).as("toks"),
+        min(col("_tok")).as("tok1"))
+    fams.groupBy(col("s").as("family_size"))
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("s")).cast("long").as("n_docs"),
+        sum(col("s") - 1).cast("long").as("removable_docs"),
+        sum(col("toks") - col("tok1")).cast("long").as("removable_tokens"))
+      .orderBy("family_size")
+  }
+
   /** Doc-keyed gaps-and-islands over flagged window positions: break when
     * the next window starts past the previous one's coverage (gap > k),
     * min/max per island ⇒ maximal span. */

@@ -468,4 +468,64 @@ object TextAnalysis {
         round(col("_prior") + coalesce(col("_wsum"), lit(0.0)), 6).as("score"))
       .withColumn("predicted_pass", col("score") >= 0)
   }
+
+  /** The Gopher rule-audit stopword list (Rae et al. 2021, §A1.1: a doc
+    * must contain at least 2 of these 8 function words). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** X128 Gopher-style composite quality-rule audit (Rae et al. 2021,
+    * §A1.1 — the public rule set behind MassiveText; C4/RefinedWeb ship
+    * variants of the same shape): per source, how many docs pass each
+    * named rule and the full gate. Unlike [[qualityScore]]'s scalar,
+    * this is the FILTER-DESIGN table: per-rule pass rates show which
+    * rule does the cutting on a given crawl slice, which is what one
+    * tunes before burning a 100 TB pass.
+    *
+    * Rules (doc-level booleans, thresholds from the paper):
+    *   words      — whitespace token count in [minWords, maxWords]
+    *   mean_len   — mean word length in [3, 10] chars
+    *   alpha      — ≥ 80% of words contain an alphabetic character
+    *   symbol     — (# / … / "...") symbol-to-word ratio ≤ 0.1
+    *   stop       — ≥ 2 distinct words from the 8-word Gopher stop list
+    *
+    * Scale shape: every rule is a map-only Column expression over the
+    * token array (no explode — array aggregates fold in place), then one
+    * source-keyed agg of conditional sums; pass_rate is one division of
+    * exact longs. */
+  def gopherRules(docs: DataFrame, textCol: Column, sourceCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = TF.tokens(lower(textCol))
+    val nTok = size(toks).cast("long")
+    val charSum = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val meanLen = charSum.cast("double") / nTok.cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val symbols = size(regexp_extract_all(textCol, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(GopherStopwords.map(lit): _*)))
+    val rules = docs.select(
+      sourceCol.as("source"),
+      (nTok >= minWords && nTok <= maxWords).as("r_words"),
+      (nTok > 0 && meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+      (nTok > 0 && alphaWords.cast("double") >= lit(0.8) * nTok.cast("double")).as("r_alpha"),
+      (nTok > 0 && symbols.cast("double") <= lit(0.1) * nTok.cast("double")).as("r_symbol"),
+      (stopHits >= 2).as("r_stop"))
+    def passes(c: String): Column = sum(when(col(c), 1L).otherwise(0L))
+    rules
+      .withColumn("r_all",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_symbol") && col("r_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        passes("r_words").as("n_words"),
+        passes("r_mean_len").as("n_mean_len"),
+        passes("r_alpha").as("n_alpha"),
+        passes("r_symbol").as("n_symbol"),
+        passes("r_stop").as("n_stop"),
+        passes("r_all").as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
 }

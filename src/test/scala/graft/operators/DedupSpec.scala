@@ -453,4 +453,21 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want, s"n=$n")
     }
   }
+
+  test("X127 dup-family histogram: sizes, yield forecast, and whitespace-normalized keys") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "A  b   C"), (3L, " a b c "), // one family of 3 (normalized)
+      (4L, "x y"), (5L, "x y"),                          // family of 2
+      (6L, "solo one two three"))                        // family of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.dupFamilyStats(docs, col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    // family of 3: each member 3 tokens → 9 total, 6 removable;
+    // family of 2: 2 tokens each → 2 removable; singleton: nothing
+    assert(got == List(
+      (1L, 1L, 1L, 0L, 0L),
+      (2L, 1L, 2L, 1L, 2L),
+      (3L, 1L, 3L, 2L, 6L)))
+  }
 }

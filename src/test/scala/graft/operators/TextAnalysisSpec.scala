@@ -230,4 +230,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(out == Set("ok"))
   }
+
+  test("X128 gopher rules: each named rule cuts exactly its designed failure") {
+    // one source per doc so each output row isolates one rule
+    val docs = Seq(
+      // passes every rule: 14 words, mean len ~3.2, all alphabetic,
+      // no symbols, 8 distinct stopwords
+      ("s_pass", "the cat and the dog have fun with that thing be good to of"),
+      // fails words only (2 < minWords=5) — still hits 2 stopwords? no:
+      // "the cat" has 1 stopword, so keep expectations per-column below
+      ("s_words", "the cat"),
+      // fails mean_len (every word 2 chars < 3); hits 0 stopwords too
+      ("s_short", "ab ab ab ab ab ab"),
+      // fails alpha (5 of 7 words are digits > 20%); mean len 30/7 ok;
+      // stopwords ok
+      ("s_digit", "12345 23456 34567 45678 56789 the of"),
+      // fails symbol (3 symbols / 7 words > 0.1) AND alpha (4/7 words
+      // alphabetic); mean len 24/7 ok; stopwords ok
+      ("s_sym", "# # # elephant the of elephant"),
+      // fails stop (zero stopwords)
+      ("s_stop", "cat dog fish bird wolf lion tiger"))
+      .toDF("source", "text")
+    val out = TextAnalysis.gopherRules(docs, col("text"), col("source"), minWords = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def row(s: String): (Long, Long, Long, Long, Long, Long, Long) = {
+      val r = out(s)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"), r.getAs[Long]("n_mean_len"),
+        r.getAs[Long]("n_alpha"), r.getAs[Long]("n_symbol"), r.getAs[Long]("n_stop"),
+        r.getAs[Long]("n_pass"))
+    }
+    assert(row("s_pass") == ((1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out("s_pass").getAs[Double]("pass_rate") == 1.0)
+    assert(row("s_words") == ((1L, 0L, 1L, 1L, 1L, 0L, 0L))) // 1 stopword < 2
+    assert(row("s_short") == ((1L, 1L, 0L, 1L, 1L, 0L, 0L)))
+    assert(row("s_digit") == ((1L, 1L, 1L, 0L, 1L, 1L, 0L)))
+    assert(row("s_sym") == ((1L, 1L, 1L, 0L, 0L, 1L, 0L))) // '#' words are non-alpha too
+    assert(row("s_stop") == ((1L, 1L, 1L, 1L, 1L, 0L, 0L)))
+  }
 }
