@@ -699,23 +699,29 @@ object Bench {
       case totalRe(t, q) => (t, q)
       case _ => ("-1", "{}")
     }
-    val ingestJson = gatedPhase("ingest")
-      .map(j => s""","ingest":$j""").getOrElse("")
-    val annJson = gatedPhase("ann")
-      .map(j => s""","ann":$j""").getOrElse("")
-    val annPrunedJson = gatedPhase("ann_pruned")
-      .map(j => s""","ann_pruned":$j""").getOrElse("")
-    val annPqJson = gatedPhase("ann_pq")
-      .map(j => s""","ann_pq":$j""").getOrElse("")
-    val qaJson = gatedPhase("quality")
-      .map(j => s""","quality_assess":$j""").getOrElse("")
-    val streamingJson = gatedPhase("streaming")
-      .map(j => s""","streaming":$j""").getOrElse("")
+    // the throughput phases run FIXED-SIZE synthetic corpora (200k-row
+    // ingest, 50k-vector ANN, the 81k/63k quality assessment, generated
+    // streams) — they measure the same workload at every sf, so
+    // scale-ladder runs skip them (SPARK_GRAFT_BENCH_PHASES=skip) and
+    // point at the official sf0.1 record instead of re-measuring noise
+    val skipPhases = sys.env.get("SPARK_GRAFT_BENCH_PHASES").contains("skip")
+    def phaseJson(phase: String, key: String): String =
+      if (skipPhases) ""
+      else gatedPhase(phase).map(j => s""","$key":$j""").getOrElse("")
+    val ingestJson = phaseJson("ingest", "ingest")
+    val annJson = phaseJson("ann", "ann")
+    val annPrunedJson = phaseJson("ann_pruned", "ann_pruned")
+    val annPqJson = phaseJson("ann_pq", "ann_pq")
+    val qaJson = phaseJson("quality", "quality_assess")
+    val streamingJson = phaseJson("streaming", "streaming")
+    val phasesNote = if (skipPhases)
+      s""","phases_note":"fixed-size synthetic phases skipped; see the official sf0.1 record"""" else ""
     val retriesJson = if (stealRetries > 0) s""","steal_retries":$stealRetries""" else ""
     val stealJson = steals
       .map { case (k, v) => f""""$k":$v%.1f""" }
       .mkString(""","steal_cpu_s":{""", ",", "}") + retriesJson
-    val phases = ingestJson + annJson + annPrunedJson + annPqJson + qaJson + streamingJson + stealJson
+    val phases = ingestJson + annJson + annPrunedJson + annPqJson + qaJson +
+      streamingJson + phasesNote + stealJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
     // record lost q01-q15 because the driver captures only the LAST
