@@ -553,4 +553,27 @@ class PlanAssertSpec extends AnyFunSuite {
       plan.contains("ReadSchema: struct<n_chars:bigint,source:string>"),
       s"the scan must prune to (source, n_chars):\n${plan.take(3000)}")
   }
+
+  test("q120 dup families: two aggs, no pairs — no explode, no join, text-pruned scan") {
+    val plan = planOf("q120_dup_families")
+    assert(!plan.contains("Generate") && !plan.contains("Join") &&
+      !plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"family stats are two grouped aggs, nothing fans out or pairs:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"the scan must prune to text only:\n${plan.take(3000)}")
+  }
+
+  test("q121 gopher rules: every rule folds map-side — no explode, one source-keyed shuffle") {
+    val plan = planOf("q121_gopher_rules")
+    assert(!plan.contains("Generate"),
+      s"rule arithmetic folds over the token array in place — a token " +
+        s"explode would fan the corpus out ntok-fold:\n${plan.take(3000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"booleans reduce as conditional sums in ONE agg:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(source#\\d+".r.findFirstIn(plan).isDefined,
+      s"the only shuffle is the source-keyed agg:\n${plan.take(3000)}")
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>") ||
+      plan.contains("ReadSchema: struct<source:string,text:string>"),
+      s"the scan must prune to (source, text):\n${plan.take(3000)}")
+  }
 }
