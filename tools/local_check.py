@@ -25,7 +25,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main(sf_dir: str, out_dir: str, skip=(), only=()) -> int:
+    import os
     con = duckdb.connect()
+    # cap oracle threads when sharing the box with a timed run
+    # (e.g. DUCKDB_THREADS=2 while ladder rungs execute)
+    t = os.environ.get("DUCKDB_THREADS")
+    if t:
+        con.execute(f"PRAGMA threads={int(t)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
