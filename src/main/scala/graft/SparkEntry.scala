@@ -1380,6 +1380,19 @@ object SparkEntry {
       Tables.documentsSpread(spark, dir), col("text"), col("source"),
       minWords = 5)
 
+  /** X129 composed end-to-end curation pipeline
+    * ([[graft.pipeline.CuratePipeline]]): exact dedup → capped near-dup
+    * best-keep → Gopher gate → benchmark decontamination → curriculum
+    * sample → UniMax mixture → training shards, emitting one
+    * (n_docs, n_tokens, id_sum) accounting row per stage. The oracle
+    * replays the ENTIRE keep-decision chain in SQL, so the hash pins
+    * every stage's exact kept multiset. */
+  def curatePipelineQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CuratePipeline.accounting(
+      graft.pipeline.CuratePipeline.stages(
+        Tables.documentsSpread(spark, dir).select(
+          col("doc_id"), col("text"), col("lang"), col("source"))))
+
   /** X122 tokenizer fertility audit ([[graft.operators.TextAnalysis.fertilityAudit]]). */
   def fertilityAuditQuery(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.fertilityAudit(Tables.documentsSpread(spark, dir))
@@ -1878,6 +1891,7 @@ object SparkEntry {
     "q119_length_divergence" -> lengthDivergenceQuery _,
     "q120_dup_families" -> dupFamilyStatsQuery _,
     "q121_gopher_rules" -> gopherRulesQuery _,
+    "q122_curate_pipeline" -> curatePipelineQuery _,
   )
 
   private val stopwordsSqlList: String =
@@ -1947,6 +1961,126 @@ object SparkEntry {
        |), toks AS (
        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
        |), ${minhashChainCtes("toks", "")}""".stripMargin
+
+  /** q87's cross-corpus dedup oracle over a (possibly restricted)
+    * documents relation — `where` is an optional `WHERE …` suffix for t0.
+    * Shared by the full oracle and the ladder's sampled variant
+    * ([[sampledOracleSql]]), so the two can never drift apart. */
+  private def crossCorpusSql(where: String): String =
+    s"""WITH t0 AS (
+      |  SELECT doc_id, source, $toksSql AS tk FROM documents$where
+      |), d AS (
+      |  SELECT doc_id, source, list_distinct($trigramsFromTkSql) AS grams
+      |  FROM t0
+      |), gx AS (
+      |  SELECT doc_id, unnest(grams) AS gm FROM d WHERE len(grams) > 0
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+      |  FROM gx a JOIN gx b USING (gm)
+      |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |), ver AS (
+      |  SELECT DISTINCT c.id_new
+      |  FROM cand c
+      |  JOIN d da ON da.doc_id = c.id_new
+      |  JOIN d db ON db.doc_id = c.id_base
+      |  WHERE CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
+      |    / (len(da.grams) + len(db.grams)
+      |       - len(list_intersect(da.grams, db.grams))) >= 0.5
+      |)
+      |SELECT d.source, count(*) AS n_new,
+      |  CAST(sum(CASE WHEN ver.id_new IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  round(CAST(sum(CASE WHEN ver.id_new IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS drop_rate
+      |FROM d LEFT JOIN ver ON d.doc_id = ver.id_new
+      |WHERE d.doc_id % 2 = 1
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** O(k)-sampled oracles for the ladder scale factors where the full
+    * q22/q87/q113 DuckDB oracles are quadratic SQL (VERDICT r10,
+    * What's-wrong #3). Devices, per query family:
+    *
+    *  - `q22_reported_values` (shared by q113 — same output contract):
+    *    recompute the exact bigram jaccard of EXACTLY the k reported
+    *    pairs, read from a `reported(lang,id_a,id_b,jac)` table the
+    *    checker registers from the Spark output parquet — O(k·doc);
+    *    compared value-exact against the Spark rows.
+    *  - `q22_boundary_exact`: valid when the worst reported jac is 1.0
+    *    (the replica-ladder regime) — any dominating pair must then have
+    *    jac exactly 1.0, i.e. IDENTICAL distinct-shingle sets, so the
+    *    shingle-set collapse enumerates ALL such pairs exactly (family
+    *    count is corpus-linear; pair mass exists only within families).
+    *    A COMPLETE boundary proof: expect zero unreported pairs ordered
+    *    before ({worst_ida}, {worst_idb}).
+    *  - `q22_boundary_screen`: general-jac fallback — candidates from
+    *    the same capped banded chain as q19, kept when they beat
+    *    ({worst_jac}, {worst_ida}, {worst_idb}) in (jac DESC, id ASC)
+    *    order; per-pair screen recall 1−(1−j⁴)³ at j = worst jac.
+    *  - `q87_sampled`: re-runs q87's aggregate with the NEW side
+    *    restricted to the doc_id%101==7 sliver (base corpus intact) —
+    *    the SAME restriction [[graft.tools.SampledCheck]] applies on the
+    *    Spark side, so the comparison is exact on the sampled aggregate
+    *    at ~1% of the quadratic candidate mass.
+    *
+    * `{worst_jac}`/`{worst_ida}`/`{worst_idb}` are filled in by
+    * tools/make_correctness_sf.py from the reported rows. */
+  def sampledOracleSql: Map[String, String] = Map(
+    "q22_reported_values" ->
+      s"""WITH ids AS (
+        |  SELECT id_a AS doc_id FROM reported UNION SELECT id_b FROM reported
+        |), t0 AS (
+        |  SELECT lang, doc_id, $toksSql AS tk FROM documents JOIN ids USING (doc_id)
+        |), d AS (
+        |  SELECT lang, doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+        |)
+        |SELECT a.lang AS lang, r.id_a, r.id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |FROM reported r
+        |JOIN d a ON a.doc_id = r.id_a
+        |JOIN d b ON b.doc_id = r.id_b AND b.lang = a.lang
+        |ORDER BY jac DESC, id_a, id_b""".stripMargin,
+
+    "q22_boundary_exact" ->
+      s"""WITH t0 AS (
+        |  SELECT lang, doc_id, $toksSql AS tk FROM documents
+        |), d AS (
+        |  SELECT lang, doc_id, list_sort(list_distinct($bigramsFromTkSql)) AS sh FROM t0
+        |), fam AS (
+        |  SELECT lang, list_sort(list(doc_id)) AS ms FROM d
+        |  WHERE len(sh) > 0
+        |  GROUP BY lang, sh HAVING count(*) > 1
+        |), pr AS (
+        |  SELECT lang, ms[CAST(i.i AS INTEGER) + 1] AS id_a,
+        |    ms[CAST(j.j AS INTEGER) + 1] AS id_b
+        |  FROM fam, UNNEST(range(0, len(ms))) AS i(i),
+        |    UNNEST(range(0, len(ms))) AS j(j)
+        |  WHERE i.i < j.j
+        |)
+        |SELECT pr.lang, pr.id_a, pr.id_b FROM pr
+        |LEFT JOIN reported r ON r.id_a = pr.id_a AND r.id_b = pr.id_b
+        |WHERE r.id_a IS NULL
+        |  AND (pr.id_a < {worst_ida}
+        |    OR (pr.id_a = {worst_ida} AND pr.id_b < {worst_idb}))
+        |LIMIT 5""".stripMargin,
+
+    "q22_boundary_screen" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, $toksSql AS tk FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM t0
+        |), ${minhashChainCtes("toks", "")}
+        |SELECT v.id_a, v.id_b, v.jac FROM verified v
+        |JOIN documents da ON da.doc_id = v.id_a
+        |JOIN documents db ON db.doc_id = v.id_b AND db.lang = da.lang
+        |LEFT JOIN reported r ON r.id_a = v.id_a AND r.id_b = v.id_b
+        |WHERE r.id_a IS NULL AND (v.jac > {worst_jac}
+        |  OR (v.jac = {worst_jac} AND (v.id_a < {worst_ida}
+        |    OR (v.id_a = {worst_ida} AND v.id_b < {worst_idb}))))
+        |LIMIT 5""".stripMargin,
+
+    "q87_sampled" ->
+      crossCorpusSql("\n  WHERE doc_id % 2 = 0 OR doc_id % 101 = 7"))
 
   /** Shared CTE computing per-doc 30-bit simhash fingerprints. */
   private def simhashFpCte: String = {
@@ -3320,35 +3454,7 @@ object SparkEntry {
         |    AS inflation
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
-    "q87_cross_corpus_dedup" ->
-      s"""WITH t0 AS (
-        |  SELECT doc_id, source, $toksSql AS tk FROM documents
-        |), d AS (
-        |  SELECT doc_id, source, list_distinct($trigramsFromTkSql) AS grams
-        |  FROM t0
-        |), gx AS (
-        |  SELECT doc_id, unnest(grams) AS gm FROM d WHERE len(grams) > 0
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
-        |  FROM gx a JOIN gx b USING (gm)
-        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |), ver AS (
-        |  SELECT DISTINCT c.id_new
-        |  FROM cand c
-        |  JOIN d da ON da.doc_id = c.id_new
-        |  JOIN d db ON db.doc_id = c.id_base
-        |  WHERE CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
-        |    / (len(da.grams) + len(db.grams)
-        |       - len(list_intersect(da.grams, db.grams))) >= 0.5
-        |)
-        |SELECT d.source, count(*) AS n_new,
-        |  CAST(sum(CASE WHEN ver.id_new IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dropped,
-        |  round(CAST(sum(CASE WHEN ver.id_new IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS drop_rate
-        |FROM d LEFT JOIN ver ON d.doc_id = ver.id_new
-        |WHERE d.doc_id % 2 = 1
-        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q87_cross_corpus_dedup" -> crossCorpusSql(""),
 
     "q88_embed_decontam" ->
       """WITH c AS (
@@ -4204,6 +4310,172 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN r_words AND r_mean_len AND r_alpha AND r_symbol AND r_stop
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pass_rate
         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // q122: the composed curate pipeline's ENTIRE keep-decision chain
+    // re-derived in SQL — exact dedup (min-id per normalized text), the
+    // capped minhash chain + recursive clustering + best-keep argmax
+    // (the q19/q108 CTEs over the exact survivors), the q121 Gopher
+    // rules, q57's trigram decontamination (benchmark split defined on
+    // the RAW corpus), q58's curriculum keep, q106's UniMax water-fill
+    // applied via the copy-explode device, and q110's Knuth shard hash.
+    // One accounting row per stage; the shards row weights each id by
+    // (shard+1), so one misrouted doc anywhere breaks the hash.
+    "q122_curate_pipeline" -> {
+      val toksL = """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
+      val stopList = graft.operators.TextAnalysis.GopherStopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val phDoc = ph("CAST(doc_id AS VARCHAR)")
+      val phCopy = ph("CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)")
+      s"""WITH RECURSIVE b2 AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+        |    $normTextSql AS norm
+        |  FROM documents
+        |), exact AS (
+        |  SELECT doc_id, text, lang, source, n_tok FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS _k FROM b2
+        |  ) WHERE doc_id = _k
+        |), ndt0 AS (
+        |  SELECT doc_id, $toksSql AS tk FROM exact
+        |), ndtoks AS (
+        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM ndt0
+        |), ${minhashChainCtes("ndtoks", "n")},
+        |pairs AS (SELECT id_a, id_b FROM nverified WHERE jac >= 0.5),
+        |e AS (
+        |  SELECT id_a AS id, id_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT id_b AS id, id_a AS nbr FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT id, id AS r FROM e
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), wnd AS (
+        |  SELECT cl.cluster_id, x.doc_id,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY x.n_tok DESC, x.doc_id ASC) AS rk
+        |  FROM cl JOIN exact x ON x.doc_id = cl.id
+        |), losers AS (SELECT doc_id FROM wnd WHERE rk > 1),
+        |nd AS (
+        |  SELECT x.doc_id, x.text, x.lang, x.source, x.n_tok
+        |  FROM exact x LEFT JOIN losers l USING (doc_id)
+        |  WHERE l.doc_id IS NULL
+        |), gsig AS (
+        |  SELECT doc_id, text, lang, source, n_tok,
+        |    CAST(len($toksL) AS BIGINT) AS gntok,
+        |    CAST(list_aggregate(list_transform($toksL, t -> length(t)), 'sum') AS BIGINT) AS gchars,
+        |    CAST(len(list_filter($toksL, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS galpha,
+        |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS gsymbols,
+        |    CAST(len(list_intersect(list_distinct($toksL), $stopList)) AS BIGINT) AS gstops
+        |  FROM nd
+        |), quality AS (
+        |  SELECT doc_id, text, lang, source, n_tok FROM gsig
+        |  WHERE gntok >= 5 AND gntok <= 100000
+        |    AND gntok > 0 AND CAST(gchars AS DOUBLE) / gntok >= 3.0
+        |    AND CAST(gchars AS DOUBLE) / gntok <= 10.0
+        |    AND CAST(galpha AS DOUBLE) >= 0.8 * CAST(gntok AS DOUBLE)
+        |    AND CAST(gsymbols AS DOUBLE) <= 0.1 * CAST(gntok AS DOUBLE)
+        |    AND gstops >= 1
+        |), rawg AS (
+        |  SELECT doc_id, list_distinct($trigramsFromTkSql) AS grams
+        |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+        |), bench AS (
+        |  SELECT DISTINCT gm FROM (
+        |    SELECT unnest(grams) AS gm FROM rawg WHERE doc_id % 20 = 0)
+        |), qgr AS (
+        |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok, g.grams
+        |  FROM quality q JOIN rawg g USING (doc_id)
+        |), mtc AS (
+        |  SELECT doc_id, count(*) AS n_matched FROM (
+        |    SELECT doc_id, unnest(grams) AS gm FROM qgr
+        |  ) JOIN bench USING (gm) GROUP BY doc_id
+        |), dec AS (
+        |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok
+        |  FROM qgr q LEFT JOIN mtc USING (doc_id)
+        |  WHERE q.doc_id % 20 <> 0
+        |    AND (CASE WHEN len(q.grams) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / len(q.grams) END) < 0.2
+        |), cur0 AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    CAST(len($toksSql) AS DOUBLE) AS sntok,
+        |    CAST(len($contentToksSql) AS DOUBLE) AS sncont,
+        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS schars
+        |  FROM dec
+        |), cur1 AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    0.4 * least(1.0, sntok / 50.0)
+        |    + 0.3 * (1.0 - (CASE WHEN sntok = 0.0 THEN 1.0 ELSE 1.0 - sncont / sntok END))
+        |    + 0.3 * least(1.0, (CASE WHEN sntok = 0.0 THEN 0.0 ELSE schars / sntok END) / 8.0) AS score
+        |  FROM cur0
+        |), cur2 AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS INTEGER) AS decile
+        |  FROM cur1
+        |), cur AS (
+        |  SELECT doc_id, source, n_tok FROM cur2 WHERE ($phDoc) % 10 < decile
+        |), utc AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM cur GROUP BY source
+        |), uc AS (
+        |  SELECT source, n_tokens,
+        |    CAST(CAST(n_tokens AS DECIMAL(20,4)) * CAST(1.4 AS DECIMAL(8,4)) AS DECIMAL(24,4)) AS cap
+        |  FROM utc
+        |), ut AS (
+        |  SELECT CAST(CAST(sum(n_tokens) AS DECIMAL(24,4)) * CAST(1.25 AS DECIMAL(8,4)) AS DECIMAL(28,4)) AS budget,
+        |    count(*) AS s FROM utc
+        |), ur AS (
+        |  SELECT uc.source, uc.n_tokens, uc.cap, ut.budget, ut.s,
+        |    CAST(row_number() OVER (ORDER BY uc.cap, uc.source) AS BIGINT) AS rk,
+        |    sum(uc.cap) OVER (ORDER BY uc.cap, uc.source ROWS UNBOUNDED PRECEDING) AS pfx
+        |  FROM uc, ut
+        |), ub AS (
+        |  SELECT *, (pfx + cap * (s - rk)) <= budget AS bound FROM ur
+        |), ul AS (
+        |  SELECT coalesce(sum(CASE WHEN bound THEN cap END), 0) AS bp,
+        |    CAST(sum(CASE WHEN bound THEN 1 ELSE 0 END) AS BIGINT) AS j FROM ub
+        |), ua AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN bound THEN CAST(cap AS DOUBLE)
+        |         ELSE round(CAST(budget - bp AS DOUBLE) / (s - j), 6) END AS alloc_tokens
+        |  FROM ub, ul
+        |), ue AS (
+        |  SELECT source,
+        |    CASE WHEN n_tokens > 0 THEN round(alloc_tokens / n_tokens, 6) ELSE 0.0 END AS epochs
+        |  FROM ua
+        |), mix AS (
+        |  SELECT doc_id, source, n_tok, u.copy AS copy FROM (
+        |    SELECT c.doc_id, c.source, c.n_tok, ue.epochs
+        |    FROM cur c JOIN ue USING (source)
+        |  ) x, UNNEST(range(1, CAST(ceil(x.epochs) AS BIGINT) + 1)) AS u(copy)
+        |  WHERE u.copy <= floor(x.epochs)
+        |     OR CAST(($phCopy) % 1000003 AS DOUBLE) / 1000003.0 < x.epochs - floor(x.epochs)
+        |), shrd AS (
+        |  SELECT doc_id, n_tok,
+        |    ((((doc_id * 37 + copy) % 2147483648) * 2654435761) % 4294967296) % 16 AS shard
+        |  FROM mix
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM b2
+        |  UNION ALL SELECT CAST(1 AS INTEGER), 'exact', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM exact
+        |  UNION ALL SELECT CAST(2 AS INTEGER), 'neardup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM nd
+        |  UNION ALL SELECT CAST(3 AS INTEGER), 'quality', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM quality
+        |  UNION ALL SELECT CAST(4 AS INTEGER), 'decontam', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM dec
+        |  UNION ALL SELECT CAST(5 AS INTEGER), 'curriculum', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM cur
+        |  UNION ALL SELECT CAST(6 AS INTEGER), 'mixture', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM mix
+        |  UNION ALL SELECT CAST(7 AS INTEGER), 'shards', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id * (shard + 1)), 0) AS BIGINT) FROM shrd
+        |) ORDER BY stage_idx""".stripMargin
     },
 
     // q112 is q23's contract through the pre-collapse path: same output

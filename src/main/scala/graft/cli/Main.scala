@@ -164,6 +164,24 @@ object Main {
         println(s"curation reports written under $outDir: " +
           reports.map(_._1).mkString(", "))
 
+      case "curate-apply" =>
+        // the composed end-to-end curation RUN (X129): raw documents →
+        // exact dedup → capped near-dup best-keep → Gopher gate →
+        // benchmark decontamination → curriculum sample → UniMax
+        // mixture → training shards, each stage a committed Layout
+        // version under <lakeDir>/curated/<stage>, with a per-stage
+        // accounting table (the q122-oracle-replayed keep chain)
+        val Array(_, docsPath, lakeDir) = args.take(3)
+        val docs = spark.read.parquet(docsPath)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val acc = graft.pipeline.CuratePipeline.run(spark, docs, lakeDir)
+        acc.collect().foreach { r =>
+          println(f"${r.getAs[String]("stage")}%-12s docs=${r.getAs[Long]("n_docs")}%-8d " +
+            f"tokens=${r.getAs[Long]("n_tokens")}%-10d id_sum=${r.getAs[Long]("id_sum")}")
+        }
+        println(s"curated lake written under $lakeDir/curated " +
+          s"(stages: ${graft.pipeline.CuratePipeline.StageNames.drop(1).mkString(", ")})")
+
       // ---- lakehouse table maintenance (Layout/Merge/ZOrder) ---------
 
       case "compact" =>
@@ -253,6 +271,7 @@ object Main {
       |  quality <lakeDir> [thresholdsConfig]
       |  snapshot <lakeDir> <snapshotsDir> <version>
       |  curate <documentsParquet> <outDir>
+      |  curate-apply <documentsParquet> <lakeDir>
       |  compact <lakeDir> <layer> [sortCol]
       |  vacuum <lakeDir> <layer>
       |  rollback <lakeDir> <layer> <keepVersion>

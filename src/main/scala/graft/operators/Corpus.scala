@@ -300,6 +300,30 @@ object Corpus {
       .drop("_copy", "_frac", "w")
   }
 
+  /** APPLY form of [[unimaxAllocation]]: resample each source to its
+    * allocated epoch count e — floor(e) whole copies of every doc plus
+    * the ceil(e)-th copy gated on a per-(doc, copy) hash against the
+    * fractional part (the [[applyMixture]] device with the UniMax
+    * allocation as the weight; e < 1 downsamples, e > 1 upsamples).
+    * Adds a 1-based `copy` column. Deterministic: same corpus → same
+    * multiset of rows. Scale shape: the allocation table is one row per
+    * source (broadcast); the corpus pays a map-side join + a bounded
+    * explode (≤ ⌈maxEpochs⌉ copies). */
+  def applyUnimax(docs: DataFrame, tokenCol: Column, budgetFrac: Double,
+      maxEpochs: Double): DataFrame = {
+    val alloc = unimaxAllocation(docs, col("source"), tokenCol, budgetFrac, maxEpochs)
+      .select(col("source"), col("epochs").as("_e"))
+    val maxCopies = math.ceil(maxEpochs).toInt
+    docs.join(broadcast(alloc), "source")
+      .withColumn("copy", explode(sequence(lit(1),
+        least(ceil(col("_e")).cast("int"), lit(maxCopies)))))
+      .filter(col("copy") <= floor(col("_e")) ||
+        (pmod(Hashes.polyHash(concat_ws("#", col("doc_id").cast("string"),
+          col("copy").cast("string"))), lit(1000003L)).cast("double") / 1000003.0)
+          < col("_e") - floor(col("_e")))
+      .drop("_e")
+  }
+
   // ---- boilerplate (q60) --------------------------------------------
 
   /** Boilerplate n-gram detection (C4-style, public method: Raffel et

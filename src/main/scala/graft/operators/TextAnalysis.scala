@@ -493,8 +493,12 @@ object TextAnalysis {
     * token array (no explode — array aggregates fold in place), then one
     * source-keyed agg of conditional sums; pass_rate is one division of
     * exact longs. */
-  def gopherRules(docs: DataFrame, textCol: Column, sourceCol: Column,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+  /** The five X128 rule verdicts as named Columns over `textCol` — one
+    * shared builder so [[gopherRules]] (the per-source audit) and the
+    * curate pipeline's apply-form gate ([[graft.pipeline.CuratePipeline]])
+    * decide from EXACTLY the audited expressions. All map-only. */
+  def gopherRuleChecks(textCol: Column, minWords: Int = 50,
+      maxWords: Int = 100000, minStopHits: Int = 2): Seq[(String, Column)] = {
     val toks = TF.tokens(lower(textCol))
     val nTok = size(toks).cast("long")
     val charSum = aggregate(transform(toks, t => length(t).cast("long")),
@@ -504,13 +508,30 @@ object TextAnalysis {
     val symbols = size(regexp_extract_all(textCol, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
     val stopHits = size(array_intersect(array_distinct(toks),
       array(GopherStopwords.map(lit): _*)))
+    Seq(
+      "r_words" -> (nTok >= minWords && nTok <= maxWords),
+      "r_mean_len" -> (nTok > 0 && meanLen >= 3.0 && meanLen <= 10.0),
+      "r_alpha" -> (nTok > 0 && alphaWords.cast("double") >= lit(0.8) * nTok.cast("double")),
+      "r_symbol" -> (nTok > 0 && symbols.cast("double") <= lit(0.1) * nTok.cast("double")),
+      "r_stop" -> (stopHits >= minStopHits))
+  }
+
+  /** Composite per-document Gopher verdict — the conjunction of
+    * [[gopherRuleChecks]], the gate the curate pipeline filters on.
+    * `minStopHits` defaults to the paper's 2; the synthetic corpus has
+    * almost no English function words (q121 measures pass_rate 0.0 at
+    * stops≥2), so the composed pipeline gates at 1 there — the knob
+    * models per-corpus calibration, which the paper itself prescribes
+    * for non-web text. */
+  def gopherRulePass(textCol: Column, minWords: Int = 50,
+      maxWords: Int = 100000, minStopHits: Int = 2): Column =
+    gopherRuleChecks(textCol, minWords, maxWords, minStopHits).map(_._2).reduce(_ && _)
+
+  def gopherRules(docs: DataFrame, textCol: Column, sourceCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val checks = gopherRuleChecks(textCol, minWords, maxWords)
     val rules = docs.select(
-      sourceCol.as("source"),
-      (nTok >= minWords && nTok <= maxWords).as("r_words"),
-      (nTok > 0 && meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
-      (nTok > 0 && alphaWords.cast("double") >= lit(0.8) * nTok.cast("double")).as("r_alpha"),
-      (nTok > 0 && symbols.cast("double") <= lit(0.1) * nTok.cast("double")).as("r_symbol"),
-      (stopHits >= 2).as("r_stop"))
+      sourceCol.as("source") +: checks.map { case (n, c) => c.as(n) }: _*)
     def passes(c: String): Column = sum(when(col(c), 1L).otherwise(0L))
     rules
       .withColumn("r_all",

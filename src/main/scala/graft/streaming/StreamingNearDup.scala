@@ -125,6 +125,9 @@ object StreamingNearDup {
       maxStoredHashes: Int = DefaultMaxStoredHashes): Dataset[StreamPair] = {
     require(k % bands == 0, "k must divide into equal bands")
     require(delayMs > 0, "delayMs must be positive")
+    require(maxStoredHashes > 0,
+      "maxStoredHashes must be positive (a non-positive cap would slice " +
+        "every stored sketch empty and crash jaccardBottomK at runtime)")
     val r = k / bands
     val spark = docs.sparkSession
     import spark.implicits._

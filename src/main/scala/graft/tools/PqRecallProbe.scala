@@ -37,6 +37,30 @@ object PqRecallProbe {
       .localCheckpoint(true)
   }
 
+  /** Positive-control corpus for the PCA→PQ composition (VERDICT r10,
+    * Next-round #5): [[clusteredCorpus]]'s hash components are ISOTROPIC
+    * — every dimension carries equal variance, so PCA has nothing to
+    * compact and the composition can only lose there. Real text
+    * embeddings instead show a decaying spectrum (low effective rank);
+    * this corpus models that by scaling dimension i's component by
+    * 1/(1 + i/4) — variance spectrum ∝ (1 + i/4)⁻², effective rank ≈
+    * dim/8 at dim 64. At equal code bytes, PCA(r=dim/2)→PQ(m/2) should
+    * WIN here and lose on the isotropic twin: together the two corpora
+    * turn the bench's single "measured negative" into a measured
+    * per-corpus decision rule. */
+  def anisotropicCorpus(spark: SparkSession, nVec: Long, dim: Int,
+      nCells: Int): DataFrame = {
+    val cluster = col("id") % nCells
+    def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed * dim + i), lit(1000)).cast("double") / 500.0 - 1.0
+    spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => ((u(cluster, i) + u(col("id") + 7919L * nVec, i) * 0.5)
+          / (lit(1.0) + i.cast("double") / 4.0))
+          .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+  }
+
   private def toSets(df: DataFrame): Map[Long, Set[Long]] =
     df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
@@ -54,8 +78,15 @@ object PqRecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val (nVec, dim, nCells, k) = (50000L, 64, 64, 10)
     val base = java.nio.file.Files.createTempDirectory("graft_pqrecall").toString
+    // `iso` (default) = the bench's isotropic clustered corpus;
+    // `aniso` = the decaying-spectrum positive control
+    val mode = args.headOption.getOrElse("iso")
     try {
-      val emb = clusteredCorpus(spark, nVec, dim, nCells)
+      val emb = mode match {
+        case "aniso" => anisotropicCorpus(spark, nVec, dim, nCells)
+        case _ => clusteredCorpus(spark, nVec, dim, nCells)
+      }
+      println(s"corpus = $mode")
       val queries = emb.limit(200).select(col("vec_id").as("query_id"),
         VF.vecAsDouble(col("embedding")).as("qv")).localCheckpoint(true)
       val corpus = emb.select(col("vec_id").as("neighbor_id"),
