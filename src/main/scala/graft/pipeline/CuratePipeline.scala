@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashes, TextFunctions => TF}
-import graft.ingest.Layout
+import graft.ingest.{Layout, Merge}
 import graft.operators.{Corpus, Dedup, TextAnalysis}
 
 /** Knobs of the composed curation run. Defaults match the constants the
@@ -132,11 +132,14 @@ object CuratePipeline {
     * multiplicative device — copies of an upsampled doc spread across
     * shards instead of stacking in one training file. The fold into
     * [0, 2³¹) before the multiply keeps every product under 2⁶³ in both
-    * engines. */
+    * engines. `shard_key` is the hive-safe string twin of `shard` that
+    * the layer partitions on (and [[runIncremental]]'s MERGE upserts
+    * by). */
   private def shardStage(mix: DataFrame, cfg: CurateConfig): DataFrame =
     mix.withColumn("shard",
       pmod(pmod(pmod(col("doc_id") * 37 + col("copy"), lit(2147483648L))
         * 2654435761L, lit(4294967296L)), lit(cfg.nShards.toLong)).cast("int"))
+      .withColumn("shard_key", format_string("s%03d", col("shard")))
 
   /** The lazily-composed stage frames, raw first. Each frame carries the
     * documents schema plus `n_tok`; mixture adds `copy`, shards adds
@@ -166,13 +169,42 @@ object CuratePipeline {
           col("n_docs"), col("n_tokens"), col("id_sum"))
     }.reduce(_ unionByName _).orderBy("stage_idx")
 
+  /** Layer names of the frozen corpus-fitted parameters [[run]] persists
+    * for [[runIncremental]] to apply: the banked near-dup signature
+    * index (batch-partitioned so delta appends MERGE one partition), the
+    * benchmark gram set, the per-(lang, decile) curriculum score bounds,
+    * and the UniMax per-source epoch allocation. */
+  object Frozen {
+    val NearDupIndex = "curated/neardup_index"
+    val BenchGrams = "curated/bench_grams"
+    val CurriculumBounds = "curated/curriculum_bounds"
+    val UnimaxAlloc = "curated/unimax_alloc"
+  }
+
+  private def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
+    raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0)
+      .select(explode(array_distinct(
+        TF.wordShinglesOfTokens(TF.tokens(col("text")), cfg.contamN))).as("g"))
+      .distinct()
+
+  /** Per-(lang, decile) upper score bound of the full run's curriculum
+    * split — the frozen form a delta batch is graded against. */
+  private def curriculumBounds(dec: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("_score"), col("doc_id"))
+    dec.withColumn("_score", TextAnalysis.qualityScore(col("text")))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("lang", "decile").agg(max(col("_score")).as("hi"))
+  }
+
   /** Materializing run: each stage lands as a committed
-    * `curated/<stage>` [[Layout]] version (shards partitioned by shard),
-    * with each stage READING BACK the previous stage's published files —
-    * so a stage costs itself once, the chain restarts from any committed
-    * prefix, and a crash mid-stage leaves only an unpublished version
-    * behind (vacuum reclaims it). Returns the accounting table, itself
-    * committed as `curated/accounting`. */
+    * `curated/<stage>` [[Layout]] version (shards partitioned by
+    * shard_key), with each stage READING BACK the previous stage's
+    * published files — so a stage costs itself once, the chain restarts
+    * from any committed prefix, and a crash mid-stage leaves only an
+    * unpublished version behind (vacuum reclaims it). Also persists the
+    * [[Frozen]] parameter layers the incremental path applies. Returns
+    * the accounting table, itself committed as `curated/accounting`. */
   def run(spark: SparkSession, docs: DataFrame, base: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
     val raw = withTok(docs)
@@ -180,14 +212,184 @@ object CuratePipeline {
     materialized += ("raw" -> raw)
     var prev = raw
     transitions(cfg).foreach { case (name, f) =>
-      val parts = if (name == "shards") Seq("shard") else Nil
+      val parts = if (name == "shards") Seq("shard_key") else Nil
       val dir = Layout.writeVersioned(f(raw, prev), base, s"curated/$name",
         partitionCols = parts)
       prev = spark.read.parquet(dir)
       materialized += (name -> prev)
     }
+    val frames = materialized.result().toMap
+    // frozen parameters for the incremental path
+    Layout.writeVersioned(
+      Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
+        cfg.shingleWords, cfg.minhashK).withColumn("batch", lit("b0000")),
+      base, Frozen.NearDupIndex, partitionCols = Seq("batch"))
+    Layout.writeVersioned(benchGramSet(raw, cfg), base, Frozen.BenchGrams)
+    Layout.writeVersioned(curriculumBounds(frames("decontam")),
+      base, Frozen.CurriculumBounds)
+    Layout.writeVersioned(
+      Corpus.unimaxAllocation(frames("curriculum"), col("source"),
+        col("n_tok"), cfg.budgetFrac, cfg.maxEpochs)
+        .select("source", "epochs"),
+      base, Frozen.UnimaxAlloc)
     val acc = accounting(materialized.result())
     Layout.writeVersioned(acc, base, "curated/accounting")
     Layout.loadLatest(spark, base, "curated/accounting").orderBy("stage_idx")
+  }
+
+  /** Incremental form (VERDICT r10, Next-round #7): curate a DELTA batch
+    * of new documents against an existing [[run]]-produced lake at
+    * delta-proportional cost, instead of re-running the full corpus.
+    * Keep decisions apply the FROZEN corpus-fitted parameters of the
+    * last full run — the standard production contract (parameters refit
+    * on the next full run):
+    *
+    *  - exact: a delta doc whose normalized text matches ANY banked
+    *    exact-survivor norm is dropped (a match against a previously
+    *    DROPPED doc normalizes to its kept representative's norm, so
+    *    survivor norms suffice); within-batch groups keep min id. At
+    *    100 TB the norm anti-join rides the q26 fingerprint instead of
+    *    the full text, the q120-documented escalation.
+    *  - neardup: [[Dedup.incrementalNearDups]] against the banked
+    *    signature index — only delta-touching pairs are scored (never
+    *    index×index). Existing docs WIN every delta-vs-existing contest
+    *    (incremental keeps are order-dependent by design — the banked
+    *    corpus is already published); delta-vs-delta contests use the
+    *    batch rule (best n_tok, ties min id). Kept delta signatures
+    *    MERGE into the index as one new batch PARTITION, so the index
+    *    append is O(delta), not O(corpus).
+    *  - quality: map-only, identical gate.
+    *  - decontam: the banked benchmark gram set, plus this batch's own
+    *    benchmark members (dropped from training, grams banked for
+    *    future batches).
+    *  - curriculum: decile = 1 + #(frozen lower-decile bounds below the
+    *    doc's score); unseen languages default to decile 1 (keep 10% —
+    *    conservative until the next full refit).
+    *  - mixture: the frozen per-source epochs; unseen sources default to
+    *    1.0 (keep once).
+    *  - shards: identical routing; the delta's (doc_id, copy) rows MERGE
+    *    into the shards layer — only TOUCHED shard partitions rewrite,
+    *    untouched partitions are inherited file-identical (at production
+    *    shard counts the touched fraction is batch-proportional; this
+    *    library's Layout analog rewrites a touched partition whole where
+    *    a real table format would append a file to it).
+    *
+    * Returns the delta's per-stage accounting (same shape as [[run]]'s,
+    * stage "raw" = the delta input). Ingestion is exactly-once by id:
+    * re-submitting a batch whose kept docs are already banked trips the
+    * id-disjointness guard (the J5 contract — dedup batch ids upstream
+    * with the X105-style anti-join); resubmitted docs that were DROPPED
+    * die again at their original stage. */
+  def runIncremental(spark: SparkSession, deltaDocs: DataFrame, base: String,
+      cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val raw = withTok(deltaDocs)
+
+    // exact vs banked norms + within-batch
+    val banked = Layout.loadLatest(spark, base, "curated/exact")
+      .select(TF.normalizeWs(col("text")).as("_norm")).distinct()
+    val keyed = raw.withColumn("_norm", TF.normalizeWs(col("text")))
+      .join(banked, Seq("_norm"), "left_anti")
+    val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi").drop("_norm")
+      .localCheckpoint(false)
+
+    // neardup vs banked index + within-batch best-keep
+    val index = Layout.loadLatest(spark, base, Frozen.NearDupIndex)
+      .drop("batch")
+    // incrementalNearDups' contract: delta ids disjoint from the index's
+    require(exactDelta.join(index.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).isEmpty,
+      "delta doc_ids must be disjoint from the banked corpus")
+    val pairs = Dedup.incrementalNearDups(index, exactDelta, "doc_id",
+      col("text"), cfg.shingleWords, cfg.minhashK, cfg.bands, cfg.threshold,
+      cfg.maxBucket)
+    val ma = exactDelta.select(col("doc_id").as("id_a"), lit(true).as("_a"))
+    val mb = exactDelta.select(col("doc_id").as("id_b"), lit(true).as("_b"))
+    val flagged = pairs.join(ma, Seq("id_a"), "left").join(mb, Seq("id_b"), "left")
+      .withColumn("_a", coalesce(col("_a"), lit(false)))
+      .withColumn("_b", coalesce(col("_b"), lit(false)))
+      .localCheckpoint(false)
+    val dropVsExisting = flagged.filter(col("_a") =!= col("_b"))
+      .select(when(col("_a"), col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .distinct()
+    val deltaPairs = flagged.filter(col("_a") && col("_b"))
+      .select("id_a", "id_b", "jac")
+    val neardupDelta = Dedup.dedupByClusterBest(
+      exactDelta.join(dropVsExisting, Seq("doc_id"), "left_anti"),
+      "doc_id", deltaPairs, col("n_tok")).localCheckpoint(false)
+
+    // quality gate (map-only, identical rule)
+    val qualityDelta = neardupDelta.filter(TextAnalysis.gopherRulePass(
+      col("text"), cfg.gopherMinWords, cfg.gopherMaxWords, cfg.gopherMinStops))
+
+    // decontam vs banked grams ∪ this batch's benchmark members
+    val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
+    val bankedGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams)
+    val batchBenchGrams = benchGramSet(raw, cfg)
+    val allBench = bankedGrams.unionByName(batchBenchGrams).distinct()
+    def grams = array_distinct(
+      TF.wordShinglesOfTokens(TF.tokens(col("text")), cfg.contamN))
+    val withGrams = qualityDelta.withColumn("_grams", grams)
+      .withColumn("_n_grams", size(col("_grams")))
+    val matched = withGrams.select(col("doc_id"), explode(col("_grams")).as("g"))
+      .join(broadcast(allBench), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("_m"))
+    val decontamDelta = withGrams.join(matched, Seq("doc_id"), "left")
+      .filter(!isBench &&
+        when(col("_n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("_m"), lit(0L)).cast("double") / col("_n_grams"))
+          < cfg.contamFrac)
+      .drop("_grams", "_n_grams", "_m")
+
+    // curriculum against the frozen bounds
+    val bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds)
+      .filter(col("decile") < 10)
+      .groupBy("lang").agg(sort_array(collect_list(col("hi"))).as("_bs"))
+    val curriculumDelta = decontamDelta
+      .withColumn("_score", TextAnalysis.qualityScore(col("text")))
+      .join(broadcast(bounds), Seq("lang"), "left")
+      .withColumn("_decile", lit(1) + size(filter(
+        coalesce(col("_bs"), array()), x => x < col("_score"))))
+      .filter(pmod(Hashes.polyHash(col("doc_id").cast("string")),
+        lit(10)) < col("_decile"))
+      .drop("_score", "_bs", "_decile")
+
+    // mixture with the frozen epochs (unseen sources: 1.0)
+    val alloc = Layout.loadLatest(spark, base, Frozen.UnimaxAlloc)
+      .select(col("source"), col("epochs").as("_e"))
+    val mixtureDelta = curriculumDelta.join(broadcast(alloc), Seq("source"), "left")
+      .withColumn("_e", coalesce(col("_e"), lit(1.0)))
+      .withColumn("copy", explode(sequence(lit(1), greatest(
+        ceil(col("_e")).cast("int"), lit(1)))))
+      .filter(col("copy") <= floor(col("_e")) ||
+        (pmod(Hashes.polyHash(concat_ws("#", col("doc_id").cast("string"),
+          col("copy").cast("string"))), lit(1000003L)).cast("double") / 1000003.0)
+          < col("_e") - floor(col("_e")))
+      .drop("_e")
+
+    // shards: identical routing, MERGE only the touched partitions
+    val shardDelta = shardStage(mixtureDelta, cfg).localCheckpoint(false)
+    if (!shardDelta.isEmpty)
+      Merge.merge(spark, base, "curated/shards", shardDelta,
+        Seq("doc_id", "copy"), "shard_key")
+
+    // bank the kept delta's signatures as ONE new index partition
+    val batchNo = graft.ingest.Layout
+      .committedVersions(spark, base, Frozen.NearDupIndex).last + 1
+    val newIdx = Dedup.nearDupIndex(neardupDelta, "doc_id", col("text"),
+      cfg.shingleWords, cfg.minhashK)
+      .withColumn("batch", format_string("b%04d", lit(batchNo)))
+    if (!newIdx.isEmpty)
+      Merge.merge(spark, base, Frozen.NearDupIndex, newIdx,
+        Seq("doc_id"), "batch")
+    // bank this batch's benchmark grams for future batches
+    if (!batchBenchGrams.isEmpty)
+      Layout.writeVersioned(allBench, base, Frozen.BenchGrams)
+
+    accounting(Seq("raw" -> raw, "exact" -> exactDelta,
+      "neardup" -> neardupDelta, "quality" -> qualityDelta,
+      "decontam" -> decontamDelta, "curriculum" -> curriculumDelta,
+      "mixture" -> mixtureDelta, "shards" -> shardDelta))
   }
 }

@@ -576,4 +576,14 @@ class PlanAssertSpec extends AnyFunSuite {
       plan.contains("ReadSchema: struct<source:string,text:string>"),
       s"the scan must prune to (source, text):\n${plan.take(3000)}")
   }
+
+  test("q122 curate pipeline: no cartesian anywhere in the composed chain") {
+    val plan = planOf("q122_curate_pipeline")
+    assert(!plan.contains("CartesianProduct"),
+      s"the composed chain must never form an unkeyed pair join:\n${plan.take(4000)}")
+    // the benchmark gram set and the per-source UniMax allocation ride as
+    // broadcasts — the corpus side must never shuffle FOR them
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"bench grams / allocation must broadcast:\n${plan.take(4000)}")
+  }
 }

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ingest.{Layout, Merge}
+
+/** The incremental curate path end to end: full run on 90% of the
+  * sf0.001 corpus, then a delta batch with the held-out 10% — frozen
+  * parameters applied, banked docs win dedup contests, the shard layer
+  * MERGEs only touched partitions (untouched ones inherited
+  * file-identical), and the index append is one new batch partition. */
+class CurateIncrementalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  private lazy val state = {
+    val base = Files.createTempDirectory("graft_curate_inc").toString
+    CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(10)) =!= 3), base)
+    val acc = CuratePipeline.runIncremental(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3), base)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    (base, acc)
+  }
+  private def base = state._1
+  private def acc = state._2
+
+  test("delta accounting: 50 raw docs, keeps monotone until mixture") {
+    assert(acc("raw") == 50L)
+    val order = Seq("raw", "exact", "neardup", "quality", "decontam", "curriculum")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(acc(b) <= acc(a), s"$b (${acc(b)}) > $a (${acc(a)})")
+    }
+    assert(acc("shards") == acc("mixture"))
+    assert(acc("neardup") > 0, "delta all died before neardup — test corpus degenerate")
+  }
+
+  test("shards MERGE rewrites only touched partitions; untouched inherited file-identical") {
+    val v = Layout.committedVersions(spark, base, "curated/shards").last
+    val info = Merge.mergeInfo(spark, Layout.versionedDir(base, "curated/shards", v))
+    assert(info.nonEmpty, "shards head version is not a merge")
+    val eff = Merge.effectiveDirs(spark, base, "curated/shards", v)
+    val fullDir = Layout.versionedDir(base, "curated/shards", info.get.baseVersion)
+    val inherited = eff.values.count(_.startsWith(fullDir + "/"))
+    val own = eff.values.count(_.startsWith(Layout.versionedDir(base, "curated/shards", v) + "/"))
+    assert(inherited > 0, "no partition inherited — merge rewrote everything")
+    assert(own > 0, "no partition rewritten — delta produced no shard rows")
+    // resolved read sees full + delta with last-wins keys
+    val all = Layout.loadLatest(spark, base, "curated/shards")
+    assert(all.groupBy("doc_id", "copy").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("near-dup index append is one new batch partition, O(delta)") {
+    val v = Layout.committedVersions(spark, base, CuratePipeline.Frozen.NearDupIndex).last
+    val eff = Merge.effectiveDirs(spark, base, CuratePipeline.Frozen.NearDupIndex, v)
+    assert(eff.contains("batch=b0000") && eff.exists(_._1 != "batch=b0000"))
+    // b0000 still points at the full run's files (inherited, not rewritten)
+    val v1 = Layout.versionedDir(base, CuratePipeline.Frozen.NearDupIndex, 1)
+    assert(eff("batch=b0000").startsWith(v1 + "/"))
+  }
+
+  test("banked docs win: exact twins and near-dups of existing keeps are dropped") {
+    // exact twins: existing kept texts under fresh ids die at `exact`
+    val keptTexts = Layout.loadLatest(spark, base, "curated/exact")
+      .select("text").limit(5)
+    val twins = keptTexts.withColumn("doc_id",
+      monotonically_increasing_id() + 9000001L)
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .select("doc_id", "text", "lang", "source")
+    val accTw = CuratePipeline.runIncremental(spark, twins, base)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(accTw("raw") == 5L && accTw("exact") == 0L)
+
+    // near-dups: existing kept texts with one appended token share all
+    // but one bigram (jac >> 0.5). LSH detection of such a pair is
+    // near-certain but not GUARANTEED — one unlucky small poly-hash on
+    // the new bigram can dominate every band's affine slots (observed on
+    // this fixture) — so the assertion is self-consistent: every planted
+    // doc the banded pipeline DETECTS against the bank must be dropped,
+    // and detection must not be degenerate (≥ half detected).
+    val nd = Layout.loadLatest(spark, base, "curated/neardup")
+      .filter(col("n_tok") >= 20).orderBy("doc_id").limit(4)
+      .select(concat(col("text"), lit(" zzzneardupmarker")).as("text"))
+      .withColumn("doc_id", monotonically_increasing_id() + 9500001L)
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .select("doc_id", "text", "lang", "source")
+      .localCheckpoint(true)
+    val cfg = CurateConfig()
+    val index = Layout.loadLatest(spark, base, CuratePipeline.Frozen.NearDupIndex)
+      .drop("batch")
+    val detected = graft.operators.Dedup.incrementalNearDups(index, nd,
+      "doc_id", col("text"), cfg.shingleWords, cfg.minhashK, cfg.bands,
+      cfg.threshold, cfg.maxBucket)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .filter(col("id") >= 9500001L).distinct().count()
+    assert(detected >= 2, s"LSH detected only $detected of 4 planted near-dups")
+    val accNd = CuratePipeline.runIncremental(spark, nd, base)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(accNd("raw") == 4L && accNd("exact") == 4L)
+    assert(accNd("neardup") == 4L - detected,
+      s"every detected banked near-dup must be dropped (detected=$detected)")
+  }
+
+  test("resubmitting a batch with already-banked ids trips the disjointness guard") {
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.runIncremental(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3), base)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}
