@@ -1393,6 +1393,27 @@ object SparkEntry {
         Tables.documentsSpread(spark, dir).select(
           col("doc_id"), col("text"), col("lang"), col("source"))))
 
+  /** X130 incremental curate path
+    * ([[graft.pipeline.CuratePipeline.incrementalStages]]): the full
+    * chain runs on the doc_id%100≠7 side to derive the frozen
+    * parameters, then the 1% delta replays the incremental
+    * keep-decision semantics against them — banked norms win exact,
+    * the combined-population banded index scores only delta-touching
+    * pairs (existing docs win cross contests), frozen decile bounds
+    * and UniMax epochs grade the tail stages. The oracle re-derives
+    * BOTH sides in one SQL statement. */
+  def incrementalCurateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir).select(
+      col("doc_id"), col("text"), col("lang"), col("source"))
+    val cfg = graft.pipeline.CurateConfig()
+    val frozen = graft.pipeline.CuratePipeline.frozenFromStages(
+      graft.pipeline.CuratePipeline.stages(
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), cfg), cfg)
+    graft.pipeline.CuratePipeline.accounting(
+      graft.pipeline.CuratePipeline.incrementalStages(
+        docs.filter(pmod(col("doc_id"), lit(100)) === 7), frozen, cfg))
+  }
+
   /** X122 tokenizer fertility audit ([[graft.operators.TextAnalysis.fertilityAudit]]). */
   def fertilityAuditQuery(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.fertilityAudit(Tables.documentsSpread(spark, dir))
@@ -1892,10 +1913,15 @@ object SparkEntry {
     "q120_dup_families" -> dupFamilyStatsQuery _,
     "q121_gopher_rules" -> gopherRulesQuery _,
     "q122_curate_pipeline" -> curatePipelineQuery _,
+    "q123_incremental_curate" -> incrementalCurateQuery _,
   )
 
   private val stopwordsSqlList: String =
     TF.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private val gopherStopSql: String =
+    graft.operators.TextAnalysis.GopherStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
 
   // -- DuckDB fragments shared across generated oracles ----------------
   private val toksSql = """list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"""
@@ -2081,6 +2107,141 @@ object SparkEntry {
 
     "q87_sampled" ->
       crossCorpusSql("\n  WHERE doc_id % 2 = 0 OR doc_id % 101 = 7"))
+
+  /** The composed curate pipeline's full-run CTE chain (q122/q123) over
+    * a (doc_id, text, lang, source) relation `srcRel` — MATERIALIZE it
+    * at the call site: DuckDB inlines plain CTEs, so every reference
+    * would otherwise re-open the parquet and a double chain (q123) can
+    * exhaust the process fd limit — every CTE name prefixed with `p` so the chain
+    * can appear twice in one statement (q123 runs it over the full side
+    * and replays the delta side against its frozen outputs). Ends at:
+    * {p}b2 (raw + n_tok + norm), {p}exact, {p}nd (near-dup survivors),
+    * {p}quality, {p}rawg/{p}bench (gram sets), {p}dec, {p}cur2 (scored
+    * deciles), {p}cur (curriculum keeps), {p}ue (UniMax epochs). Must be
+    * placed inside a WITH RECURSIVE ({p}reach is recursive). */
+  private def curateChainCtes(p: String, srcRel: String): String = {
+    val toksL = """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
+    val stopList = graft.operators.TextAnalysis.GopherStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""${p}b2 AS MATERIALIZED (
+      |  SELECT doc_id, text, lang, source,
+      |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+      |    $normTextSql AS norm
+      |  FROM $srcRel
+      |), ${p}exact AS MATERIALIZED (
+      |  SELECT doc_id, text, lang, source, n_tok FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS _k FROM ${p}b2
+      |  ) WHERE doc_id = _k
+      |), ${p}ndt0 AS (
+      |  SELECT doc_id, $toksSql AS tk FROM ${p}exact
+      |), ${p}ndtoks AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM ${p}ndt0
+      |), ${minhashChainCtes(s"${p}ndtoks", s"${p}n")},
+      |${p}pairs AS (SELECT id_a, id_b FROM ${p}nverified WHERE jac >= 0.5),
+      |${p}e AS (
+      |  SELECT id_a AS id, id_b AS nbr FROM ${p}pairs
+      |  UNION
+      |  SELECT id_b AS id, id_a AS nbr FROM ${p}pairs
+      |), ${p}reach(id, r) AS (
+      |  SELECT DISTINCT id, id AS r FROM ${p}e
+      |  UNION
+      |  SELECT ${p}e.id, ${p}reach.r FROM ${p}e JOIN ${p}reach ON ${p}e.nbr = ${p}reach.id
+      |), ${p}cl AS (
+      |  SELECT id, min(r) AS cluster_id FROM ${p}reach GROUP BY id
+      |), ${p}wnd AS (
+      |  SELECT ${p}cl.cluster_id, x.doc_id,
+      |    row_number() OVER (PARTITION BY ${p}cl.cluster_id
+      |      ORDER BY x.n_tok DESC, x.doc_id ASC) AS rk
+      |  FROM ${p}cl JOIN ${p}exact x ON x.doc_id = ${p}cl.id
+      |), ${p}losers AS (SELECT doc_id FROM ${p}wnd WHERE rk > 1),
+      |${p}nd AS MATERIALIZED (
+      |  SELECT x.doc_id, x.text, x.lang, x.source, x.n_tok
+      |  FROM ${p}exact x LEFT JOIN ${p}losers l USING (doc_id)
+      |  WHERE l.doc_id IS NULL
+      |), ${p}gsig AS (
+      |  SELECT doc_id, text, lang, source, n_tok,
+      |    CAST(len($toksL) AS BIGINT) AS gntok,
+      |    CAST(list_aggregate(list_transform($toksL, t -> length(t)), 'sum') AS BIGINT) AS gchars,
+      |    CAST(len(list_filter($toksL, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS galpha,
+      |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS gsymbols,
+      |    CAST(len(list_intersect(list_distinct($toksL), $stopList)) AS BIGINT) AS gstops
+      |  FROM ${p}nd
+      |), ${p}quality AS (
+      |  SELECT doc_id, text, lang, source, n_tok FROM ${p}gsig
+      |  WHERE gntok >= 5 AND gntok <= 100000
+      |    AND gntok > 0 AND CAST(gchars AS DOUBLE) / gntok >= 3.0
+      |    AND CAST(gchars AS DOUBLE) / gntok <= 10.0
+      |    AND CAST(galpha AS DOUBLE) >= 0.8 * CAST(gntok AS DOUBLE)
+      |    AND CAST(gsymbols AS DOUBLE) <= 0.1 * CAST(gntok AS DOUBLE)
+      |    AND gstops >= 1
+      |), ${p}rawg AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct($trigramsFromTkSql) AS grams
+      |  FROM (SELECT doc_id, $toksSql AS tk FROM $srcRel)
+      |), ${p}bench AS MATERIALIZED (
+      |  SELECT DISTINCT gm FROM (
+      |    SELECT unnest(grams) AS gm FROM ${p}rawg WHERE doc_id % 20 = 0)
+      |), ${p}qgr AS (
+      |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok, g.grams
+      |  FROM ${p}quality q JOIN ${p}rawg g USING (doc_id)
+      |), ${p}mtc AS (
+      |  SELECT doc_id, count(*) AS n_matched FROM (
+      |    SELECT doc_id, unnest(grams) AS gm FROM ${p}qgr
+      |  ) JOIN ${p}bench USING (gm) GROUP BY doc_id
+      |), ${p}dec AS MATERIALIZED (
+      |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok
+      |  FROM ${p}qgr q LEFT JOIN ${p}mtc USING (doc_id)
+      |  WHERE q.doc_id % 20 <> 0
+      |    AND (CASE WHEN len(q.grams) = 0 THEN 0.0
+      |         ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / len(q.grams) END) < 0.2
+      |), ${p}cur0 AS (
+      |  SELECT doc_id, lang, source, n_tok,
+      |    CAST(len($toksSql) AS DOUBLE) AS sntok,
+      |    CAST(len($contentToksSql) AS DOUBLE) AS sncont,
+      |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS schars
+      |  FROM ${p}dec
+      |), ${p}cur1 AS (
+      |  SELECT doc_id, lang, source, n_tok,
+      |    0.4 * least(1.0, sntok / 50.0)
+      |    + 0.3 * (1.0 - (CASE WHEN sntok = 0.0 THEN 1.0 ELSE 1.0 - sncont / sntok END))
+      |    + 0.3 * least(1.0, (CASE WHEN sntok = 0.0 THEN 0.0 ELSE schars / sntok END) / 8.0) AS score
+      |  FROM ${p}cur0
+      |), ${p}cur2 AS MATERIALIZED (
+      |  SELECT doc_id, lang, source, n_tok, score,
+      |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS INTEGER) AS decile
+      |  FROM ${p}cur1
+      |), ${p}cur AS MATERIALIZED (
+      |  SELECT doc_id, source, n_tok FROM ${p}cur2
+      |  WHERE (${ph("CAST(doc_id AS VARCHAR)")}) % 10 < decile
+      |), ${p}utc AS (
+      |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM ${p}cur GROUP BY source
+      |), ${p}uc AS (
+      |  SELECT source, n_tokens,
+      |    CAST(CAST(n_tokens AS DECIMAL(20,4)) * CAST(1.4 AS DECIMAL(8,4)) AS DECIMAL(24,4)) AS cap
+      |  FROM ${p}utc
+      |), ${p}ut AS (
+      |  SELECT CAST(CAST(sum(n_tokens) AS DECIMAL(24,4)) * CAST(1.25 AS DECIMAL(8,4)) AS DECIMAL(28,4)) AS budget,
+      |    count(*) AS s FROM ${p}utc
+      |), ${p}ur AS (
+      |  SELECT uc.source, uc.n_tokens, uc.cap, ut.budget, ut.s,
+      |    CAST(row_number() OVER (ORDER BY uc.cap, uc.source) AS BIGINT) AS rk,
+      |    sum(uc.cap) OVER (ORDER BY uc.cap, uc.source ROWS UNBOUNDED PRECEDING) AS pfx
+      |  FROM ${p}uc uc, ${p}ut ut
+      |), ${p}ub AS (
+      |  SELECT *, (pfx + cap * (s - rk)) <= budget AS bound FROM ${p}ur
+      |), ${p}ul AS (
+      |  SELECT coalesce(sum(CASE WHEN bound THEN cap END), 0) AS bp,
+      |    CAST(sum(CASE WHEN bound THEN 1 ELSE 0 END) AS BIGINT) AS j FROM ${p}ub
+      |), ${p}ua AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN bound THEN CAST(cap AS DOUBLE)
+      |         ELSE round(CAST(budget - bp AS DOUBLE) / (s - j), 6) END AS alloc_tokens
+      |  FROM ${p}ub ub, ${p}ul ul
+      |), ${p}ue AS MATERIALIZED (
+      |  SELECT source,
+      |    CASE WHEN n_tokens > 0 THEN round(alloc_tokens / n_tokens, 6) ELSE 0.0 END AS epochs
+      |  FROM ${p}ua
+      |)""".stripMargin
+  }
 
   /** Shared CTE computing per-doc 30-bit simhash fingerprints. */
   private def simhashFpCte: String = {
@@ -4322,128 +4483,11 @@ object SparkEntry {
     // One accounting row per stage; the shards row weights each id by
     // (shard+1), so one misrouted doc anywhere breaks the hash.
     "q122_curate_pipeline" -> {
-      val toksL = """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
-      val stopList = graft.operators.TextAnalysis.GopherStopwords
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      val phDoc = ph("CAST(doc_id AS VARCHAR)")
       val phCopy = ph("CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)")
-      s"""WITH RECURSIVE b2 AS (
-        |  SELECT doc_id, text, lang, source,
-        |    CAST(len($toksSql) AS BIGINT) AS n_tok,
-        |    $normTextSql AS norm
-        |  FROM documents
-        |), exact AS (
-        |  SELECT doc_id, text, lang, source, n_tok FROM (
-        |    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS _k FROM b2
-        |  ) WHERE doc_id = _k
-        |), ndt0 AS (
-        |  SELECT doc_id, $toksSql AS tk FROM exact
-        |), ndtoks AS (
-        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM ndt0
-        |), ${minhashChainCtes("ndtoks", "n")},
-        |pairs AS (SELECT id_a, id_b FROM nverified WHERE jac >= 0.5),
-        |e AS (
-        |  SELECT id_a AS id, id_b AS nbr FROM pairs
-        |  UNION
-        |  SELECT id_b AS id, id_a AS nbr FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT DISTINCT id, id AS r FROM e
-        |  UNION
-        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id
-        |), cl AS (
-        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
-        |), wnd AS (
-        |  SELECT cl.cluster_id, x.doc_id,
-        |    row_number() OVER (PARTITION BY cl.cluster_id
-        |      ORDER BY x.n_tok DESC, x.doc_id ASC) AS rk
-        |  FROM cl JOIN exact x ON x.doc_id = cl.id
-        |), losers AS (SELECT doc_id FROM wnd WHERE rk > 1),
-        |nd AS (
-        |  SELECT x.doc_id, x.text, x.lang, x.source, x.n_tok
-        |  FROM exact x LEFT JOIN losers l USING (doc_id)
-        |  WHERE l.doc_id IS NULL
-        |), gsig AS (
-        |  SELECT doc_id, text, lang, source, n_tok,
-        |    CAST(len($toksL) AS BIGINT) AS gntok,
-        |    CAST(list_aggregate(list_transform($toksL, t -> length(t)), 'sum') AS BIGINT) AS gchars,
-        |    CAST(len(list_filter($toksL, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS galpha,
-        |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS gsymbols,
-        |    CAST(len(list_intersect(list_distinct($toksL), $stopList)) AS BIGINT) AS gstops
-        |  FROM nd
-        |), quality AS (
-        |  SELECT doc_id, text, lang, source, n_tok FROM gsig
-        |  WHERE gntok >= 5 AND gntok <= 100000
-        |    AND gntok > 0 AND CAST(gchars AS DOUBLE) / gntok >= 3.0
-        |    AND CAST(gchars AS DOUBLE) / gntok <= 10.0
-        |    AND CAST(galpha AS DOUBLE) >= 0.8 * CAST(gntok AS DOUBLE)
-        |    AND CAST(gsymbols AS DOUBLE) <= 0.1 * CAST(gntok AS DOUBLE)
-        |    AND gstops >= 1
-        |), rawg AS (
-        |  SELECT doc_id, list_distinct($trigramsFromTkSql) AS grams
-        |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
-        |), bench AS (
-        |  SELECT DISTINCT gm FROM (
-        |    SELECT unnest(grams) AS gm FROM rawg WHERE doc_id % 20 = 0)
-        |), qgr AS (
-        |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok, g.grams
-        |  FROM quality q JOIN rawg g USING (doc_id)
-        |), mtc AS (
-        |  SELECT doc_id, count(*) AS n_matched FROM (
-        |    SELECT doc_id, unnest(grams) AS gm FROM qgr
-        |  ) JOIN bench USING (gm) GROUP BY doc_id
-        |), dec AS (
-        |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok
-        |  FROM qgr q LEFT JOIN mtc USING (doc_id)
-        |  WHERE q.doc_id % 20 <> 0
-        |    AND (CASE WHEN len(q.grams) = 0 THEN 0.0
-        |         ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / len(q.grams) END) < 0.2
-        |), cur0 AS (
-        |  SELECT doc_id, lang, source, n_tok,
-        |    CAST(len($toksSql) AS DOUBLE) AS sntok,
-        |    CAST(len($contentToksSql) AS DOUBLE) AS sncont,
-        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS schars
-        |  FROM dec
-        |), cur1 AS (
-        |  SELECT doc_id, lang, source, n_tok,
-        |    0.4 * least(1.0, sntok / 50.0)
-        |    + 0.3 * (1.0 - (CASE WHEN sntok = 0.0 THEN 1.0 ELSE 1.0 - sncont / sntok END))
-        |    + 0.3 * least(1.0, (CASE WHEN sntok = 0.0 THEN 0.0 ELSE schars / sntok END) / 8.0) AS score
-        |  FROM cur0
-        |), cur2 AS (
-        |  SELECT doc_id, source, n_tok,
-        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS INTEGER) AS decile
-        |  FROM cur1
-        |), cur AS (
-        |  SELECT doc_id, source, n_tok FROM cur2 WHERE ($phDoc) % 10 < decile
-        |), utc AS (
-        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM cur GROUP BY source
-        |), uc AS (
-        |  SELECT source, n_tokens,
-        |    CAST(CAST(n_tokens AS DECIMAL(20,4)) * CAST(1.4 AS DECIMAL(8,4)) AS DECIMAL(24,4)) AS cap
-        |  FROM utc
-        |), ut AS (
-        |  SELECT CAST(CAST(sum(n_tokens) AS DECIMAL(24,4)) * CAST(1.25 AS DECIMAL(8,4)) AS DECIMAL(28,4)) AS budget,
-        |    count(*) AS s FROM utc
-        |), ur AS (
-        |  SELECT uc.source, uc.n_tokens, uc.cap, ut.budget, ut.s,
-        |    CAST(row_number() OVER (ORDER BY uc.cap, uc.source) AS BIGINT) AS rk,
-        |    sum(uc.cap) OVER (ORDER BY uc.cap, uc.source ROWS UNBOUNDED PRECEDING) AS pfx
-        |  FROM uc, ut
-        |), ub AS (
-        |  SELECT *, (pfx + cap * (s - rk)) <= budget AS bound FROM ur
-        |), ul AS (
-        |  SELECT coalesce(sum(CASE WHEN bound THEN cap END), 0) AS bp,
-        |    CAST(sum(CASE WHEN bound THEN 1 ELSE 0 END) AS BIGINT) AS j FROM ub
-        |), ua AS (
-        |  SELECT source, n_tokens,
-        |    CASE WHEN bound THEN CAST(cap AS DOUBLE)
-        |         ELSE round(CAST(budget - bp AS DOUBLE) / (s - j), 6) END AS alloc_tokens
-        |  FROM ub, ul
-        |), ue AS (
-        |  SELECT source,
-        |    CASE WHEN n_tokens > 0 THEN round(alloc_tokens / n_tokens, 6) ELSE 0.0 END AS epochs
-        |  FROM ua
-        |), mix AS (
+      s"""WITH RECURSIVE qsrc AS MATERIALIZED (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |), ${curateChainCtes("", "qsrc")},
+        |mix AS (
         |  SELECT doc_id, source, n_tok, u.copy AS copy FROM (
         |    SELECT c.doc_id, c.source, c.n_tok, ue.epochs
         |    FROM cur c JOIN ue USING (source)
@@ -4475,6 +4519,166 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(7 AS INTEGER), 'shards', CAST(count(*) AS BIGINT),
         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
         |    CAST(coalesce(sum(doc_id * (shard + 1)), 0) AS BIGINT) FROM shrd
+        |) ORDER BY stage_idx""".stripMargin
+    },
+
+    // q123: the INCREMENTAL curate path replayed end to end — the full
+    // chain runs over the 99% side (doc_id%100<>7) to derive the frozen
+    // parameters exactly as the oracle-proven q122 chain does, then the
+    // 1% delta side replays runIncremental's keep-decision semantics
+    // against them: banked norms win exact, the combined-population
+    // banded chain scores only delta-touching pairs (existing docs win
+    // cross contests, delta-delta contests cluster + best-keep), frozen
+    // decile bounds grade curriculum (strictly-below count + 1), frozen
+    // epochs drive the mixture (unseen sources 1.0), identical shard
+    // routing. One accounting row per delta stage.
+    "q123_incremental_curate" -> {
+      val phCopy = ph("CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)")
+      s"""WITH RECURSIVE fsrc AS MATERIALIZED (
+        |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 100 <> 7
+        |), dsrc AS MATERIALIZED (
+        |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 100 = 7
+        |), ${curateChainCtes("f", "fsrc")},
+        |db2 AS MATERIALIZED (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+        |    $normTextSql AS norm
+        |  FROM dsrc
+        |), dexact AS MATERIALIZED (
+        |  SELECT doc_id, text, lang, source, n_tok FROM (
+        |    SELECT d.*, min(d.doc_id) OVER (PARTITION BY d.norm) AS _k
+        |    FROM db2 d LEFT JOIN (SELECT DISTINCT norm FROM fb2) b ON d.norm = b.norm
+        |    WHERE b.norm IS NULL
+        |  ) WHERE doc_id = _k
+        |), cmb AS MATERIALIZED (
+        |  SELECT doc_id, text FROM fnd UNION ALL SELECT doc_id, text FROM dexact
+        |), ct0 AS (
+        |  SELECT doc_id, $toksSql AS tk FROM cmb
+        |), ctoks AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct($bigramsFromTkSql) AS sh FROM ct0
+        |), ${minhashChainCtes("ctoks", "c")},
+        |dids AS (SELECT doc_id FROM dexact),
+        |dflag AS (
+        |  SELECT p.id_a, p.id_b,
+        |    (a.doc_id IS NOT NULL) AS ina, (b.doc_id IS NOT NULL) AS inb
+        |  FROM (SELECT id_a, id_b FROM cverified WHERE jac >= 0.5) p
+        |  LEFT JOIN dids a ON p.id_a = a.doc_id
+        |  LEFT JOIN dids b ON p.id_b = b.doc_id
+        |  WHERE a.doc_id IS NOT NULL OR b.doc_id IS NOT NULL
+        |), ddropex AS (
+        |  SELECT DISTINCT CASE WHEN ina THEN id_a ELSE id_b END AS doc_id
+        |  FROM dflag WHERE ina <> inb
+        |), ddpairs AS (SELECT id_a, id_b FROM dflag WHERE ina AND inb),
+        |de AS (
+        |  SELECT id_a AS id, id_b AS nbr FROM ddpairs
+        |  UNION
+        |  SELECT id_b AS id, id_a AS nbr FROM ddpairs
+        |), dreach(id, r) AS (
+        |  SELECT DISTINCT id, id AS r FROM de
+        |  UNION
+        |  SELECT de.id, dreach.r FROM de JOIN dreach ON de.nbr = dreach.id
+        |), dcl AS (
+        |  SELECT id, min(r) AS cluster_id FROM dreach GROUP BY id
+        |), dsurv0 AS (
+        |  SELECT x.* FROM dexact x LEFT JOIN ddropex l USING (doc_id)
+        |  WHERE l.doc_id IS NULL
+        |), dwnd AS (
+        |  SELECT dcl.cluster_id, x.doc_id,
+        |    row_number() OVER (PARTITION BY dcl.cluster_id
+        |      ORDER BY x.n_tok DESC, x.doc_id ASC) AS rk
+        |  FROM dcl JOIN dsurv0 x ON x.doc_id = dcl.id
+        |), dlosers AS (SELECT doc_id FROM dwnd WHERE rk > 1),
+        |dnd AS MATERIALIZED (
+        |  SELECT x.doc_id, x.text, x.lang, x.source, x.n_tok
+        |  FROM dsurv0 x LEFT JOIN dlosers l USING (doc_id)
+        |  WHERE l.doc_id IS NULL
+        |), dgsig AS (
+        |  SELECT doc_id, text, lang, source, n_tok,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS BIGINT) AS gntok,
+        |    CAST(list_aggregate(list_transform(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0), t -> length(t)), 'sum') AS BIGINT) AS gchars,
+        |    CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS galpha,
+        |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS gsymbols,
+        |    CAST(len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), $gopherStopSql)) AS BIGINT) AS gstops
+        |  FROM dnd
+        |), dquality AS (
+        |  SELECT doc_id, text, lang, source, n_tok FROM dgsig
+        |  WHERE gntok >= 5 AND gntok <= 100000
+        |    AND gntok > 0 AND CAST(gchars AS DOUBLE) / gntok >= 3.0
+        |    AND CAST(gchars AS DOUBLE) / gntok <= 10.0
+        |    AND CAST(galpha AS DOUBLE) >= 0.8 * CAST(gntok AS DOUBLE)
+        |    AND CAST(gsymbols AS DOUBLE) <= 0.1 * CAST(gntok AS DOUBLE)
+        |    AND gstops >= 1
+        |), drawg AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct($trigramsFromTkSql) AS grams
+        |  FROM (SELECT doc_id, $toksSql AS tk FROM dsrc)
+        |), dbench AS (
+        |  SELECT DISTINCT gm FROM (
+        |    SELECT unnest(grams) AS gm FROM drawg WHERE doc_id % 20 = 0)
+        |), allbench AS MATERIALIZED (
+        |  SELECT gm FROM fbench UNION SELECT gm FROM dbench
+        |), dqgr AS (
+        |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok, g.grams
+        |  FROM dquality q JOIN drawg g USING (doc_id)
+        |), dmtc AS (
+        |  SELECT doc_id, count(*) AS n_matched FROM (
+        |    SELECT doc_id, unnest(grams) AS gm FROM dqgr
+        |  ) JOIN allbench USING (gm) GROUP BY doc_id
+        |), ddec AS MATERIALIZED (
+        |  SELECT q.doc_id, q.text, q.lang, q.source, q.n_tok
+        |  FROM dqgr q LEFT JOIN dmtc USING (doc_id)
+        |  WHERE q.doc_id % 20 <> 0
+        |    AND (CASE WHEN len(q.grams) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / len(q.grams) END) < 0.2
+        |), fbounds AS (
+        |  SELECT lang, max(score) AS hi FROM fcur2 WHERE decile < 10
+        |  GROUP BY lang, decile
+        |), dscore AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
+        |    + 0.3 * (1.0 - (CASE WHEN len($toksSql) = 0 THEN 1.0
+        |        ELSE 1.0 - CAST(len($contentToksSql) AS DOUBLE) / len($toksSql) END))
+        |    + 0.3 * least(1.0, (CASE WHEN len($toksSql) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($toksSql) END) / 8.0) AS score
+        |  FROM ddec
+        |), dcnt AS (
+        |  SELECT s.doc_id, s.source, s.n_tok, 1 + count(b.hi) AS decile
+        |  FROM dscore s LEFT JOIN fbounds b ON b.lang = s.lang AND b.hi < s.score
+        |  GROUP BY s.doc_id, s.source, s.n_tok
+        |), dcur AS MATERIALIZED (
+        |  SELECT doc_id, source, n_tok FROM dcnt
+        |  WHERE (${ph("CAST(doc_id AS VARCHAR)")}) % 10 < decile
+        |), dmix AS (
+        |  SELECT doc_id, source, n_tok, u.copy AS copy FROM (
+        |    SELECT c.doc_id, c.source, c.n_tok, coalesce(ue.epochs, 1.0) AS epochs
+        |    FROM dcur c LEFT JOIN fue ue USING (source)
+        |  ) x, UNNEST(range(1, GREATEST(CAST(ceil(x.epochs) AS BIGINT), 1) + 1)) AS u(copy)
+        |  WHERE u.copy <= floor(x.epochs)
+        |     OR CAST(($phCopy) % 1000003 AS DOUBLE) / 1000003.0 < x.epochs - floor(x.epochs)
+        |), dshrd AS (
+        |  SELECT doc_id, n_tok,
+        |    ((((doc_id * 37 + copy) % 2147483648) * 2654435761) % 4294967296) % 16 AS shard
+        |  FROM dmix
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM db2
+        |  UNION ALL SELECT CAST(1 AS INTEGER), 'exact', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM dexact
+        |  UNION ALL SELECT CAST(2 AS INTEGER), 'neardup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM dnd
+        |  UNION ALL SELECT CAST(3 AS INTEGER), 'quality', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM dquality
+        |  UNION ALL SELECT CAST(4 AS INTEGER), 'decontam', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM ddec
+        |  UNION ALL SELECT CAST(5 AS INTEGER), 'curriculum', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM dcur
+        |  UNION ALL SELECT CAST(6 AS INTEGER), 'mixture', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM dmix
+        |  UNION ALL SELECT CAST(7 AS INTEGER), 'shards', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id * (shard + 1)), 0) AS BIGINT) FROM dshrd
         |) ORDER BY stage_idx""".stripMargin
     },
 

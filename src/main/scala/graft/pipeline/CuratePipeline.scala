@@ -282,26 +282,87 @@ object CuratePipeline {
     * die again at their original stage. */
   def runIncremental(spark: SparkSession, deltaDocs: DataFrame, base: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val frozen = FrozenParams(
+      bankedNorms = Layout.loadLatest(spark, base, "curated/exact")
+        .select(TF.normalizeWs(col("text")).as("_norm")).distinct(),
+      index = Layout.loadLatest(spark, base, Frozen.NearDupIndex).drop("batch"),
+      benchGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams),
+      bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds),
+      alloc = Layout.loadLatest(spark, base, Frozen.UnimaxAlloc))
+    val st = incrementalStages(deltaDocs, frozen, cfg)
+    val frames = st.toMap
+    val (raw, neardupDelta, shardDelta) =
+      (frames("raw"), frames("neardup"), frames("shards").localCheckpoint(false))
+
+    // shards: identical routing, MERGE only the touched partitions
+    if (!shardDelta.isEmpty)
+      Merge.merge(spark, base, "curated/shards", shardDelta,
+        Seq("doc_id", "copy"), "shard_key")
+
+    // bank the kept delta's signatures as ONE new index partition
+    val batchNo = Layout
+      .committedVersions(spark, base, Frozen.NearDupIndex).last + 1
+    val newIdx = Dedup.nearDupIndex(neardupDelta, "doc_id", col("text"),
+      cfg.shingleWords, cfg.minhashK)
+      .withColumn("batch", format_string("b%04d", lit(batchNo)))
+    if (!newIdx.isEmpty)
+      Merge.merge(spark, base, Frozen.NearDupIndex, newIdx,
+        Seq("doc_id"), "batch")
+    // bank this batch's benchmark grams for future batches
+    val batchBenchGrams = benchGramSet(withTok(deltaDocs), cfg)
+    if (!batchBenchGrams.isEmpty)
+      Layout.writeVersioned(
+        frozen.benchGrams.unionByName(batchBenchGrams).distinct(),
+        base, Frozen.BenchGrams)
+
+    accounting(st.map { case (n, df) => (n, if (n == "shards") shardDelta else df) })
+  }
+
+  /** The frozen corpus-fitted parameters the incremental path applies —
+    * [[runIncremental]] loads them from the [[Frozen]] layers;
+    * [[frozenFromStages]] derives them lazily from a full run's stage
+    * frames (the q123 oracle path, no IO). */
+  final case class FrozenParams(bankedNorms: DataFrame, index: DataFrame,
+      benchGrams: DataFrame, bounds: DataFrame, alloc: DataFrame)
+
+  /** Derive [[FrozenParams]] from a full run's lazy stage frames (as
+    * returned by [[stages]]) — the pure twin of what [[run]] persists. */
+  def frozenFromStages(stageFrames: Seq[(String, DataFrame)],
+      cfg: CurateConfig): FrozenParams = {
+    val f = stageFrames.toMap
+    FrozenParams(
+      bankedNorms = f("exact")
+        .select(TF.normalizeWs(col("text")).as("_norm")).distinct(),
+      index = Dedup.nearDupIndex(f("neardup").localCheckpoint(false), "doc_id",
+        col("text"), cfg.shingleWords, cfg.minhashK),
+      benchGrams = benchGramSet(f("raw"), cfg),
+      bounds = curriculumBounds(f("decontam").localCheckpoint(false)),
+      alloc = Corpus.unimaxAllocation(f("curriculum").localCheckpoint(false),
+        col("source"), col("n_tok"), cfg.budgetFrac, cfg.maxEpochs)
+        .select("source", "epochs"))
+  }
+
+  /** The incremental keep-decision chain as pure lazy frames — the core
+    * [[runIncremental]] materializes and the q123 oracle replays. Same
+    * stage names and schemas as [[stages]]. */
+  def incrementalStages(deltaDocs: DataFrame, frozen: FrozenParams,
+      cfg: CurateConfig = CurateConfig()): Seq[(String, DataFrame)] = {
     val raw = withTok(deltaDocs)
 
     // exact vs banked norms + within-batch
-    val banked = Layout.loadLatest(spark, base, "curated/exact")
-      .select(TF.normalizeWs(col("text")).as("_norm")).distinct()
     val keyed = raw.withColumn("_norm", TF.normalizeWs(col("text")))
-      .join(banked, Seq("_norm"), "left_anti")
+      .join(frozen.bankedNorms, Seq("_norm"), "left_anti")
     val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi").drop("_norm")
       .localCheckpoint(false)
 
-    // neardup vs banked index + within-batch best-keep
-    val index = Layout.loadLatest(spark, base, Frozen.NearDupIndex)
-      .drop("batch")
+    // neardup vs banked index + within-batch best-keep.
     // incrementalNearDups' contract: delta ids disjoint from the index's
-    require(exactDelta.join(index.select("doc_id"), Seq("doc_id"), "left_semi")
+    require(exactDelta.join(frozen.index.select("doc_id"), Seq("doc_id"), "left_semi")
       .limit(1).isEmpty,
       "delta doc_ids must be disjoint from the banked corpus")
-    val pairs = Dedup.incrementalNearDups(index, exactDelta, "doc_id",
+    val pairs = Dedup.incrementalNearDups(frozen.index, exactDelta, "doc_id",
       col("text"), cfg.shingleWords, cfg.minhashK, cfg.bands, cfg.threshold,
       cfg.maxBucket)
     val ma = exactDelta.select(col("doc_id").as("id_a"), lit(true).as("_a"))
@@ -325,9 +386,7 @@ object CuratePipeline {
 
     // decontam vs banked grams ∪ this batch's benchmark members
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    val bankedGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams)
-    val batchBenchGrams = benchGramSet(raw, cfg)
-    val allBench = bankedGrams.unionByName(batchBenchGrams).distinct()
+    val allBench = frozen.benchGrams.unionByName(benchGramSet(raw, cfg)).distinct()
     def grams = array_distinct(
       TF.wordShinglesOfTokens(TF.tokens(col("text")), cfg.contamN))
     val withGrams = qualityDelta.withColumn("_grams", grams)
@@ -343,7 +402,7 @@ object CuratePipeline {
       .drop("_grams", "_n_grams", "_m")
 
     // curriculum against the frozen bounds
-    val bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds)
+    val bounds = frozen.bounds
       .filter(col("decile") < 10)
       .groupBy("lang").agg(sort_array(collect_list(col("hi"))).as("_bs"))
     val curriculumDelta = decontamDelta
@@ -356,8 +415,7 @@ object CuratePipeline {
       .drop("_score", "_bs", "_decile")
 
     // mixture with the frozen epochs (unseen sources: 1.0)
-    val alloc = Layout.loadLatest(spark, base, Frozen.UnimaxAlloc)
-      .select(col("source"), col("epochs").as("_e"))
+    val alloc = frozen.alloc.select(col("source"), col("epochs").as("_e"))
     val mixtureDelta = curriculumDelta.join(broadcast(alloc), Seq("source"), "left")
       .withColumn("_e", coalesce(col("_e"), lit(1.0)))
       .withColumn("copy", explode(sequence(lit(1), greatest(
@@ -368,28 +426,9 @@ object CuratePipeline {
           < col("_e") - floor(col("_e")))
       .drop("_e")
 
-    // shards: identical routing, MERGE only the touched partitions
-    val shardDelta = shardStage(mixtureDelta, cfg).localCheckpoint(false)
-    if (!shardDelta.isEmpty)
-      Merge.merge(spark, base, "curated/shards", shardDelta,
-        Seq("doc_id", "copy"), "shard_key")
-
-    // bank the kept delta's signatures as ONE new index partition
-    val batchNo = graft.ingest.Layout
-      .committedVersions(spark, base, Frozen.NearDupIndex).last + 1
-    val newIdx = Dedup.nearDupIndex(neardupDelta, "doc_id", col("text"),
-      cfg.shingleWords, cfg.minhashK)
-      .withColumn("batch", format_string("b%04d", lit(batchNo)))
-    if (!newIdx.isEmpty)
-      Merge.merge(spark, base, Frozen.NearDupIndex, newIdx,
-        Seq("doc_id"), "batch")
-    // bank this batch's benchmark grams for future batches
-    if (!batchBenchGrams.isEmpty)
-      Layout.writeVersioned(allBench, base, Frozen.BenchGrams)
-
-    accounting(Seq("raw" -> raw, "exact" -> exactDelta,
-      "neardup" -> neardupDelta, "quality" -> qualityDelta,
-      "decontam" -> decontamDelta, "curriculum" -> curriculumDelta,
-      "mixture" -> mixtureDelta, "shards" -> shardDelta))
+    Seq("raw" -> raw, "exact" -> exactDelta, "neardup" -> neardupDelta,
+      "quality" -> qualityDelta, "decontam" -> decontamDelta,
+      "curriculum" -> curriculumDelta, "mixture" -> mixtureDelta,
+      "shards" -> shardStage(mixtureDelta, cfg))
   }
 }

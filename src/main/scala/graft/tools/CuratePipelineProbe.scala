@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic: delta-vs-full cost of the composed curate
+  * pipeline (X129/X130) at a ladder scale factor — the end-to-end form
+  * of IncrementalDedupProbe. Full run on 99% of the corpus, then the
+  * held-out 1% as an incremental batch through the persisted index +
+  * frozen parameters + MERGE. Usage:
+  *   runMain graft.tools.CuratePipelineProbe [sfDir]
+  */
+object CuratePipelineProbe {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val spark = graft.GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_curate_probe").toString
+      val docs = graft.Tables.documentsSpread(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val full = docs.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+      val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+
+      val t0 = System.nanoTime()
+      val accFull = graft.pipeline.CuratePipeline.run(spark, full, base)
+        .collect()
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val accDelta = graft.pipeline.CuratePipeline.runIncremental(spark, delta, base)
+        .collect()
+      val deltaSec = (System.nanoTime() - t1) / 1e9
+
+      def row(rs: Array[org.apache.spark.sql.Row], stage: String): Long =
+        rs.find(_.getAs[String]("stage") == stage).map(_.getAs[Long]("n_docs")).getOrElse(-1L)
+      println(f"PROBE curate full : ${fullSec}%.1f s  " +
+        f"raw=${row(accFull, "raw")} shards=${row(accFull, "shards")}")
+      println(f"PROBE curate delta: ${deltaSec}%.1f s  " +
+        f"raw=${row(accDelta, "raw")} shards=${row(accDelta, "shards")}  " +
+        f"ratio=${fullSec / deltaSec}%.1f x")
+      // per-stage accounting for the SCALE.md table
+      accFull.foreach(r => println(s"FULL  ${r.mkString(" ")}"))
+      accDelta.foreach(r => println(s"DELTA ${r.mkString(" ")}"))
+    } finally spark.stop()
+  }
+}
