@@ -4547,8 +4547,11 @@ object SparkEntry {
         |), dexact AS MATERIALIZED (
         |  SELECT doc_id, text, lang, source, n_tok FROM (
         |    SELECT d.*, min(d.doc_id) OVER (PARTITION BY d.norm) AS _k
-        |    FROM db2 d LEFT JOIN (SELECT DISTINCT norm FROM fb2) b ON d.norm = b.norm
-        |    WHERE b.norm IS NULL
+        |    FROM db2 d LEFT JOIN (
+        |      SELECT DISTINCT (${ph("norm")}) * 2147483648
+        |        + (${ph("'x' || norm")}) AS fp FROM fb2) b
+        |      ON (${ph("d.norm")}) * 2147483648 + (${ph("'x' || d.norm")}) = b.fp
+        |    WHERE b.fp IS NULL
         |  ) WHERE doc_id = _k
         |), cmb AS MATERIALIZED (
         |  SELECT doc_id, text FROM fnd UNION ALL SELECT doc_id, text FROM dexact

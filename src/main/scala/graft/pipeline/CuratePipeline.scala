@@ -175,11 +175,23 @@ object CuratePipeline {
     * benchmark gram set, the per-(lang, decile) curriculum score bounds,
     * and the UniMax per-source epoch allocation. */
   object Frozen {
+    val NormBank = "curated/norm_bank"
     val NearDupIndex = "curated/neardup_index"
     val BenchGrams = "curated/bench_grams"
     val CurriculumBounds = "curated/curriculum_bounds"
     val UnimaxAlloc = "curated/unimax_alloc"
   }
+
+  /** ~60-bit cross-engine-replayable fingerprint of a normalized text —
+    * the q120-documented escalation made real: the incremental exact
+    * stage anti-joins 8-byte keys against the banked corpus instead of
+    * shuffling full text (two independent poly-hashes packed into one
+    * long; collision odds ~n²/2⁶¹ — a false drop needs both 30-bit
+    * hashes of two DIFFERENT norms to collide). Both factors are plain
+    * string poly-hashes, so the q123 oracle replays the key exactly. */
+  private[pipeline] def normFp(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Hashes.polyHash(norm) * lit(2147483648L) +
+      Hashes.polyHash(concat(lit("x"), norm))
 
   private def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
     raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0)
@@ -221,6 +233,11 @@ object CuratePipeline {
     val frames = materialized.result().toMap
     // frozen parameters for the incremental path
     Layout.writeVersioned(
+      frames("exact")
+        .select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")).distinct()
+        .withColumn("batch", lit("b0000")),
+      base, Frozen.NormBank, partitionCols = Seq("batch"))
+    Layout.writeVersioned(
       Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
         cfg.shingleWords, cfg.minhashK).withColumn("batch", lit("b0000")),
       base, Frozen.NearDupIndex, partitionCols = Seq("batch"))
@@ -244,12 +261,14 @@ object CuratePipeline {
     * last full run — the standard production contract (parameters refit
     * on the next full run):
     *
-    *  - exact: a delta doc whose normalized text matches ANY banked
-    *    exact-survivor norm is dropped (a match against a previously
-    *    DROPPED doc normalizes to its kept representative's norm, so
-    *    survivor norms suffice); within-batch groups keep min id. At
-    *    100 TB the norm anti-join rides the q26 fingerprint instead of
-    *    the full text, the q120-documented escalation.
+    *  - exact: a delta doc whose normalized-text FINGERPRINT matches the
+    *    banked [[Frozen.NormBank]] (8-byte [[normFp]] keys — the
+    *    q120-documented escalation: the bank side never shuffles text; a
+    *    match against a previously DROPPED doc lands on its kept
+    *    representative's norm, so survivor norms suffice) is dropped;
+    *    within-batch groups keep min id. Kept fps MERGE into the bank as
+    *    one new batch partition. Production buckets the bank by fp so
+    *    the delta probe prunes to matching buckets.
     *  - neardup: [[Dedup.incrementalNearDups]] against the banked
     *    signature index — only delta-touching pairs are scored (never
     *    index×index). Existing docs WIN every delta-vs-existing contest
@@ -275,16 +294,16 @@ object CuratePipeline {
     *    a real table format would append a file to it).
     *
     * Returns the delta's per-stage accounting (same shape as [[run]]'s,
-    * stage "raw" = the delta input). Ingestion is exactly-once by id:
-    * re-submitting a batch whose kept docs are already banked trips the
-    * id-disjointness guard (the J5 contract — dedup batch ids upstream
-    * with the X105-style anti-join); resubmitted docs that were DROPPED
-    * die again at their original stage. */
+    * stage "raw" = the delta input). Re-submitting an already-curated
+    * batch is IDEMPOTENT: every doc's norm fingerprint is banked, so the
+    * whole batch dies at the exact stage. A banked doc_id arriving with
+    * genuinely NEW text instead trips the id-disjointness guard (the J5
+    * contract — ids are immutable once banked). */
   def runIncremental(spark: SparkSession, deltaDocs: DataFrame, base: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
     val frozen = FrozenParams(
-      bankedNorms = Layout.loadLatest(spark, base, "curated/exact")
-        .select(TF.normalizeWs(col("text")).as("_norm")).distinct(),
+      bankedNorms = Layout.loadLatest(spark, base, Frozen.NormBank)
+        .select(col("norm_fp")),
       index = Layout.loadLatest(spark, base, Frozen.NearDupIndex).drop("batch"),
       benchGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams),
       bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds),
@@ -308,6 +327,15 @@ object CuratePipeline {
     if (!newIdx.isEmpty)
       Merge.merge(spark, base, Frozen.NearDupIndex, newIdx,
         Seq("doc_id"), "batch")
+    // bank the kept delta norms' fingerprints as one new partition
+    val normBatchNo = Layout
+      .committedVersions(spark, base, Frozen.NormBank).last + 1
+    val newNorms = frames("exact")
+      .select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")).distinct()
+      .withColumn("batch", format_string("b%04d", lit(normBatchNo)))
+    if (!newNorms.isEmpty)
+      Merge.merge(spark, base, Frozen.NormBank, newNorms,
+        Seq("norm_fp"), "batch")
     // bank this batch's benchmark grams for future batches
     val batchBenchGrams = benchGramSet(withTok(deltaDocs), cfg)
     if (!batchBenchGrams.isEmpty)
@@ -332,7 +360,7 @@ object CuratePipeline {
     val f = stageFrames.toMap
     FrozenParams(
       bankedNorms = f("exact")
-        .select(TF.normalizeWs(col("text")).as("_norm")).distinct(),
+        .select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")).distinct(),
       index = Dedup.nearDupIndex(f("neardup").localCheckpoint(false), "doc_id",
         col("text"), cfg.shingleWords, cfg.minhashK),
       benchGrams = benchGramSet(f("raw"), cfg),
@@ -349,12 +377,14 @@ object CuratePipeline {
       cfg: CurateConfig = CurateConfig()): Seq[(String, DataFrame)] = {
     val raw = withTok(deltaDocs)
 
-    // exact vs banked norms + within-batch
+    // exact vs the banked 8-byte norm fingerprints + within-batch
     val keyed = raw.withColumn("_norm", TF.normalizeWs(col("text")))
-      .join(frozen.bankedNorms, Seq("_norm"), "left_anti")
+      .withColumn("norm_fp", normFp(col("_norm")))
+      .join(frozen.bankedNorms, Seq("norm_fp"), "left_anti")
     val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi").drop("_norm")
+    val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi")
+      .drop("_norm", "norm_fp")
       .localCheckpoint(false)
 
     // neardup vs banked index + within-batch best-keep.

@@ -107,10 +107,27 @@ class CurateIncrementalSpec extends AnyFunSuite {
       s"every detected banked near-dup must be dropped (detected=$detected)")
   }
 
-  test("resubmitting a batch with already-banked ids trips the disjointness guard") {
+  test("resubmitting the same batch is idempotent: every doc dies at exact") {
+    val acc2 = CuratePipeline.runIncremental(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3), base)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(acc2("raw") == 50L)
+    CuratePipeline.StageNames.drop(1).foreach { s =>
+      assert(acc2(s) == 0L, s"resubmitted batch leaked ${acc2(s)} docs into $s")
+    }
+  }
+
+  test("a banked doc_id arriving with NEW text trips the disjointness guard") {
+    val bankedId = Layout.loadLatest(spark, base, "curated/neardup")
+      .select("doc_id").orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    val collider = spark.range(1).select(
+      lit(bankedId).as("doc_id"),
+      lit("entirely fresh collider text that matches nothing banked at all")
+        .as("text"),
+      lit("en").as("lang"), lit("srcX").as("source"))
     val e = intercept[IllegalArgumentException] {
-      CuratePipeline.runIncremental(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) === 3), base)
+      CuratePipeline.runIncremental(spark, collider, base)
     }
     assert(e.getMessage.contains("disjoint"))
   }
