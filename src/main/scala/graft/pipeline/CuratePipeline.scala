@@ -111,12 +111,14 @@ object CuratePipeline {
     * apply form of [[Corpus.decontaminationStats]]/q57's counting. */
   private def decontamStage(raw: DataFrame, prev: DataFrame,
       cfg: CurateConfig): DataFrame = {
-    def grams = array_distinct(
-      TF.wordShinglesOfTokens(TF.tokens(col("text")), cfg.contamN))
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    val benchGrams = raw.filter(isBench).select(explode(grams).as("g")).distinct()
-    val withGrams = prev.withColumn("_grams", grams)
-      .withColumn("_n_grams", size(col("_grams")))
+    // checkpoint BOTH gram frames: the explode below makes Catalyst
+    // infer a size(grams)>0 filter and push it through the projections,
+    // re-inlining the whole shingle chain (split inside the slice
+    // lambda — O(tokens²) per doc) into every predicate; the barrier
+    // keeps the grams computed exactly once (7.5 s → 0.9 s at sf0.1)
+    val benchGrams = benchGramSet(raw, cfg).localCheckpoint(true)
+    val withGrams = withGrams_(prev, cfg).localCheckpoint(true)
     val matched = withGrams.select(col("doc_id"), explode(col("_grams")).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("_m"))
@@ -141,14 +143,27 @@ object CuratePipeline {
         * 2654435761L, lit(4294967296L)), lit(cfg.nShards.toLong)).cast("int"))
       .withColumn("shard_key", format_string("s%03d", col("shard")))
 
-  /** The lazily-composed stage frames, raw first. Each frame carries the
+  /** The composed stage frames, raw first. Each frame carries the
     * documents schema plus `n_tok`; mixture adds `copy`, shards adds
-    * `shard`. */
-  def stages(docs: DataFrame,
-      cfg: CurateConfig = CurateConfig()): Seq[(String, DataFrame)] = {
+    * `shard`/`shard_key`. With `materialize` (default) every stage is a
+    * lazy localCheckpoint, so a consumer that evaluates several stages
+    * (q122's 8 accounting rows, q123's frozen parameters) computes each
+    * stage ONCE instead of re-deriving the whole prefix chain per
+    * action — the in-memory analog of [[run]]'s write/read-back
+    * boundaries (q122 at sf0.1: 16.6 s → one chain pass). Pass
+    * `materialize = false` to keep the raw composed plan (the
+    * PlanAssertSpec pin inspects that form). */
+  def stages(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+      materialize: Boolean = true): Seq[(String, DataFrame)] = {
     val raw = withTok(docs)
     transitions(cfg).scanLeft(("raw", raw)) {
-      case ((_, prev), (name, f)) => (name, f(raw, prev))
+      case ((_, prev), (name, f)) =>
+        val out = f(raw, prev)
+        // EAGER checkpoint: a lazy one would not be materialized when the
+        // 8-agg accounting union is PLANNED, so that single query would
+        // inline the full lineage of every stage (measured 41-60 s at
+        // sf0.1 vs ~1 s materialized stage-by-stage)
+        (name, if (materialize) out.localCheckpoint(true) else out)
     }
   }
 
@@ -193,10 +208,21 @@ object CuratePipeline {
     Hashes.polyHash(norm) * lit(2147483648L) +
       Hashes.polyHash(concat(lit("x"), norm))
 
+  /** Materialize the token array in its own column BEFORE shingling —
+    * passing the raw `tokens(text)` expression into the shingle lambda
+    * makes Catalyst re-run the split once per shingle (O(tokens²) per
+    * doc; the decontam stage measured 10.7 s of q122's 16 s at sf0.1
+    * before this, 0.4 s after). */
+  private def withGrams_(frame: DataFrame, cfg: CurateConfig): DataFrame =
+    frame.withColumn("_tk", TF.tokens(col("text")))
+      .withColumn("_grams",
+        array_distinct(TF.wordShinglesOfTokens(col("_tk"), cfg.contamN)))
+      .withColumn("_n_grams", size(col("_grams")))
+      .drop("_tk")
+
   private def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
-    raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0)
-      .select(explode(array_distinct(
-        TF.wordShinglesOfTokens(TF.tokens(col("text")), cfg.contamN))).as("g"))
+    withGrams_(raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0), cfg)
+      .select(explode(col("_grams")).as("g"))
       .distinct()
 
   /** Per-(lang, decile) upper score bound of the full run's curriculum
@@ -385,7 +411,7 @@ object CuratePipeline {
       .select("doc_id")
     val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi")
       .drop("_norm", "norm_fp")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     // neardup vs banked index + within-batch best-keep.
     // incrementalNearDups' contract: delta ids disjoint from the index's
@@ -400,7 +426,7 @@ object CuratePipeline {
     val flagged = pairs.join(ma, Seq("id_a"), "left").join(mb, Seq("id_b"), "left")
       .withColumn("_a", coalesce(col("_a"), lit(false)))
       .withColumn("_b", coalesce(col("_b"), lit(false)))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val dropVsExisting = flagged.filter(col("_a") =!= col("_b"))
       .select(when(col("_a"), col("id_a")).otherwise(col("id_b")).as("doc_id"))
       .distinct()
@@ -408,7 +434,7 @@ object CuratePipeline {
       .select("id_a", "id_b", "jac")
     val neardupDelta = Dedup.dedupByClusterBest(
       exactDelta.join(dropVsExisting, Seq("doc_id"), "left_anti"),
-      "doc_id", deltaPairs, col("n_tok")).localCheckpoint(false)
+      "doc_id", deltaPairs, col("n_tok")).localCheckpoint(true)
 
     // quality gate (map-only, identical rule)
     val qualityDelta = neardupDelta.filter(TextAnalysis.gopherRulePass(
@@ -416,11 +442,10 @@ object CuratePipeline {
 
     // decontam vs banked grams ∪ this batch's benchmark members
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    val allBench = frozen.benchGrams.unionByName(benchGramSet(raw, cfg)).distinct()
-    def grams = array_distinct(
-      TF.wordShinglesOfTokens(TF.tokens(col("text")), cfg.contamN))
-    val withGrams = qualityDelta.withColumn("_grams", grams)
-      .withColumn("_n_grams", size(col("_grams")))
+    // same explode-pushdown barrier as the batch decontam stage
+    val allBench = frozen.benchGrams.unionByName(benchGramSet(raw, cfg))
+      .distinct().localCheckpoint(true)
+    val withGrams = withGrams_(qualityDelta, cfg).localCheckpoint(true)
     val matched = withGrams.select(col("doc_id"), explode(col("_grams")).as("g"))
       .join(broadcast(allBench), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("_m"))
@@ -456,9 +481,14 @@ object CuratePipeline {
           < col("_e") - floor(col("_e")))
       .drop("_e")
 
+    // tail stages checkpoint lazily for the same reason as [[stages]]:
+    // the 8 accounting aggregates must not re-derive the gram joins and
+    // window passes once per row
     Seq("raw" -> raw, "exact" -> exactDelta, "neardup" -> neardupDelta,
-      "quality" -> qualityDelta, "decontam" -> decontamDelta,
-      "curriculum" -> curriculumDelta, "mixture" -> mixtureDelta,
-      "shards" -> shardStage(mixtureDelta, cfg))
+      "quality" -> qualityDelta.localCheckpoint(true),
+      "decontam" -> decontamDelta.localCheckpoint(true),
+      "curriculum" -> curriculumDelta.localCheckpoint(true),
+      "mixture" -> mixtureDelta.localCheckpoint(true),
+      "shards" -> shardStage(mixtureDelta, cfg).localCheckpoint(true))
   }
 }

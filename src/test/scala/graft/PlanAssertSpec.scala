@@ -578,7 +578,15 @@ class PlanAssertSpec extends AnyFunSuite {
   }
 
   test("q122 curate pipeline: no cartesian anywhere in the composed chain") {
-    val plan = planOf("q122_curate_pipeline")
+    // inspect the UNmaterialized composition (the query itself runs with
+    // per-stage checkpoints, which would hide upstream operators from
+    // the final frame's executedPlan)
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val plan = graft.pipeline.CuratePipeline.accounting(
+      graft.pipeline.CuratePipeline.stages(raw,
+        graft.pipeline.CurateConfig(), materialize = false))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"the composed chain must never form an unkeyed pair join:\n${plan.take(4000)}")
     // the benchmark gram set and the per-source UniMax allocation ride as
