@@ -742,10 +742,14 @@ object Bench {
     var stealRetries = 0
     val canaryGateMs = sys.env.get("SPARK_GRAFT_CANARY_MAX_MS").map(_.toDouble)
     def gatedPhase(name: String): Option[String] = {
-      // keep the MINIMUM-steal attempt, not the last: on a box where
-      // contention comes in waves, attempt 2 can be clean and attempt 3
-      // polluted again — the record should carry the cleanest measurement
-      // it managed, with its own steal and canary numbers beside it
+      // keep the best attempt, not the last: on a box where contention
+      // comes in waves, attempt 2 can be clean and attempt 3 polluted
+      // again — the record should carry the cleanest measurement it
+      // managed, with its own steal and canary numbers beside it.
+      // "Best" orders by (canary-polluted, steal): with the canary gate
+      // set, a canary-CLEAN attempt always beats a canary-polluted one
+      // even at marginally higher steal — otherwise the gate could
+      // commit the very measurement it declared polluted and retried
       var best: Option[(Double, Double, String)] = None // (steal, canary, json)
       var attempt = 1
       var done = false
@@ -756,8 +760,11 @@ object Bench {
         val result = forkPhase(name)
         val wall = (System.nanoTime() - t0) / 1e9
         val steal = (stealJiffies() - s0) / 100.0
+        def key(st: Double, ca: Double): (Boolean, Double) =
+          (canaryGateMs.exists(ca > _), st)
         result.foreach { j =>
-          if (best.forall(_._1 > steal)) best = Some((steal, canary, j))
+          if (best.forall(b => Ordering[(Boolean, Double)]
+            .gt(key(b._1, b._2), key(steal, canary)))) best = Some((steal, canary, j))
         }
         val polluted = steal > math.max(2.0, 0.05 * wall) ||
           canaryGateMs.exists(canary > _)

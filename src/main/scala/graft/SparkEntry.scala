@@ -1405,10 +1405,15 @@ object SparkEntry {
   def incrementalCurateQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSpread(spark, dir).select(
       col("doc_id"), col("text"), col("lang"), col("source"))
-    val cfg = graft.pipeline.CurateConfig()
+    // bankNormFp: the full side's exact stage carries its 8-byte
+    // fingerprints, so the banked-norms derivation is a column select
+    val cfg = graft.pipeline.CurateConfig(bankNormFp = true)
+    // the frozen derivation needs nothing past curriculum — upTo skips
+    // materializing the full side's mixture and shards entirely
     val frozen = graft.pipeline.CuratePipeline.frozenFromStages(
-      graft.pipeline.CuratePipeline.stages(
-        docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), cfg), cfg)
+      graft.pipeline.CuratePipeline.stagesSelective(
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), cfg,
+        graft.pipeline.CuratePipeline.DefaultBarriers, upTo = "curriculum"), cfg)
     graft.pipeline.CuratePipeline.accounting(
       graft.pipeline.CuratePipeline.incrementalStages(
         docs.filter(pmod(col("doc_id"), lit(100)) === 7), frozen, cfg))
@@ -1928,6 +1933,7 @@ object SparkEntry {
   private val contentToksSql = s"list_filter($toksSql, u -> u NOT IN $stopwordsSqlList)"
   private val normTextSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private def ph(e: String): String = Hashes.polyHashSql(e)
+  private def ph2(e: String): String = Hashes.polyHash2Sql(e)
 
   /** q19 oracle: the full MinHash pipeline replayed in SQL (same affine
     * slot-hash family as [[Dedup.affineA]]/[[Dedup.affineB]], same k=12
@@ -4549,8 +4555,8 @@ object SparkEntry {
         |    SELECT d.*, min(d.doc_id) OVER (PARTITION BY d.norm) AS _k
         |    FROM db2 d LEFT JOIN (
         |      SELECT DISTINCT (${ph("norm")}) * 2147483648
-        |        + (${ph("'x' || norm")}) AS fp FROM fb2) b
-        |      ON (${ph("d.norm")}) * 2147483648 + (${ph("'x' || d.norm")}) = b.fp
+        |        + (${ph2("norm")}) AS fp FROM fb2) b
+        |      ON (${ph("d.norm")}) * 2147483648 + (${ph2("d.norm")}) = b.fp
         |    WHERE b.fp IS NULL
         |  ) WHERE doc_id = _k
         |), cmb AS MATERIALIZED (

@@ -19,6 +19,17 @@ object Hashes {
   val PolyMod: Long = 1000000007L
   val PolyMul: Long = 131L
 
+  /** Second, INDEPENDENT poly-hash family for two-factor fingerprints
+    * ([[graft.pipeline.CuratePipeline]]'s normFp). Different multiplier
+    * AND different prime modulus, so a collision in the [[polyHash]]
+    * factor says nothing about this one — the earlier
+    * `polyHash(concat("x", s))` variant was affinely related to
+    * `polyHash(s)` for equal-length inputs (h("x"+s) = (h("x")·131^len(s)
+    * + h(s)) mod p), collapsing the pack's effective entropy to ~30 bits
+    * per length class. */
+  val PolyMod2: Long = 998244353L
+  val PolyMul2: Long = 137L
+
   /** Second-level multiplier folding TOKEN hashes into positional k-gram
     * hashes (rolling-window chain, [[graft.expressions.HashKernels.gramChain]]).
     * Distinct from [[PolyMul]] so a k-gram of single-char tokens can't
@@ -34,6 +45,14 @@ object Hashes {
       lit(0L),
       (acc, c) => (acc * PolyMul + c) % PolyMod)
 
+  /** The independent second factor: acc = (acc * 137 + code) % 998244353.
+    * Same fold shape as [[polyHash]], different multiplier and modulus. */
+  def polyHash2(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => length(c) > 0), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * PolyMul2 + c) % PolyMod2)
+
   /** SQL (DuckDB) rendering of [[polyHash]] over an arbitrary expression —
     * the single source of truth for oracle parity. */
   def polyHashSql(e: String): String =
@@ -41,6 +60,13 @@ object Hashes {
       s"list_transform(list_filter(string_split($e, ''), c -> length(c) > 0), " +
       "c -> CAST(unicode(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * $PolyMul + c) % $PolyMod)"
+
+  /** SQL (DuckDB) rendering of [[polyHash2]] — oracle parity twin. */
+  def polyHash2Sql(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> length(c) > 0), " +
+      "c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * $PolyMul2 + c) % $PolyMod2)"
 
   /** Seeded production hash (NOT SQL-replicable). */
   def fastHash(s: Column, seed: Int): Column = xxhash64(lit(seed), s)

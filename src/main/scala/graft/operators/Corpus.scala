@@ -288,8 +288,9 @@ object Corpus {
       .select(col("source"), (col("mix_weight")).as("w"))
     val maxCopies = math.ceil(cap).toInt
     docs.join(broadcast(weights), "source")
-      .withColumn("_copy", explode(sequence(lit(1), least(
-        ceil(col("w")).cast("int"), lit(maxCopies)))))
+      // same w == 0.0 guard as applyUnimax (sequence(1,0) = [1,0])
+      .withColumn("_copy", explode(sequence(lit(1), greatest(least(
+        ceil(col("w")).cast("int"), lit(maxCopies)), lit(1)))))
       .withColumn("_frac", col("w") - floor(col("w")))
       // copies 1..floor(w) always survive; the ceil(w)-th copy survives
       // with probability frac via a uniform-ish hash in [0,1)
@@ -315,8 +316,12 @@ object Corpus {
       .select(col("source"), col("epochs").as("_e"))
     val maxCopies = math.ceil(maxEpochs).toInt
     docs.join(broadcast(alloc), "source")
-      .withColumn("copy", explode(sequence(lit(1),
-        least(ceil(col("_e")).cast("int"), lit(maxCopies)))))
+      // greatest(...,1) guards e == 0.0: sequence(1, 0) in Spark is the
+      // DESCENDING [1, 0], and the copy=0 row would pass copy<=floor(0);
+      // with the guard the lone copy=1 row fails both keep conditions,
+      // matching the oracle's empty range (and incrementalStages)
+      .withColumn("copy", explode(sequence(lit(1), greatest(
+        least(ceil(col("_e")).cast("int"), lit(maxCopies)), lit(1)))))
       .filter(col("copy") <= floor(col("_e")) ||
         (pmod(Hashes.polyHash(concat_ws("#", col("doc_id").cast("string"),
           col("copy").cast("string"))), lit(1000003L)).cast("double") / 1000003.0)

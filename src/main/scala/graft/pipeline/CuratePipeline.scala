@@ -27,7 +27,15 @@ case class CurateConfig(
     contamFrac: Double = 0.2,
     budgetFrac: Double = 1.25,
     maxEpochs: Double = 1.4,
-    nShards: Int = 16)
+    nShards: Int = 16,
+    /** Carry each exact survivor's 8-byte [[CuratePipeline.normFp]] as a
+      * `norm_fp` column on the exact stage (dropped before neardup) so
+      * the norm-bank derivation reads materialized longs instead of
+      * re-normalizing and re-hashing the corpus text. On by default for
+      * the paths that PERSIST or apply the bank ([[CuratePipeline.run]],
+      * the q123 derivation); a plain [[CuratePipeline.stages]] chain that
+      * never derives the bank can turn it off to skip the fold. */
+    bankNormFp: Boolean = false)
 
 /** X129: the composed end-to-end curation RUN — the one product shape the
   * per-operator library did not have. The reference's signature entry
@@ -78,8 +86,8 @@ object CuratePipeline {
     * the benchmark set, exactly as q57 does). */
   private[pipeline] def transitions(
       cfg: CurateConfig): Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
-    "exact" -> ((_, prev) => exactStage(prev)),
-    "neardup" -> ((_, prev) => neardupStage(prev, cfg)),
+    "exact" -> ((_, prev) => exactStage(prev, cfg.bankNormFp)),
+    "neardup" -> ((_, prev) => neardupStage(prev.drop("norm_fp"), cfg)),
     "quality" -> ((_, prev) =>
       prev.filter(TextAnalysis.gopherRulePass(col("text"),
         cfg.gopherMinWords, cfg.gopherMaxWords, cfg.gopherMinStops))),
@@ -90,12 +98,19 @@ object CuratePipeline {
     "shards" -> ((_, prev) => shardStage(prev, cfg)))
 
   /** Keep the minimum doc_id per normalized text: one text-keyed agg with
-    * map-side partials plus a semi-join back (no window sort). */
-  private def exactStage(docs: DataFrame): DataFrame = {
+    * map-side partials plus a semi-join back (no window sort). The
+    * survivors keep their 8-byte [[normFp]] as a `norm_fp` column — the
+    * norm-bank derivation ([[frozenFromStages]]/[[run]]) then reads
+    * materialized longs instead of re-normalizing and re-hashing the
+    * full corpus text (the next transition drops the column, so nothing
+    * downstream carries it). */
+  private def exactStage(docs: DataFrame, bankFp: Boolean): DataFrame = {
     val keyed = docs.withColumn("_norm", TF.normalizeWs(col("text")))
     val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    keyed.join(keep, Seq("doc_id"), "left_semi").drop("_norm")
+    val kept = keyed.join(keep, Seq("doc_id"), "left_semi")
+    (if (bankFp) kept.withColumn("norm_fp", normFp(col("_norm"))) else kept)
+      .drop("_norm")
   }
 
   /** Capped banded MinHash pairs + quality-priority representative keep
@@ -108,26 +123,40 @@ object CuratePipeline {
 
   /** Drop benchmark members and any doc whose distinct word-n-gram
     * overlap with the benchmark's gram set reaches `contamFrac` — the
-    * apply form of [[Corpus.decontaminationStats]]/q57's counting. */
+    * apply form of [[Corpus.decontaminationStats]]/q57's counting.
+    *
+    * Shape (r12): grams are consumed in ONE exploded pass that counts
+    * total and benchmark-matching grams per doc in the same aggregate —
+    * (doc_id, _n_grams, _m) is all that survives, so nothing corpus×gram
+    * sized is ever materialized (the r11 form checkpointed the full
+    * corpus WITH its grams array — a second full-text barrier — because
+    * the grams column had two consumers). `explode_outer` keeps zero-
+    * gram docs in the stats (and, unlike `explode`, makes Catalyst infer
+    * no `size(grams) > 0` pushdown filter, so the shingle chain is
+    * evaluated exactly once per row). */
   private def decontamStage(raw: DataFrame, prev: DataFrame,
       cfg: CurateConfig): DataFrame = {
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    // checkpoint BOTH gram frames: the explode below makes Catalyst
-    // infer a size(grams)>0 filter and push it through the projections,
-    // re-inlining the whole shingle chain (split inside the slice
-    // lambda — O(tokens²) per doc) into every predicate; the barrier
-    // keeps the grams computed exactly once (7.5 s → 0.9 s at sf0.1)
+    // the benchmark gram set stays a barrier: bounded by benchmark size,
+    // consumed as a broadcast build side
     val benchGrams = benchGramSet(raw, cfg).localCheckpoint(true)
-    val withGrams = withGrams_(prev, cfg).localCheckpoint(true)
-    val matched = withGrams.select(col("doc_id"), explode(col("_grams")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("_m"))
-    withGrams.join(matched, Seq("doc_id"), "left")
+    // the stats frame is the barrier (3 narrow columns per doc — cheap
+    // to hold), so the gram explode runs exactly once even though the
+    // decontam OUTPUT is recomputed per consumer (it is just
+    // prev ⋈ stats + filter)
+    val gramStats = withGrams_(prev, cfg)
+      .select(col("doc_id"), explode_outer(col("_grams")).as("g"))
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("_n_grams"),
+        count(col("_hit")).as("_m"))
+      .localCheckpoint(true)
+    prev.join(gramStats, Seq("doc_id"), "left")
       .filter(!isBench &&
-        when(col("_n_grams") === 0, lit(0.0))
+        when(coalesce(col("_n_grams"), lit(0L)) === 0, lit(0.0))
           .otherwise(coalesce(col("_m"), lit(0L)).cast("double") / col("_n_grams"))
           < cfg.contamFrac)
-      .drop("_grams", "_n_grams", "_m")
+      .drop("_n_grams", "_m")
   }
 
   /** Deterministic shard routing of (doc, copy) via the q110 Knuth
@@ -143,27 +172,66 @@ object CuratePipeline {
         * 2654435761L, lit(4294967296L)), lit(cfg.nShards.toLong)).cast("int"))
       .withColumn("shard_key", format_string("s%03d", col("shard")))
 
+  /** The stage boundaries that carry an eager checkpoint barrier in the
+    * materialized chain — the r12-measured load-bearing set. A barrier
+    * is load-bearing when the stage's output is (a) expensive to
+    * re-derive AND (b) re-evaluated by more than one downstream subplan:
+    * `exact` (full-corpus text-keyed agg; the near-dup stage's pair
+    * generator and best-keep both re-evaluate their input), `neardup`
+    * (the capped minhash chain), and `curriculum` (the window pass;
+    * applyUnimax re-evaluates its input twice — once for the allocation
+    * agg, once for the join). The map-only boundaries (`quality` gate,
+    * `mixture` explode, `shards` hash) recompute from the nearest
+    * upstream barrier for less than their materialization cost, and
+    * `decontam` needs no output barrier since r12's one-pass gram-stats
+    * rewrite banks the expensive part internally (the output is just
+    * prev ⋈ tiny-stats + filter) — see SCALE.md's barrier table. */
+  val DefaultBarriers: Set[String] = Set("exact", "neardup", "curriculum")
+
   /** The composed stage frames, raw first. Each frame carries the
     * documents schema plus `n_tok`; mixture adds `copy`, shards adds
-    * `shard`/`shard_key`. With `materialize` (default) every stage is a
-    * lazy localCheckpoint, so a consumer that evaluates several stages
-    * (q122's 8 accounting rows, q123's frozen parameters) computes each
-    * stage ONCE instead of re-deriving the whole prefix chain per
-    * action — the in-memory analog of [[run]]'s write/read-back
-    * boundaries (q122 at sf0.1: 16.6 s → one chain pass). Pass
-    * `materialize = false` to keep the raw composed plan (the
-    * PlanAssertSpec pin inspects that form). */
+    * `shard`/`shard_key`. With `materialize` (default) the load-bearing
+    * stage boundaries ([[DefaultBarriers]]) are eager localCheckpoints,
+    * so a consumer that evaluates several stages (q122's 8 accounting
+    * rows, q123's frozen parameters) computes each expensive stage ONCE
+    * instead of re-deriving the whole prefix chain per action — the
+    * in-memory analog of [[run]]'s write/read-back boundaries (q122 at
+    * sf0.1: 16.6 s → one chain pass). Pass `materialize = false` to
+    * keep the raw composed plan (the PlanAssertSpec pin inspects that
+    * form). */
   def stages(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
-      materialize: Boolean = true): Seq[(String, DataFrame)] = {
+      materialize: Boolean = true): Seq[(String, DataFrame)] =
+    stagesSelective(docs, cfg,
+      if (materialize) DefaultBarriers else Set.empty)
+
+  /** [[stages]] with an explicit barrier set and an optional early stop:
+    * `barriers` names the stage outputs to eagerly checkpoint (a stage
+    * not named recomputes lazily from the nearest upstream barrier);
+    * `upTo` truncates the chain after the named stage — the frozen-
+    * parameter derivation needs nothing past `curriculum`, so the q123
+    * path skips materializing the full side's mixture and shards
+    * entirely. */
+  private[graft] def stagesSelective(docs: DataFrame, cfg: CurateConfig,
+      barriers: Set[String], upTo: String = "shards"): Seq[(String, DataFrame)] = {
     val raw = withTok(docs)
-    transitions(cfg).scanLeft(("raw", raw)) {
+    val wanted = {
+      val ts = transitions(cfg)
+      val idx = ts.indexWhere(_._1 == upTo)
+      if (idx < 0) ts else ts.take(idx + 1)
+    }
+    wanted.scanLeft(("raw", raw)) {
       case ((_, prev), (name, f)) =>
         val out = f(raw, prev)
         // EAGER checkpoint: a lazy one would not be materialized when the
-        // 8-agg accounting union is PLANNED, so that single query would
-        // inline the full lineage of every stage (measured 41-60 s at
-        // sf0.1 vs ~1 s materialized stage-by-stage)
-        (name, if (materialize) out.localCheckpoint(true) else out)
+        // 8-agg accounting union is PLANNED, so that single query inlines
+        // the full lineage of every non-checkpointed stage. Pre-r11 that
+        // inlining cost 41-60 s at sf0.1 (O(tokens²) shingle re-eval);
+        // after the token-materialization and one-pass gram-stats fixes
+        // the barrier-free chain is merely ~45% slower than the measured
+        // barrier set (6.6 s vs 4.5 s at sf0.1, CurateBarrierProbe r12) —
+        // exchange reuse dedupes the agg subtrees within the one plan,
+        // so the barriers are now a measured optimization, not a cliff
+        (name, if (barriers(name)) out.localCheckpoint(true) else out)
     }
   }
 
@@ -200,13 +268,26 @@ object CuratePipeline {
   /** ~60-bit cross-engine-replayable fingerprint of a normalized text —
     * the q120-documented escalation made real: the incremental exact
     * stage anti-joins 8-byte keys against the banked corpus instead of
-    * shuffling full text (two independent poly-hashes packed into one
-    * long; collision odds ~n²/2⁶¹ — a false drop needs both 30-bit
-    * hashes of two DIFFERENT norms to collide). Both factors are plain
-    * string poly-hashes, so the q123 oracle replays the key exactly. */
+    * shuffling full text. Two GENUINELY independent poly-hashes packed
+    * into one long — different multiplier (131 vs 137) AND different
+    * prime modulus (1e9+7 vs 998244353), so a false drop needs two
+    * unrelated ~30-bit collisions at once (odds ~n²/2⁶⁰; birthday-safe
+    * to ~10⁸ banked norms). The earlier second factor
+    * polyHash("x"+norm) was affinely determined by polyHash(norm) for
+    * equal-length norms, collapsing entropy to ~30 bits per length
+    * class (r11 ADVICE, high). Both factors are plain string
+    * poly-hashes, so the q123 oracle replays the key exactly. */
   private[pipeline] def normFp(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    Hashes.polyHash(norm) * lit(2147483648L) +
-      Hashes.polyHash(concat(lit("x"), norm))
+    Hashes.polyHash(norm) * lit(2147483648L) + Hashes.polyHash2(norm)
+
+  /** Distinct norm fingerprints of an exact-stage frame: reads the
+    * materialized `norm_fp` column when the chain ran with
+    * `bankNormFp` (an 8-byte distinct), re-deriving from text only as
+    * the fallback. */
+  private def normBankOf(exact: DataFrame): DataFrame =
+    (if (exact.columns.contains("norm_fp")) exact.select(col("norm_fp"))
+     else exact.select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")))
+      .distinct()
 
   /** Materialize the token array in its own column BEFORE shingling —
     * passing the raw `tokens(text)` expression into the shingle lambda
@@ -244,7 +325,10 @@ object CuratePipeline {
     * [[Frozen]] parameter layers the incremental path applies. Returns
     * the accounting table, itself committed as `curated/accounting`. */
   def run(spark: SparkSession, docs: DataFrame, base: String,
-      cfg: CurateConfig = CurateConfig()): DataFrame = {
+      cfg0: CurateConfig = CurateConfig()): DataFrame = {
+    // run() always persists the norm bank — carry the fp on the exact
+    // layer so the bank derivation is a column select, not a re-hash
+    val cfg = cfg0.copy(bankNormFp = true)
     val raw = withTok(docs)
     val materialized = Seq.newBuilder[(String, DataFrame)]
     materialized += ("raw" -> raw)
@@ -259,9 +343,7 @@ object CuratePipeline {
     val frames = materialized.result().toMap
     // frozen parameters for the incremental path
     Layout.writeVersioned(
-      frames("exact")
-        .select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")).distinct()
-        .withColumn("batch", lit("b0000")),
+      normBankOf(frames("exact")).withColumn("batch", lit("b0000")),
       base, Frozen.NormBank, partitionCols = Seq("batch"))
     Layout.writeVersioned(
       Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
@@ -356,8 +438,7 @@ object CuratePipeline {
     // bank the kept delta norms' fingerprints as one new partition
     val normBatchNo = Layout
       .committedVersions(spark, base, Frozen.NormBank).last + 1
-    val newNorms = frames("exact")
-      .select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")).distinct()
+    val newNorms = normBankOf(frames("exact"))
       .withColumn("batch", format_string("b%04d", lit(normBatchNo)))
     if (!newNorms.isEmpty)
       Merge.merge(spark, base, Frozen.NormBank, newNorms,
@@ -385,13 +466,19 @@ object CuratePipeline {
       cfg: CurateConfig): FrozenParams = {
     val f = stageFrames.toMap
     FrozenParams(
-      bankedNorms = f("exact")
-        .select(normFp(TF.normalizeWs(col("text"))).as("norm_fp")).distinct(),
-      index = Dedup.nearDupIndex(f("neardup").localCheckpoint(false), "doc_id",
-        col("text"), cfg.shingleWords, cfg.minhashK),
+      bankedNorms = normBankOf(f("exact")),
+      // checkpoint the derived index: incrementalStages consumes it
+      // twice (the eager disjointness guard, then the banded chain) —
+      // unchecked, the full-side minhash pass would run once per
+      // consumer
+      index = Dedup.nearDupIndex(f("neardup"), "doc_id",
+        col("text"), cfg.shingleWords, cfg.minhashK).localCheckpoint(false),
       benchGrams = benchGramSet(f("raw"), cfg),
-      bounds = curriculumBounds(f("decontam").localCheckpoint(false)),
-      alloc = Corpus.unimaxAllocation(f("curriculum").localCheckpoint(false),
+      // no extra checkpoints: each is consumed once, and `curriculum`
+      // is already an eager stage barrier — a lazy copy on top would
+      // just serialize the corpus again
+      bounds = curriculumBounds(f("decontam")),
+      alloc = Corpus.unimaxAllocation(f("curriculum"),
         col("source"), col("n_tok"), cfg.budgetFrac, cfg.maxEpochs)
         .select("source", "epochs"))
   }
@@ -409,8 +496,10 @@ object CuratePipeline {
       .join(frozen.bankedNorms, Seq("norm_fp"), "left_anti")
     val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // norm_fp stays on the frame (already computed for the anti-join):
+    // [[runIncremental]] banks it without re-hashing the delta text
     val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi")
-      .drop("_norm", "norm_fp")
+      .drop("_norm")
       .localCheckpoint(true)
 
     // neardup vs banked index + within-batch best-keep.
@@ -434,27 +523,32 @@ object CuratePipeline {
       .select("id_a", "id_b", "jac")
     val neardupDelta = Dedup.dedupByClusterBest(
       exactDelta.join(dropVsExisting, Seq("doc_id"), "left_anti"),
-      "doc_id", deltaPairs, col("n_tok")).localCheckpoint(true)
+      "doc_id", deltaPairs, col("n_tok")).drop("norm_fp").localCheckpoint(true)
 
     // quality gate (map-only, identical rule)
     val qualityDelta = neardupDelta.filter(TextAnalysis.gopherRulePass(
       col("text"), cfg.gopherMinWords, cfg.gopherMaxWords, cfg.gopherMinStops))
+      .localCheckpoint(true)
 
-    // decontam vs banked grams ∪ this batch's benchmark members
+    // decontam vs banked grams ∪ this batch's benchmark members — the
+    // same one-pass gram-stats shape as the batch stage: nothing
+    // corpus×gram sized is materialized
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    // same explode-pushdown barrier as the batch decontam stage
     val allBench = frozen.benchGrams.unionByName(benchGramSet(raw, cfg))
       .distinct().localCheckpoint(true)
-    val withGrams = withGrams_(qualityDelta, cfg).localCheckpoint(true)
-    val matched = withGrams.select(col("doc_id"), explode(col("_grams")).as("g"))
-      .join(broadcast(allBench), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("_m"))
-    val decontamDelta = withGrams.join(matched, Seq("doc_id"), "left")
+    val gramStats = withGrams_(qualityDelta, cfg)
+      .select(col("doc_id"), explode_outer(col("_grams")).as("g"))
+      .join(broadcast(allBench.withColumn("_hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("_n_grams"),
+        count(col("_hit")).as("_m"))
+    val decontamDelta = qualityDelta.join(gramStats, Seq("doc_id"), "left")
       .filter(!isBench &&
-        when(col("_n_grams") === 0, lit(0.0))
+        when(coalesce(col("_n_grams"), lit(0L)) === 0, lit(0.0))
           .otherwise(coalesce(col("_m"), lit(0L)).cast("double") / col("_n_grams"))
           < cfg.contamFrac)
-      .drop("_grams", "_n_grams", "_m")
+      .drop("_n_grams", "_m")
+      .localCheckpoint(true)
 
     // curriculum against the frozen bounds
     val bounds = frozen.bounds
@@ -468,6 +562,7 @@ object CuratePipeline {
       .filter(pmod(Hashes.polyHash(col("doc_id").cast("string")),
         lit(10)) < col("_decile"))
       .drop("_score", "_bs", "_decile")
+      .localCheckpoint(true)
 
     // mixture with the frozen epochs (unseen sources: 1.0)
     val alloc = frozen.alloc.select(col("source"), col("epochs").as("_e"))
@@ -480,15 +575,21 @@ object CuratePipeline {
           col("copy").cast("string"))), lit(1000003L)).cast("double") / 1000003.0)
           < col("_e") - floor(col("_e")))
       .drop("_e")
+      .localCheckpoint(true)
 
-    // tail stages checkpoint lazily for the same reason as [[stages]]:
-    // the 8 accounting aggregates must not re-derive the gram joins and
-    // window passes once per row
+    // each tail stage above checkpoints eagerly AND feeds the next stage
+    // its CHECKPOINTED form — r11 checkpointed only the returned frames
+    // while building each next stage from the raw val, so the mixture
+    // checkpoint re-derived the curriculum chain (including the frozen
+    // bounds' full-side window pass), shards re-derived both, and the
+    // accounting union re-derived the frozen frames once per consumer
+    // (measured 8-9.5 s of the 11.5 s q123 at sf0.1 — the single
+    // largest cost in the incremental path)
     Seq("raw" -> raw, "exact" -> exactDelta, "neardup" -> neardupDelta,
-      "quality" -> qualityDelta.localCheckpoint(true),
-      "decontam" -> decontamDelta.localCheckpoint(true),
-      "curriculum" -> curriculumDelta.localCheckpoint(true),
-      "mixture" -> mixtureDelta.localCheckpoint(true),
+      "quality" -> qualityDelta,
+      "decontam" -> decontamDelta,
+      "curriculum" -> curriculumDelta,
+      "mixture" -> mixtureDelta,
       "shards" -> shardStage(mixtureDelta, cfg).localCheckpoint(true))
   }
 }

@@ -62,6 +62,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 0L)
   }
 
+  test("polyHash2 is an independent family: a factor-1 collision no longer sinks the packed fp") {
+    def h1(s: String) = s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+    def h2(s: String) = s.foldLeft(0L)((a, c) => (a * 137 + c.toLong) % 998244353L)
+    val row = Seq("abc").toDF("x").select(Hashes.polyHash2(col("x"))).first()
+    assert(row.getLong(0) == h2("abc"))
+    assert(h2("abc") != h1("abc"))
+    // deterministic birthday search for an equal-length h1 collision
+    // (~40k tries at a 2^30 modulus — the scale at which a production
+    // bank would hit this for real)
+    val seen = scala.collection.mutable.HashMap[Long, String]()
+    var pair: Option[(String, String)] = None
+    var i = 0L
+    while (pair.isEmpty) {
+      val s = java.lang.Long.toString(i, 36).reverse.padTo(12, '0').mkString
+      seen.put(h1(s), s).filter(_ != s).foreach(t => pair = Some((s, t)))
+      i += 1
+    }
+    val (s, t) = pair.get
+    assert(h1(s) == h1(t) && s != t && s.length == t.length)
+    // the OLD second factor polyHash("x"+norm) was affinely determined
+    // by factor 1 at equal length, so the full 61-bit pack collided too:
+    assert(h1("x" + s) == h1("x" + t))
+    // the independent family separates the pair
+    assert(h2(s) != h2(t))
+  }
+
   test("int8 quantization round-trips within half a step; zero vector opts out") {
     import graft.functions.{VectorFunctions => VF}
     val df = Seq(

@@ -118,6 +118,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(big1 > 30 && big1 < 70, s"big kept $big1 of 90")
   }
 
+  test("applyUnimax emits nothing for a zero-epoch source (sequence(1,0) guard)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // a source of token-less docs gets epochs = 0.0 from the water-fill;
+    // unguarded, Spark's sequence(1, 0) = DESCENDING [1, 0] and the
+    // copy=0 row passes copy <= floor(0.0) — it must emit nothing
+    val d = docs(
+      (1L, "a b c d", "en", "s0"),
+      (2L, "", "en", "empty"),
+      (3L, "", "en", "empty"))
+      .withColumn("n_tok",
+        expr("size(filter(split(text, ' '), t -> length(t) > 0))").cast("long"))
+    val out = Corpus.applyUnimax(d, col("n_tok"), 1.25, 1.4)
+    assert(out.filter(col("source") === "empty").count() == 0)
+    assert(out.filter(col("copy") <= 0).count() == 0)
+    assert(out.filter(col("source") === "s0").count() >= 1)
+  }
+
   test("perplexity: sources of corpus-common tokens score lower NLL than rare-token sources") {
     // 8 docs of the same common tokens vs 2 docs of singleton tokens: the
     // unigram LM assigns the common tokens much higher probability.

@@ -75,6 +75,7 @@ def sampled_check(sf_dir: str, out_dir: str, names) -> dict:
                 ok = got.equals(exp)
                 results[name] = {
                     "status": "sampled_oracle" if ok else "fail",
+                    "boundary_strength": "exact",
                     "detail": f"new side restricted to doc_id%101==7 "
                               f"({len(got)} source rows), base corpus intact; "
                               f"exact aggregate match={ok}"}
@@ -92,15 +93,19 @@ def sampled_check(sf_dir: str, out_dir: str, names) -> dict:
             wj, wa, wb = float(worst["jac"]), int(worst["id_a"]), int(worst["id_b"])
             if wj == 1.0:
                 bsql, device = sql["q22_boundary_exact"], "exact (shingle-set collapse)"
+                strength = "exact"
             else:
                 rec = 1 - (1 - wj**4)**3
                 device = f"banded screen, per-pair recall {rec:.6f}"
+                strength = "screen"
                 if rec < 0.9:
                     # an LSH screen below the band sensitivity proves little;
                     # say so — the VALUE check on the reported pairs remains
                     # exact either way, and at sf<=0.01 the full quadratic
-                    # oracle runs anyway
+                    # oracle runs anyway. The WEAK grade is machine-readable
+                    # (distinct status + boundary_strength), not prose-only.
                     device += " (WEAK at this jac - boundary advisory only)"
+                    strength = "weak_screen"
                 bsql = sql["q22_boundary_screen"]
             bsql = (bsql.replace("{worst_jac}", repr(wj))
                         .replace("{worst_ida}", str(wa))
@@ -108,8 +113,12 @@ def sampled_check(sf_dir: str, out_dir: str, names) -> dict:
             dominating = con.execute(bsql).fetchdf()
             boundary_ok = len(dominating) == 0
             ok = value_ok and boundary_ok
+            status = ("fail" if not ok else
+                      "sampled_oracle_weak" if strength == "weak_screen"
+                      else "sampled_oracle")
             results[name] = {
-                "status": "sampled_oracle" if ok else "fail",
+                "status": status,
+                "boundary_strength": strength,
                 "detail": f"k={len(rep)} reported pairs value-exact={value_ok}; "
                           f"boundary[{device}] at worst=({wj},{wa},{wb}) "
                           f"dominating_unreported={len(dominating)}"}
@@ -155,6 +164,7 @@ def main() -> int:
         "fail": counts.get("fail", 0),
         "skip": counts.get("skip", 0),
         "sampled_oracle": counts.get("sampled_oracle", 0),
+        "sampled_oracle_weak": counts.get("sampled_oracle_weak", 0),
         "spark_only": counts.get("spark-only", 0),
         "note": (
             "local run (driver grades at sf0.01); full current query surface. "
@@ -162,7 +172,10 @@ def main() -> int:
             "verified through SparkEntry.sampledOracleSql: q22/q113 value-exact "
             "on the reported top-k pairs plus a boundary proof (exact "
             "shingle-set collapse when worst jac = 1.0, banded screen "
-            "otherwise), q87 exact on the 1%-new-side restriction. q111 is "
+            "otherwise), q87 exact on the 1%-new-side restriction. A banded "
+            "boundary screen with per-pair recall < 0.9 is graded "
+            "sampled_oracle_weak (advisory screen, not a proof) with a "
+            "boundary_strength field on every sampled row. q111 is "
             "the checksum-backed media audit (no SQL oracle by design)."
         ),
         "queries": dict(sorted(queries.items())),
