@@ -268,13 +268,24 @@ object Corpus {
   /** APPLY form of [[curriculumDeciles]]: the kept rows themselves.
     * Same deterministic rule (poly-hash of doc_id < decile), so the kept
     * set is exactly the one the stats query counts. */
+  /** The decile fit is EXACT ntile by mandate (r12 decision): Spark's
+    * `percentile_approx` GK sketch is not bit-replicable in other
+    * engines, and the cross-engine oracle is this library's correctness
+    * backbone — so the fit stays an exact per-language sort, but over a
+    * PROJECTED (lang, score, doc_id) frame: the one-reducer-per-language
+    * ntile stage carries ~20 bytes/row instead of document text (at
+    * 100 TB that is the difference between one reducer sorting a few GB
+    * of keys and one reducer sorting the corpus), and the kept ids
+    * semi-join back as a normal parallel shuffle. */
   def applyCurriculum(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
-    docs
-      .withColumn("score", TextAnalysis.qualityScore(col("text")))
+    val keep = docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
       .withColumn("decile", ntile(10).over(w))
       .filter(pmod(Hashes.polyHash(col("doc_id").cast("string")), lit(10)) < col("decile"))
-      .drop("score", "decile")
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
   /** APPLY form of [[mixtureWeights]]: deterministically resample each

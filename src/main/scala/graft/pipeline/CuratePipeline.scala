@@ -265,6 +265,38 @@ object CuratePipeline {
     val UnimaxAlloc = "curated/unimax_alloc"
   }
 
+  /** Fingerprint-range buckets the norm bank partitions on. The bank's
+    * single hive partition column packs (batch, fp mod buckets) as
+    * `bNNNN-fXX`, so a batch append is still a pure new-directory MERGE
+    * (≤ [[NormBankBuckets]] new dirs, O(delta) bytes) while the delta
+    * probe prunes its read to the `-fXX` suffixes the delta's own
+    * fingerprints can possibly hit — at a year of daily batches the
+    * probe reads |touched buckets| / [[NormBankBuckets]] of the bank
+    * instead of all of it. */
+  val NormBankBuckets = 64
+
+  private def normBucket(batchNo: Int): org.apache.spark.sql.Column =
+    format_string("b%04d-f%02d", lit(batchNo),
+      pmod(col("norm_fp"), lit(NormBankBuckets.toLong)))
+
+  /** The banked norm fingerprints a delta batch's exact probe needs:
+    * the latest bank read PRUNED to the fp buckets the delta's own
+    * fingerprints map to (any banked fp equal to a delta fp shares its
+    * bucket by construction, so the anti-join against the pruned set
+    * equals the anti-join against the full bank). The bucket list is
+    * collected driver-side — bounded by [[NormBankBuckets]], never by
+    * corpus or delta size. */
+  private[graft] def prunedNormBank(spark: SparkSession, base: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val hit = deltaDocs
+      .select(pmod(normFp(TF.normalizeWs(col("text"))),
+        lit(NormBankBuckets.toLong)).as("_b"))
+      .distinct().collect().map(r => f"f${r.getLong(0)}%02d").toSeq
+    Layout.loadLatest(spark, base, Frozen.NormBank)
+      .filter(substring_index(col("bucket"), "-", -1).isin(hit: _*))
+      .select(col("norm_fp"))
+  }
+
   /** ~60-bit cross-engine-replayable fingerprint of a normalized text —
     * the q120-documented escalation made real: the incremental exact
     * stage anti-joins 8-byte keys against the banked corpus instead of
@@ -307,11 +339,16 @@ object CuratePipeline {
       .distinct()
 
   /** Per-(lang, decile) upper score bound of the full run's curriculum
-    * split — the frozen form a delta batch is graded against. */
+    * split — the frozen form a delta batch is graded against. Exact
+    * ntile by mandate (see [[Corpus.applyCurriculum]]'s r12 decision
+    * note: approx quantiles are not cross-engine replayable); the
+    * window input is projected to (lang, score, doc_id) first so the
+    * per-language sort never carries text. */
   private def curriculumBounds(dec: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("_score"), col("doc_id"))
-    dec.withColumn("_score", TextAnalysis.qualityScore(col("text")))
+    dec.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("_score"))
       .withColumn("decile", ntile(10).over(w))
       .groupBy("lang", "decile").agg(max(col("_score")).as("hi"))
   }
@@ -343,13 +380,15 @@ object CuratePipeline {
     val frames = materialized.result().toMap
     // frozen parameters for the incremental path
     Layout.writeVersioned(
-      normBankOf(frames("exact")).withColumn("batch", lit("b0000")),
-      base, Frozen.NormBank, partitionCols = Seq("batch"))
+      normBankOf(frames("exact")).withColumn("bucket", normBucket(0)),
+      base, Frozen.NormBank, partitionCols = Seq("bucket"))
     Layout.writeVersioned(
       Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
         cfg.shingleWords, cfg.minhashK).withColumn("batch", lit("b0000")),
       base, Frozen.NearDupIndex, partitionCols = Seq("batch"))
-    Layout.writeVersioned(benchGramSet(raw, cfg), base, Frozen.BenchGrams)
+    Layout.writeVersioned(
+      benchGramSet(raw, cfg).withColumn("batch", lit("b0000")),
+      base, Frozen.BenchGrams, partitionCols = Seq("batch"))
     Layout.writeVersioned(curriculumBounds(frames("decontam")),
       base, Frozen.CurriculumBounds)
     Layout.writeVersioned(
@@ -375,8 +414,9 @@ object CuratePipeline {
     *    match against a previously DROPPED doc lands on its kept
     *    representative's norm, so survivor norms suffice) is dropped;
     *    within-batch groups keep min id. Kept fps MERGE into the bank as
-    *    one new batch partition. Production buckets the bank by fp so
-    *    the delta probe prunes to matching buckets.
+    *    one new batch of fp-bucket partitions, and the probe PRUNES its
+    *    bank read to the delta's own fp buckets ([[prunedNormBank]]) —
+    *    O(touched buckets), not O(bank).
     *  - neardup: [[Dedup.incrementalNearDups]] against the banked
     *    signature index — only delta-touching pairs are scored (never
     *    index×index). Existing docs WIN every delta-vs-existing contest
@@ -410,10 +450,11 @@ object CuratePipeline {
   def runIncremental(spark: SparkSession, deltaDocs: DataFrame, base: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
     val frozen = FrozenParams(
-      bankedNorms = Layout.loadLatest(spark, base, Frozen.NormBank)
-        .select(col("norm_fp")),
+      // pruned to the delta's fp buckets — reads a bounded fraction of
+      // the bank, not all of it (see [[prunedNormBank]])
+      bankedNorms = prunedNormBank(spark, base, deltaDocs),
       index = Layout.loadLatest(spark, base, Frozen.NearDupIndex).drop("batch"),
-      benchGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams),
+      benchGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams).drop("batch"),
       bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds),
       alloc = Layout.loadLatest(spark, base, Frozen.UnimaxAlloc))
     val st = incrementalStages(deltaDocs, frozen, cfg)
@@ -435,20 +476,30 @@ object CuratePipeline {
     if (!newIdx.isEmpty)
       Merge.merge(spark, base, Frozen.NearDupIndex, newIdx,
         Seq("doc_id"), "batch")
-    // bank the kept delta norms' fingerprints as one new partition
+    // bank the kept delta norms' fingerprints as one new batch of bucket
+    // partitions (≤ NormBankBuckets new dirs, O(delta) bytes; no banked
+    // fp can collide with a kept delta fp — the exact stage dropped
+    // every match — so the merge is a pure append)
     val normBatchNo = Layout
       .committedVersions(spark, base, Frozen.NormBank).last + 1
     val newNorms = normBankOf(frames("exact"))
-      .withColumn("batch", format_string("b%04d", lit(normBatchNo)))
+      .withColumn("bucket", normBucket(normBatchNo))
     if (!newNorms.isEmpty)
       Merge.merge(spark, base, Frozen.NormBank, newNorms,
-        Seq("norm_fp"), "batch")
-    // bank this batch's benchmark grams for future batches
-    val batchBenchGrams = benchGramSet(withTok(deltaDocs), cfg)
-    if (!batchBenchGrams.isEmpty)
-      Layout.writeVersioned(
-        frozen.benchGrams.unionByName(batchBenchGrams).distinct(),
-        base, Frozen.BenchGrams)
+        Seq("norm_fp"), "bucket")
+    // bank this batch's NOVEL benchmark grams as one new batch partition
+    // — O(delta) appended bytes, where r11 rewrote the whole gram bank
+    // per batch (the bank stays distinct by construction: each batch
+    // anti-joins the bank it was graded against, and grams already
+    // banked by an earlier batch can never re-enter)
+    val benchBatchNo = Layout
+      .committedVersions(spark, base, Frozen.BenchGrams).last + 1
+    val novelBenchGrams = benchGramSet(withTok(deltaDocs), cfg)
+      .join(frozen.benchGrams, Seq("g"), "left_anti")
+      .withColumn("batch", format_string("b%04d", lit(benchBatchNo)))
+    if (!novelBenchGrams.isEmpty)
+      Merge.merge(spark, base, Frozen.BenchGrams, novelBenchGrams,
+        Seq("g"), "batch")
 
     accounting(st.map { case (n, df) => (n, if (n == "shards") shardDelta else df) })
   }

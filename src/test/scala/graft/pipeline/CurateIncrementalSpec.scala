@@ -65,6 +65,76 @@ class CurateIncrementalSpec extends AnyFunSuite {
     assert(eff("batch=b0000").startsWith(v1 + "/"))
   }
 
+  test("norm bank is fp-bucketed; the delta probe prunes to matching buckets") {
+    acc // force the full run + one delta batch
+    val v = Layout.committedVersions(spark, base, CuratePipeline.Frozen.NormBank).last
+    val eff = Merge.effectiveDirs(spark, base, CuratePipeline.Frozen.NormBank, v)
+    // bucketed hive layout: every partition dir is bucket=bNNNN-fXX
+    assert(eff.nonEmpty && eff.keys.forall(_.matches("bucket=b\\d{4}-f\\d{2}")),
+      s"unexpected bank dirs: ${eff.keys.take(3).mkString(", ")}")
+    // the delta batch appended new-batch dirs without rewriting b0000's
+    val v1 = Layout.versionedDir(base, CuratePipeline.Frozen.NormBank, 1)
+    assert(eff.filter(_._1.startsWith("bucket=b0000-")).values
+      .forall(_.startsWith(v1 + "/")), "b0000 buckets were rewritten")
+    assert(eff.keys.exists(!_.startsWith("bucket=b0000-")),
+      "delta appended no new bank partitions")
+
+    // a one-doc probe touches exactly one fp bucket: the pruned read
+    // must carry the bucket predicate as a PARTITION filter (bucket is
+    // only ever a partition column, so the suffix match prunes the
+    // listing) and return exactly the matching buckets' content
+    val one = spark.range(1).select(lit(424242L).as("doc_id"),
+      lit("a single probe document").as("text"),
+      lit("en").as("lang"), lit("srcX").as("source"))
+    val pruned = CuratePipeline.prunedNormBank(spark, base, one)
+    val planStr = pruned.queryExecution.sparkPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("substring_index"),
+      s"bucket predicate did not land in PartitionFilters:\n$planStr")
+    val full = Layout.loadLatest(spark, base, CuratePipeline.Frozen.NormBank)
+    val prunedN = pruned.count()
+    val fullN = full.count()
+    assert(prunedN > 0 && prunedN < fullN,
+      s"pruned read not a strict subset: $prunedN of $fullN")
+    // every pruned row is a bank row (⊂); COMPLETENESS of the pruned
+    // probe (no banked fp a delta could hit is ever missed) is proven
+    // functionally by the idempotent-resubmission test, which only
+    // passes if the pruned anti-join sees every resubmitted fp
+    assert(pruned.exceptAll(full.select("norm_fp")).isEmpty)
+  }
+
+  test("bench-gram bank appends one novel-grams batch partition per delta") {
+    acc // force the full run + one delta batch
+    val layer = CuratePipeline.Frozen.BenchGrams
+    val vBefore = Layout.committedVersions(spark, base, layer).last
+    val nBefore = Layout.loadLatest(spark, base, layer).count()
+    // the shared fixture's delta (doc_id%10==3) can never hold a
+    // benchmark member (doc_id%20==0), so drive a batch that does —
+    // with marker tokens guaranteeing novel trigrams
+    val batch = spark.range(1).select(
+      lit(9700000L).as("doc_id"),
+      lit("zzqx alpha zzqx beta zzqx gamma zzqx delta zzqx epsilon " +
+        "zzqx zeta fresh marker tokens").as("text"),
+      lit("en").as("lang"), lit("srcX").as("source"))
+    CuratePipeline.runIncremental(spark, batch, base)
+    val v = Layout.committedVersions(spark, base, layer).last
+    assert(v > vBefore, "no new bench-gram version appended")
+    val info = Merge.mergeInfo(spark, Layout.versionedDir(base, layer, v))
+    assert(info.nonEmpty, "bench-gram head version is not a merge append")
+    // exactly one new batch dir touched; b0000 inherited file-identical
+    assert(info.get.affected.size == 1 &&
+      info.get.affected.head != "batch=b0000",
+      s"unexpected touched dirs: ${info.get.affected}")
+    val eff = Merge.effectiveDirs(spark, base, layer, v)
+    val v1 = Layout.versionedDir(base, layer, 1)
+    assert(eff("batch=b0000").startsWith(v1 + "/"),
+      "initial gram batch was rewritten, not inherited")
+    // grams grew, and the bank stays distinct by construction
+    val bank = Layout.loadLatest(spark, base, layer)
+    assert(bank.count() > nBefore)
+    assert(bank.groupBy("g").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("banked docs win: exact twins and near-dups of existing keeps are dropped") {
     // exact twins: existing kept texts under fresh ids die at `exact`
     val keptTexts = Layout.loadLatest(spark, base, "curated/exact")

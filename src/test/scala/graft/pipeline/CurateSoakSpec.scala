@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ingest.{Layout, Merge}
+
+/** Multi-batch incremental soak (VERDICT r11, next-round #5): a full run
+  * on 60% of the sf0.001 corpus, then TEN sequential delta batches
+  * through [[CuratePipeline.runIncremental]], asserting the properties
+  * one batch cannot prove:
+  *
+  *  - per-batch accounting stays sane (raw counts exact, keeps monotone
+  *    through the gate stages) for every batch in the sequence;
+  *  - the near-dup index and norm bank grow by exactly one batch of
+  *    partitions per keeping batch — never a rewrite of an earlier
+  *    batch's dirs (the O(delta) append contract, sustained);
+  *  - the shards layer stays key-consistent (no duplicate (doc_id,
+  *    copy)) and its row count tracks the summed per-batch accounting;
+  *  - a MID-SEQUENCE resubmission of an already-curated batch is a
+  *    no-op: every doc dies at exact and no layer gains a version.
+  */
+class CurateSoakSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  // batches 0..9 = doc_id%25 ∈ {0..9}; the full run takes the rest
+  private def batchDocs(k: Int) = docs.filter(pmod(col("doc_id"), lit(25)) === k)
+
+  test("ten sequential delta batches: linear bank growth, flat semantics, mid-sequence resubmit no-op") {
+    val base = Files.createTempDirectory("graft_curate_soak").toString
+    CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(25)) >= 10), base)
+
+    def versionsOf(layer: String) =
+      Layout.committedVersions(spark, base, layer).last
+    def dirsOf(layer: String) =
+      Merge.effectiveDirs(spark, base, layer, versionsOf(layer)).keySet
+
+    var expectedShardRows = Layout.loadLatest(spark, base, "curated/shards").count()
+    val gateOrder = Seq("raw", "exact", "neardup", "quality", "decontam", "curriculum")
+
+    (0 until 10).foreach { k =>
+      val batch = batchDocs(k)
+      val nRaw = batch.count()
+      val idxDirsBefore = dirsOf(CuratePipeline.Frozen.NearDupIndex)
+      val bankDirsBefore = dirsOf(CuratePipeline.Frozen.NormBank)
+
+      val acc = CuratePipeline.runIncremental(spark, batch, base)
+        .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+
+      // accounting sanity, every batch
+      assert(acc("raw") == nRaw, s"batch $k raw ${acc("raw")} != $nRaw")
+      gateOrder.sliding(2).foreach { case Seq(a, b) =>
+        assert(acc(b) <= acc(a), s"batch $k: $b (${acc(b)}) > $a (${acc(a)})")
+      }
+      assert(acc("shards") == acc("mixture"), s"batch $k shards != mixture")
+      expectedShardRows += acc("shards")
+
+      // index growth: exactly one new batch dir per keeping batch, old
+      // dirs untouched
+      val idxDirs = dirsOf(CuratePipeline.Frozen.NearDupIndex)
+      if (acc("neardup") > 0) {
+        assert((idxDirs -- idxDirsBefore).size == 1,
+          s"batch $k: index gained ${(idxDirs -- idxDirsBefore).size} dirs")
+        assert((idxDirsBefore -- idxDirs).isEmpty, s"batch $k dropped index dirs")
+      } else assert(idxDirs == idxDirsBefore)
+
+      // norm bank growth: one new bNNNN batch of bucket dirs per keeping
+      // batch; earlier batches' buckets never touched
+      val bankDirs = dirsOf(CuratePipeline.Frozen.NormBank)
+      if (acc("exact") > 0) {
+        val newDirs = bankDirs -- bankDirsBefore
+        val prefixes = newDirs.map(_.replaceAll("-f\\d+$", ""))
+        assert(newDirs.nonEmpty && prefixes.size == 1,
+          s"batch $k: new bank dirs span batches $prefixes")
+        assert((bankDirsBefore -- bankDirs).isEmpty, s"batch $k dropped bank dirs")
+      } else assert(bankDirs == bankDirsBefore)
+
+      // mid-sequence resubmit: after batch 5, replay batch 2 — no-op
+      if (k == 5) {
+        val vIdx = versionsOf(CuratePipeline.Frozen.NearDupIndex)
+        val vBank = versionsOf(CuratePipeline.Frozen.NormBank)
+        val vShards = versionsOf("curated/shards")
+        val acc2 = CuratePipeline.runIncremental(spark, batchDocs(2), base)
+          .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+        CuratePipeline.StageNames.drop(1).foreach { s =>
+          assert(acc2(s) == 0L, s"resubmitted batch leaked ${acc2(s)} into $s")
+        }
+        assert(versionsOf(CuratePipeline.Frozen.NearDupIndex) == vIdx &&
+          versionsOf(CuratePipeline.Frozen.NormBank) == vBank &&
+          versionsOf("curated/shards") == vShards,
+          "resubmission published a version — not a no-op")
+      }
+    }
+
+    // shards layer: key-consistent and row count == full + Σ deltas
+    val shards = Layout.loadLatest(spark, base, "curated/shards")
+    assert(shards.count() == expectedShardRows)
+    assert(shards.groupBy("doc_id", "copy").count()
+      .filter(col("count") > 1).count() == 0)
+
+    // the bank's fps stay globally distinct across all ten appends
+    val bank = Layout.loadLatest(spark, base, CuratePipeline.Frozen.NormBank)
+    assert(bank.groupBy("norm_fp").count().filter(col("count") > 1).count() == 0)
+  }
+}
