@@ -357,12 +357,20 @@ object CuratePipeline {
     * `curated/<stage>` [[Layout]] version (shards partitioned by
     * shard_key), with each stage READING BACK the previous stage's
     * published files — so a stage costs itself once, the chain restarts
-    * from any committed prefix, and a crash mid-stage leaves only an
-    * unpublished version behind (vacuum reclaims it). Also persists the
-    * [[Frozen]] parameter layers the incremental path applies. Returns
-    * the accounting table, itself committed as `curated/accounting`. */
+    * from any committed prefix (`resume = true` reuses the longest
+    * contiguous committed stage prefix and recomputes from the first
+    * gap; CrashRecoverySpec kills the chain between commits and proves
+    * the restart recomputes only the unfinished suffix), and a crash
+    * mid-stage leaves only an unpublished version behind (vacuum
+    * reclaims it). Also persists the [[Frozen]] parameter layers the
+    * incremental path applies. Returns the accounting table, itself
+    * committed as `curated/accounting`. */
   def run(spark: SparkSession, docs: DataFrame, base: String,
-      cfg0: CurateConfig = CurateConfig()): DataFrame = {
+      cfg0: CurateConfig = CurateConfig(), resume: Boolean = false,
+      /** Test seam (CrashRecoverySpec): abort right after the named
+        * stage's commit — the exact state a driver kill between stage
+        * commits leaves behind. Never set in production. */
+      crashAfterStage: Option[String] = None): DataFrame = {
     // run() always persists the norm bank — carry the fp on the exact
     // layer so the bank derivation is a column select, not a re-hash
     val cfg = cfg0.copy(bankNormFp = true)
@@ -370,12 +378,28 @@ object CuratePipeline {
     val materialized = Seq.newBuilder[(String, DataFrame)]
     materialized += ("raw" -> raw)
     var prev = raw
+    // resume=true (crash recovery): reuse the longest CONTIGUOUS prefix
+    // of already-committed stage layers instead of recomputing them —
+    // a crash mid-stage left only an uncommitted version behind
+    // (invisible to loadLatest; vacuum reclaims it), so the committed
+    // prefix is exactly the work that finished. Only pass resume after
+    // a crashed run over the SAME input: a committed stage is reused
+    // as-is, never revalidated against `docs`.
+    var resuming = resume
     transitions(cfg).foreach { case (name, f) =>
-      val parts = if (name == "shards") Seq("shard_key") else Nil
-      val dir = Layout.writeVersioned(f(raw, prev), base, s"curated/$name",
-        partitionCols = parts)
-      prev = spark.read.parquet(dir)
+      val layer = s"curated/$name"
+      if (resuming && Layout.committedVersions(spark, base, layer).nonEmpty) {
+        prev = Layout.loadLatest(spark, base, layer)
+      } else {
+        resuming = false // recompute everything past the first gap
+        val parts = if (name == "shards") Seq("shard_key") else Nil
+        val dir = Layout.writeVersioned(f(raw, prev), base, layer,
+          partitionCols = parts)
+        prev = spark.read.parquet(dir)
+      }
       materialized += (name -> prev)
+      if (crashAfterStage.contains(name))
+        throw new IllegalStateException(s"simulated crash after $name commit")
     }
     val frames = materialized.result().toMap
     // frozen parameters for the incremental path

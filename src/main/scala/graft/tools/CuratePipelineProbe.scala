@@ -41,6 +41,36 @@ object CuratePipelineProbe {
       // per-stage accounting for the SCALE.md table
       accFull.foreach(r => println(s"FULL  ${r.mkString(" ")}"))
       accDelta.foreach(r => println(s"DELTA ${r.mkString(" ")}"))
+
+      // fp-bucket pruning: bank bytes a delta probe reads vs bank total,
+      // for the 1% delta and for a 5-doc microbatch (the small-frequent-
+      // batch case the bucketing exists for)
+      import graft.functions.{Hashes, TextFunctions => TF}
+      import graft.pipeline.{CuratePipeline => CP}
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        val s = java.nio.file.Files.walk(root)
+        try {
+          val it = s.iterator(); var n = 0L
+          while (it.hasNext) { val q = it.next()
+            if (java.nio.file.Files.isRegularFile(q)) n += java.nio.file.Files.size(q) }
+          n
+        } finally s.close()
+      }
+      val v = graft.ingest.Layout.committedVersions(spark, base, CP.Frozen.NormBank).last
+      val eff = graft.ingest.Merge.effectiveDirs(spark, base, CP.Frozen.NormBank, v)
+      val total = eff.values.map(dirBytes).sum
+      Seq("delta1pct" -> delta, "micro5doc" -> delta.limit(5)).foreach { case (label, d) =>
+        val hit = d.select(pmod(
+            Hashes.polyHash(TF.normalizeWs(col("text"))) * lit(2147483648L) +
+            Hashes.polyHash2(TF.normalizeWs(col("text"))),
+            lit(CP.NormBankBuckets.toLong)).as("b"))
+          .distinct().collect().map(r => f"f${r.getLong(0)}%02d").toSet
+        val pruned = eff.filter { case (name, _) =>
+          hit.exists(sfx => name.endsWith("-" + sfx)) }.values.map(dirBytes).sum
+        println(f"PROBE bank-prune $label%-10s buckets=${hit.size}/${CP.NormBankBuckets} " +
+          f"bytes=$pruned%,d of $total%,d (${100.0 * pruned / math.max(total, 1)}%.1f%%)")
+      }
     } finally spark.stop()
   }
 }
