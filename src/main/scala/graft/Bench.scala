@@ -740,7 +740,17 @@ object Bench {
     val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
     val canaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     var stealRetries = 0
-    val canaryGateMs = sys.env.get("SPARK_GRAFT_CANARY_MAX_MS").map(_.toDouble)
+    // Canary gate ON BY DEFAULT since r12 (the r11 verdict's #2: three
+    // rounds of official records never caught a fully-quiet window
+    // because the gate was opt-in). 105 ms ≈ 1.15× the 91 ms quiet
+    // baseline (docs/SCALE.md); a polluted attempt re-runs like a
+    // steal-polluted one and the best-attempt pick prefers canary-clean.
+    // SPARK_GRAFT_CANARY_MAX_MS overrides; "off" disables.
+    val canaryGateMs = sys.env.get("SPARK_GRAFT_CANARY_MAX_MS") match {
+      case Some("off") => None
+      case Some(v) => Some(v.toDouble)
+      case None => Some(105.0)
+    }
     def gatedPhase(name: String): Option[String] = {
       // keep the best attempt, not the last: on a box where contention
       // comes in waves, attempt 2 can be clean and attempt 3 polluted

@@ -174,13 +174,31 @@ object Main {
         val Array(_, docsPath, lakeDir) = args.take(3)
         val docs = spark.read.parquet(docsPath)
           .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        val acc = graft.pipeline.CuratePipeline.run(spark, docs, lakeDir)
+        // --resume: crash recovery — reuse the longest contiguous
+        // committed stage prefix, recompute from the first gap
+        val acc = graft.pipeline.CuratePipeline.run(spark, docs, lakeDir,
+          resume = args.contains("--resume"))
         acc.collect().foreach { r =>
           println(f"${r.getAs[String]("stage")}%-12s docs=${r.getAs[Long]("n_docs")}%-8d " +
             f"tokens=${r.getAs[Long]("n_tokens")}%-10d id_sum=${r.getAs[Long]("id_sum")}")
         }
         println(s"curated lake written under $lakeDir/curated " +
           s"(stages: ${graft.pipeline.CuratePipeline.StageNames.drop(1).mkString(", ")})")
+
+      case "curate-delta" =>
+        // the incremental curation run (X130): curate a delta batch
+        // against a curate-apply lake at delta-proportional cost —
+        // frozen parameters applied, banked docs win dedup contests,
+        // MERGE-appended layers (the q123-oracle-replayed keep chain)
+        val Array(_, docsPath, lakeDir) = args.take(3)
+        val delta = spark.read.parquet(docsPath)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val acc = graft.pipeline.CuratePipeline.runIncremental(spark, delta, lakeDir)
+        acc.collect().foreach { r =>
+          println(f"${r.getAs[String]("stage")}%-12s docs=${r.getAs[Long]("n_docs")}%-8d " +
+            f"tokens=${r.getAs[Long]("n_tokens")}%-10d id_sum=${r.getAs[Long]("id_sum")}")
+        }
+        println(s"delta batch curated into $lakeDir/curated")
 
       // ---- lakehouse table maintenance (Layout/Merge/ZOrder) ---------
 
@@ -271,7 +289,8 @@ object Main {
       |  quality <lakeDir> [thresholdsConfig]
       |  snapshot <lakeDir> <snapshotsDir> <version>
       |  curate <documentsParquet> <outDir>
-      |  curate-apply <documentsParquet> <lakeDir>
+      |  curate-apply <documentsParquet> <lakeDir> [--resume]
+      |  curate-delta <documentsParquet> <lakeDir>
       |  compact <lakeDir> <layer> [sortCol]
       |  vacuum <lakeDir> <layer>
       |  rollback <lakeDir> <layer> <keepVersion>

@@ -26,4 +26,21 @@ class CurateCliSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name report is empty")
     }
   }
+
+  test("curate-apply then curate-delta drive the composed run end to end") {
+    import org.apache.spark.sql.functions._
+    val lake = Files.createTempDirectory("graft_curate_lake").toString
+    val full = Files.createTempDirectory("graft_curate_full").toString + "/docs"
+    val delta = Files.createTempDirectory("graft_curate_delta").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 3).write.parquet(full)
+    docs.filter(pmod(col("doc_id"), lit(10)) === 3).write.parquet(delta)
+    Main.run(spark, Array("curate-apply", full, lake))
+    val acc = spark.read.parquet(s"$lake/curated/accounting/v1")
+    assert(acc.count() == 8)
+    Main.run(spark, Array("curate-delta", delta, lake))
+    // the delta MERGEd into the shards layer: a new committed version
+    assert(graft.ingest.Layout
+      .committedVersions(spark, lake, "curated/shards").size >= 2)
+  }
 }
