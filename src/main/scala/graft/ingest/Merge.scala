@@ -121,6 +121,22 @@ object Merge {
     }
   }
 
+  /** Depth of the merge-inheritance chain behind a layer's latest
+    * committed version (0 = self-contained). Every [[readResolved]] of
+    * a merged version unions one root per chain link and lists each
+    * link's partition dirs, so reads cost O(depth) — a long-running
+    * append workload must compact periodically ([[graft.ingest.Layout.compact]]
+    * flattens the chain; the manifest-checkpoint analog of a real table
+    * format). */
+  def chainDepth(spark: SparkSession, base: String, layer: String): Int = {
+    def depth(v: Int): Int =
+      mergeInfo(spark, Layout.versionedDir(base, layer, v)) match {
+        case None => 0
+        case Some(info) => 1 + depth(info.baseVersion)
+      }
+    Layout.committedVersions(spark, base, layer).lastOption.map(depth).getOrElse(0)
+  }
+
   /** Versions that committed merge chains still reference — vacuum must
     * not reclaim these even if they were themselves unpublished by a
     * rollback. */

@@ -525,8 +525,34 @@ object CuratePipeline {
       Merge.merge(spark, base, Frozen.BenchGrams, novelBenchGrams,
         Seq("g"), "batch")
 
+    // periodic chain compaction (the manifest-checkpoint analog): every
+    // MERGE append deepens a layer's inheritance chain, and every read
+    // of a merged layer unions one root per link — measured on the sf1
+    // soak as +50% cost-per-batch creep by batch 10. Flattening the
+    // chain once it reaches CompactChainDepth bounds read cost at
+    // O(depth cap) and amortizes the rewrite over the window. At
+    // 100 TB the PARAMETER layers (bank/index/grams: bytes ∝ docs ×
+    // tens of bytes) compact whole as here; the shards DATA layer is
+    // where a real table format's manifest/partition-selective rewrite
+    // replaces this analog — Layout.compact is still partition-aware
+    // (range-packs within shard_key), but whole-layer, so its cadence
+    // is the operator's knob.
+    Seq(("curated/shards", Seq("shard_key")),
+      (Frozen.NearDupIndex, Seq("batch")),
+      (Frozen.NormBank, Seq("bucket")),
+      (Frozen.BenchGrams, Seq("batch"))).foreach { case (layer, parts) =>
+      if (Merge.chainDepth(spark, base, layer) >= CompactChainDepth)
+        Layout.compact(spark, base, layer, partitionCols = parts)
+    }
+
     accounting(st.map { case (n, df) => (n, if (n == "shards") shardDelta else df) })
   }
+
+  /** Merge-chain depth at which [[runIncremental]] flattens a layer
+    * (Layout.compact) — reads of a merged layer cost O(chain depth), so
+    * unbounded append-only operation would creep O(batches). 8 keeps the
+    * amortized rewrite under ~1/8 of layer bytes per batch. */
+  val CompactChainDepth = 8
 
   /** The frozen corpus-fitted parameters the incremental path applies —
     * [[runIncremental]] loads them from the [[Frozen]] layers;

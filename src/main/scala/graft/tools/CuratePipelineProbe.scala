@@ -10,11 +10,37 @@ import org.apache.spark.sql.functions._
   *   runMain graft.tools.CuratePipelineProbe [sfDir]
   */
 object CuratePipelineProbe {
+
+  /** Soak mode (`soak` as arg 2): full run on the doc_id%100>=10 side,
+    * then TEN sequential 1%-slice delta batches — prints per-batch wall
+    * seconds and kept-shard rows so SCALE.md can show cost-per-batch
+    * staying flat (the bank grows 10×, the probe must not). */
+  private def soak(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_soak").toString
+    val docs = graft.Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val t0 = System.nanoTime()
+    graft.pipeline.CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(100)) >= 10), base)
+    println(f"SOAK full(90%%): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    (0 until 10).foreach { k =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(100)) === k)
+      val t1 = System.nanoTime()
+      val acc = graft.pipeline.CuratePipeline.runIncremental(spark, batch, base)
+        .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+      println(f"SOAK batch$k%02d: ${(System.nanoTime() - t1) / 1e9}%5.1f s  " +
+        f"raw=${acc("raw")}%-6d kept_shards=${acc("shards")}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val spark = graft.GraftSession.create()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("soak")) {
+      try soak(spark, dir) finally spark.stop()
+      return
+    }
     try {
       val base = java.nio.file.Files.createTempDirectory("graft_curate_probe").toString
       val docs = graft.Tables.documentsSpread(spark, dir)

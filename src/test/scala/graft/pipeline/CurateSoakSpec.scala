@@ -82,6 +82,18 @@ class CurateSoakSpec extends AnyFunSuite {
         assert((bankDirsBefore -- bankDirs).isEmpty, s"batch $k dropped bank dirs")
       } else assert(bankDirs == bankDirsBefore)
 
+      // merge-chain depth stays bounded: reads of a merged layer cost
+      // O(chain), so runIncremental flattens (Layout.compact) at the
+      // CompactChainDepth threshold — 10 appends must never leave a
+      // deeper chain behind
+      Seq("curated/shards", CuratePipeline.Frozen.NearDupIndex,
+        CuratePipeline.Frozen.NormBank, CuratePipeline.Frozen.BenchGrams)
+        .foreach { l =>
+          val d = Merge.chainDepth(spark, base, l)
+          assert(d < CuratePipeline.CompactChainDepth,
+            s"batch $k: $l merge chain depth $d not bounded")
+        }
+
       // mid-sequence resubmit: after batch 5, replay batch 2 — no-op
       if (k == 5) {
         val vIdx = versionsOf(CuratePipeline.Frozen.NearDupIndex)
