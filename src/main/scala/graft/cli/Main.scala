@@ -202,6 +202,35 @@ object Main {
 
       // ---- lakehouse table maintenance (Layout/Merge/ZOrder) ---------
 
+      case "lake-status" =>
+        // ops surface: every layer's committed/total versions, attested
+        // row count (commit-marker metadata — no data reads), merge-chain
+        // depth (compaction pressure; reads cost O(depth)), and effective
+        // partition-dir count
+        val base = args(1)
+        val layers = graft.ingest.Layout.listLayers(spark, base)
+        if (layers.isEmpty) println(s"no layers under $base")
+        else {
+          println(f"${"layer"}%-30s ${"versions"}%-9s ${"head"}%-6s " +
+            f"${"rows"}%-10s ${"chain"}%-6s partitions")
+          layers.foreach { l =>
+            val all = graft.ingest.Layout.versions(spark, base, l)
+            val committed = graft.ingest.Layout.committedVersions(spark, base, l)
+            committed.lastOption match {
+              case None =>
+                println(f"$l%-30s 0/${all.size}%-7s (uncommitted only)")
+              case Some(v) =>
+                val rows = graft.ingest.Layout.committedRowCount(spark,
+                  graft.ingest.Layout.versionedDir(base, l, v))
+                  .map(_.toString).getOrElse("?")
+                val depth = graft.ingest.Merge.chainDepth(spark, base, l)
+                val parts = graft.ingest.Merge.effectiveDirs(spark, base, l, v).size
+                println(f"$l%-30s ${committed.size}/${all.size}%-7s v$v%-5s " +
+                  f"$rows%-10s $depth%-6d $parts")
+            }
+          }
+        }
+
       case "compact" =>
         val Array(_, base, layer) = args.take(3)
         val sortCol = if (args.length > 3) Some(args(3)) else None
@@ -291,6 +320,7 @@ object Main {
       |  curate <documentsParquet> <outDir>
       |  curate-apply <documentsParquet> <lakeDir> [--resume]
       |  curate-delta <documentsParquet> <lakeDir>
+      |  lake-status <lakeDir>
       |  compact <lakeDir> <layer> [sortCol]
       |  vacuum <lakeDir> <layer>
       |  rollback <lakeDir> <layer> <keepVersion>

@@ -53,6 +53,40 @@ object Layout {
   def latestVersion(spark: SparkSession, base: String, layer: String): Option[Int] =
     versions(spark, base, layer).lastOption
 
+  /** Layers under `base`: directories (searched to `maxDepth`) holding
+    * at least one `vN` version subdirectory — the lake's table listing
+    * (S14's catalog surface generalized to any Layout lake). Pure
+    * metadata: one directory listing per visited dir, no data reads. */
+  def listLayers(spark: SparkSession, base: String, maxDepth: Int = 3): Seq[String] = {
+    val f = fs(spark, base)
+    val root = new Path(base)
+    if (!f.exists(root)) return Nil
+    def walk(p: Path, depth: Int): Seq[String] = {
+      val kids = f.listStatus(p).toSeq.filter(_.isDirectory)
+      val isLayer = kids.exists(_.getPath.getName.matches("v\\d+"))
+      val rel = root.toUri.relativize(p.toUri).getPath.stripSuffix("/")
+      (if (isLayer && rel.nonEmpty) Seq(rel) else Nil) ++
+        (if (depth < maxDepth)
+          kids.filterNot(_.getPath.getName.matches("v\\d+"))
+            .flatMap(k => walk(k.getPath, depth + 1))
+         else Nil)
+    }
+    walk(root, 0).sorted
+  }
+
+  /** The row count a committed version's marker attests (None when the
+    * marker is absent or predates row-count attestation). */
+  def committedRowCount(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(dir, CommitMarker)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      """"row_count"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+  }
+
   /** Versions whose commit marker exists — the only ones readers see. */
   def committedVersions(spark: SparkSession, base: String, layer: String): Seq[Int] =
     versions(spark, base, layer)

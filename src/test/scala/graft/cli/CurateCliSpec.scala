@@ -42,5 +42,17 @@ class CurateCliSpec extends AnyFunSuite {
     // the delta MERGEd into the shards layer: a new committed version
     assert(graft.ingest.Layout
       .committedVersions(spark, lake, "curated/shards").size >= 2)
+
+    // lake-status reports every curated layer with committed versions,
+    // attested rows, chain depth and partition counts
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Array("lake-status", lake))
+    }
+    val status = out.toString
+    Seq("curated/shards", "curated/norm_bank", "curated/neardup_index",
+      "curated/bench_grams", "curated/accounting").foreach { l =>
+      assert(status.contains(l), s"lake-status missing $l:\n$status")
+    }
   }
 }
