@@ -751,6 +751,12 @@ object Bench {
       case Some(v) => Some(v.toDouble)
       case None => Some(105.0)
     }
+    // SPARK_GRAFT_BENCH_ATTEMPTS=1 pins single-pass timing for ladder
+    // runs where RATIOS are the product and a 3x retry budget would not
+    // fit the window — the kept attempt's steal/canary stay on the
+    // record either way, so a polluted single pass is still labeled
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .map(_.toInt).getOrElse(3).max(1)
     def gatedPhase(name: String): Option[String] = {
       // keep the best attempt, not the last: on a box where contention
       // comes in waves, attempt 2 can be clean and attempt 3 polluted
@@ -778,7 +784,7 @@ object Bench {
         }
         val polluted = steal > math.max(2.0, 0.05 * wall) ||
           canaryGateMs.exists(canary > _)
-        if (polluted && attempt < 3 && result.nonEmpty) {
+        if (polluted && attempt < maxAttempts && result.nonEmpty) {
           System.err.println(f"[bench] phase '$name' lost $steal%.1f CPU-s " +
             f"to steal over $wall%.0f s wall (canary $canary%.0f ms, " +
             f"attempt $attempt) — retrying")
