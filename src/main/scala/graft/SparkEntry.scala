@@ -338,6 +338,41 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** X131 end-to-end through the persisted per-cell HNSW graph index,
+    * exhaustively probed (nProbe = nCells, efSearch ≥ cell size): the
+    * backbone-connected layer-0 graph makes the beam search visit every
+    * node, so the result must reproduce the q18 brute-force oracle
+    * bit-for-bit — the same oracle gate q56 puts on the IVF path, here
+    * gating the whole graph build→persist→load→search chain
+    * (faiss_builder.py:60-147's HNSW artifact, re-expressed as a
+    * parquet graph table + distributed beam search). The serving-shaped
+    * configuration's recall/throughput trade is measured in
+    * HnswIndexSpec and the bench hnsw phase. */
+  private val hnswIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    sys.addShutdownHook {
+      hnswIndexDirs.values().forEach { d =>
+        try org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(d))
+        catch { case _: Exception => () }
+      }
+    }
+  }
+  def knnHnsw(spark: SparkSession, dir: String): DataFrame = {
+    val idx = hnswIndexDirs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hnsw-").toString
+      graft.index.HnswIndex.build(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16, tmp,
+        m = 8, efConstruction = 64)
+      tmp
+    })
+    val q = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 9L)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
+    graft.index.HnswIndex.search(spark, idx, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 16)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** MinHash-LSH near-dup candidates with exact-Jaccard verification
     * (the scale path for integrity.py:551-616's O(n²) fuzzy dedup).
     * Word-bigram shingles, k=12 minhashes in 3 bands of 4 — poly-hash based
@@ -1919,6 +1954,7 @@ object SparkEntry {
     "q121_gopher_rules" -> gopherRulesQuery _,
     "q122_curate_pipeline" -> curatePipelineQuery _,
     "q123_incremental_curate" -> incrementalCurateQuery _,
+    "q124_knn_hnsw" -> knnHnsw _,
   )
 
   private val stopwordsSqlList: String =
@@ -3015,6 +3051,11 @@ object SparkEntry {
     // exhaustive probing (nProbe = nCells) makes the IVF search exact,
     // so its oracle is the same brute-force top-k as q18
     "q56_knn_ivf" -> knnOracleSql,
+
+    // exhaustive probing plus efSearch ≥ cell size makes the per-cell
+    // HNSW beam search visit every node of its backbone-connected
+    // layer-0 graph — same brute-force oracle as q18/q56
+    "q124_knn_hnsw" -> knnOracleSql,
 
     "q57_decontamination" ->
       s"""WITH t0 AS (

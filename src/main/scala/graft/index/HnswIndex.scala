@@ -1,0 +1,619 @@
+package graft.index
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Guards, Similarity}
+
+/** X131 — graph-based ANN: an HNSW graph per IVF cell, stored
+  * relationally (reference: indexing/faiss_builder.py:60-147 builds a
+  * FAISS HNSW index as a single-process artifact; here the graph is a
+  * parquet table partitioned by `cell_id`, so build, load and serving
+  * are ordinary distributed Spark jobs).
+  *
+  * Shape: the corpus is coarse-quantized with the SAME trainer the IVF
+  * index uses ([[Similarity.trainIvfCentroids]]), then each cell's
+  * vectors get an in-memory HNSW graph built in one `flatMapGroups`
+  * pass — cells build in parallel across executors, nothing
+  * corpus-sized ever sits on one node (a cell must fit an executor,
+  * the exact constraint the IVF cell layout already carries). Serving
+  * routes each query to its nProbe nearest cells (same routing kernel
+  * as IVF) and beam-searches only those cells' resident graphs;
+  * candidates from all probed cells merge through the bounded-heap
+  * [[Similarity.perQueryTopK]]. One bounded shuffle per batch — the
+  * ≤ k rows per (query, cell) feeding the final top-k — exactly the
+  * IVF search's shape; the graph's win over the IVF cell scan is
+  * inside the cell: ~ef·log(cellN)·degree distance computations
+  * instead of cellN.
+  *
+  * Determinism: node levels come from a splitmix64 hash of (seed, id),
+  * insertion order is id-ascending, and every tie in the build and the
+  * search breaks on (sim desc, position asc) — two builds of the same
+  * corpus are byte-identical, so specs can pin the artifact.
+  *
+  * Exactness gate (the q56 device, q124): layer-0 adjacency always
+  * keeps a "backbone" edge between insertion neighbors (pos ↔ pos−1,
+  * exempt from degree pruning), so every cell graph is connected by
+  * construction. A search with nProbe = nCells and efSearch ≥ cell
+  * size therefore visits EVERY node and must reproduce the q18
+  * brute-force oracle bit-for-bit — the in-cell kernels replay
+  * [[graft.expressions.VecDotD]]'s accumulation order exactly, and
+  * rounding happens in the Spark plan (`round(sim, 6)`), never in
+  * executor-side Scala, so cosine values are bit-identical to the
+  * exact path's.
+  */
+object HnswIndex {
+
+  final case class Paths(dir: String) {
+    def centroids: String = s"$dir/centroids.parquet"
+    def graph: String = s"$dir/graph.parquet"
+    def metadata: String = s"$dir/metadata.json"
+  }
+
+  /** One indexed vector: `nbrs(layer)` holds neighbor POSITIONS within
+    * the cell's id-sorted order (compact, O(1) to walk at load). */
+  private[index] final case class NodeRow(cell_id: Int, _id: Long,
+      _v: Seq[Double], _nn: Double, top_layer: Int, nbrs: Seq[Seq[Int]])
+
+  /** A whole cell's graph in CSR form — flat primitive arrays only, so
+    * the encoder stays simple and the search walk never boxes.
+    * Adjacency of (pos, layer): segment `nodeBase(pos) + layer` of
+    * `adjData`, bounds `adjOff(seg) until adjOff(seg + 1)`. */
+  private[index] final case class CellGraph(cellId: Int, ids: Array[Long],
+      norms: Array[Double], topLayer: Array[Int], dim: Int,
+      vecs: Array[Double], // flattened row-major: node pos * dim
+      nodeBase: Array[Int], // per node: first layer-segment index; length n+1
+      adjOff: Array[Int], // per layer-segment: offset into adjData
+      adjData: Array[Int], // concatenated neighbor position lists
+      entry: Int, maxLevel: Int) {
+    def n: Int = ids.length
+  }
+
+  private def isComplete(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---------------------------------------------------------------- build
+
+  /** Build and persist: train/assign through the shared IVF trainer,
+    * then build one HNSW graph per cell in a single grouped pass. Each
+    * cell lands whole in one task (hash partitioning on the group key
+    * never splits a key), so the per-cell builder is plain in-memory
+    * Scala and the output keeps one file per cell directory. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      outDir: String, m: Int = 8, efConstruction: Int = 64,
+      seed: Long = 42L): Unit = {
+    val p = Paths(outDir)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val n = vectors.count()
+    val cents = Similarity.trainIvfCentroids(
+      vectors, idCol, vecCol, nCells, knownN = Some(n))
+    cents.write.mode("overwrite").parquet(p.centroids)
+    val assigned = Similarity.assignToNearest(
+      vectors.select(col(idCol).as("_id"),
+        graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
+      cents)
+    val mm = m
+    val efc = efConstruction
+    val sd = seed
+    val nodes = assigned.select(col("cell_id").cast("int"), col("_id"), col("_v"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(_._2) // id order = canonical positions
+        val dim = if (rows.isEmpty) 0 else rows.head._3.length
+        val b = new CellBuilder(dim, mm, efc, sd, rows.length)
+        var i = 0
+        while (i < rows.length) {
+          b.add(rows(i)._2, rows(i)._3.toArray); i += 1
+        }
+        b.buildAll()
+        rows.indices.iterator.map { pos =>
+          NodeRow(cell, b.ids(pos), rows(pos)._3, b.norms(pos),
+            b.topLayer(pos), b.adj(pos).map(_.toSeq).toSeq)
+        }
+      }
+    nodes.toDF().write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+    writeMetadata(spark, p, n, nCells, m, efConstruction, seed)
+  }
+
+  private def writeMetadata(spark: SparkSession, p: Paths, n: Long,
+      nCells: Int, m: Int, efC: Int, seed: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p.metadata)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write((s"""{"n_vectors": $n, "n_cells": $nCells, "m": $m, """ +
+      s""""ef_construction": $efC, "seed": $seed, "metric": "cosine"}""")
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  // ------------------------------------------------------------- serving
+
+  /** The loaded graph is a bounded number of cell-sized rows that a
+    * serving loop reads on EVERY batch — persist the grouped dataset
+    * and key the cache on the artifact's _SUCCESS mtime (the same
+    * residency + invalidation device as the IVF centroid cache): a
+    * rebuild rewrites the marker, evicts the superseded entry, and
+    * unpersists its executor blocks. */
+  private val graphCache = new TrieMap[(String, Long), Dataset[CellGraph]]
+
+  private[index] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
+    import spark.implicits._
+    def load(): Dataset[CellGraph] = {
+      val ds = spark.read.parquet(p.graph)
+        .select(col("cell_id").cast("int"), col("_id"), col("_v"), col("_nn"),
+          col("top_layer"), col("nbrs"))
+        .as[(Int, Long, Seq[Double], Double, Int, Seq[Seq[Int]])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val n = rows.length
+          val dim = if (n == 0) 0 else rows.head._3.length
+          val ids = new Array[Long](n)
+          val norms = new Array[Double](n)
+          val top = new Array[Int](n)
+          val vecs = new Array[Double](n * dim)
+          val nodeBase = new Array[Int](n + 1)
+          var entry = -1
+          var maxLevel = -1
+          var i = 0
+          var segs = 0
+          var edges = 0
+          while (i < n) {
+            val r = rows(i)
+            ids(i) = r._2; norms(i) = r._4; top(i) = r._5
+            val v = r._3
+            var j = 0
+            while (j < dim) { vecs(i * dim + j) = v(j); j += 1 }
+            nodeBase(i) = segs
+            segs += r._6.length
+            r._6.foreach(l => edges += l.length)
+            if (r._5 > maxLevel) { maxLevel = r._5; entry = i }
+            i += 1
+          }
+          nodeBase(n) = segs
+          val adjOff = new Array[Int](segs + 1)
+          val adjData = new Array[Int](edges)
+          var seg = 0
+          var e = 0
+          i = 0
+          while (i < n) {
+            rows(i)._6.foreach { lst =>
+              adjOff(seg) = e
+              lst.foreach { nb => adjData(e) = nb; e += 1 }
+              seg += 1
+            }
+            i += 1
+          }
+          adjOff(segs) = e
+          CellGraph(cell, ids, norms, top, dim, vecs, nodeBase, adjOff,
+            adjData, entry, maxLevel)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ds.count() // materialize: serving batches never pay the group shuffle
+      ds
+    }
+    val marker = new org.apache.hadoop.fs.Path(p.graph, "_SUCCESS")
+    val mtime =
+      try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(marker).getModificationTime
+      catch { case _: Exception => -1L }
+    if (mtime < 0) load()
+    else graphCache.getOrElseUpdate((p.graph, mtime), {
+      graphCache.keys.filter(k => k._1 == p.graph && k._2 != mtime).foreach { k =>
+        graphCache.remove(k).foreach(_.unpersist())
+      }
+      load()
+    })
+  }
+
+  /** Drop the resident graph for `outDir` (tests / bounded-memory callers). */
+  def evict(outDir: String): Unit = {
+    val g = Paths(outDir).graph
+    graphCache.keys.filter(_._1 == g).foreach { k =>
+      graphCache.remove(k).foreach(_.unpersist())
+    }
+  }
+
+  /** Search the persisted index: route each query to its nProbe nearest
+    * cells (driver replay of the IVF probe kernel — the model is
+    * nCells rows), beam-search those cells' resident graphs with
+    * `efSearch`, merge through the bounded top-k heap. The query side
+    * is a bounded serving batch (same contract as
+    * [[Similarity.topKExact]]); the corpus side never leaves its
+    * executors. `efSearch ≥ cell size` (e.g. Int.MaxValue) plus
+    * `nProbe = nCells` is the exhaustive, oracle-exact configuration. */
+  def search(spark: SparkSession, outDir: String, queries: DataFrame, k: Int,
+      efSearch: Int, nProbe: Int, maxQueries: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    val p = Paths(outDir)
+    if (!isComplete(spark, p.graph))
+      throw new IllegalStateException(
+        s"index at $outDir is incomplete (no _SUCCESS in ${p.graph}) — " +
+          "a writer crashed mid-build; rebuild from the corpus")
+    Guards.requireAtMost(queries, maxQueries, "HnswIndex.search",
+      "serve in bounded batches — the query side of a graph search is " +
+        "collected for per-cell routing")
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cents = spark.read.parquet(p.centroids)
+      .select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centVecs = cents.map(_._2)
+    val invNorms = centVecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    }
+    // per-query probe list -> per-cell query index lists
+    val routed = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < qRows.length) {
+      val cellPos = probeCellPositions(qRows(qi)._2, centVecs, invNorms, nProbe)
+      var j = 0
+      while (j < cellPos.length) {
+        routed.getOrElseUpdate(cents(cellPos(j))._1, mutable.ArrayBuffer.empty) += qi
+        j += 1
+      }
+      qi += 1
+    }
+    val routedImm: Map[Int, Array[Int]] = routed.map { case (c, b) => (c, b.toArray) }.toMap
+    val probedCells = routedImm.keys.toSeq
+    val bq = spark.sparkContext.broadcast((qRows, routedImm))
+    val kk = k
+    val ef = efSearch
+    val sims = loadGraph(spark, p)
+      .filter(col("cellId").isin(probedCells: _*))
+      .flatMap { g =>
+        val (qs, routing) = bq.value
+        routing.getOrElse(g.cellId, Array.empty[Int]).iterator.flatMap { idx =>
+          val (qid, qv) = qs(idx)
+          searchCell(g, qv, ef, kk, qid).iterator
+            .map { case (nid, sim) => (qid, nid, sim) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim_raw")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim_raw"), 6).as("sim"))
+    Similarity.perQueryTopK(sims, k)
+  }
+
+  /** Driver replay of [[graft.expressions.CellKernels.probeCells]]:
+    * top-nProbe cell positions by (dot/‖cent‖ desc, position asc). */
+  private def probeCellPositions(q: Array[Double], cents: Array[Array[Double]],
+      invNorms: Array[Double], nProbe: Int): Array[Int] = {
+    val m = cents.length
+    val scores = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cent = cents(c)
+      val n = math.min(q.length, cent.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += q(i) * cent(i); i += 1 }
+      scores(c) = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      c += 1
+    }
+    val np = math.min(nProbe, m)
+    val out = new Array[Int](np)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < np) {
+      var best = -1; var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < m) {
+        if (!used(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        i += 1
+      }
+      used(best) = true; out(r) = best; r += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------- in-cell kernels
+
+  /** Ranking key: smaller is better. NaN cosine (zero-norm row) maps to
+    * −∞ so it ranks FIRST — the exact path's SQL-DESC NaN placement
+    * ([[Similarity.perQueryTopK]]'s sort key), replicated so the
+    * exhaustive configuration stays bit-compatible on degenerate rows. */
+  @inline private def rankKey(sim: Double): Double =
+    if (sim.isNaN) Double.NegativeInfinity else -sim
+
+  @inline private def better(k1: Double, p1: Int, k2: Double, p2: Int): Boolean =
+    k1 < k2 || (k1 == k2 && p1 < p2)
+
+  private val candOrd: Ordering[(Double, Int)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+
+  /** Beam-search one cell for one query; returns (neighbor_id, rawSim)
+    * candidates. With ef ≥ n every node is returned (minus the query's
+    * own id) — exactness relies on the backbone-connected layer 0.
+    * Otherwise the best `k` by (sim desc, pos asc) of the beam result
+    * (positions are id-sorted, so pos asc == id asc). */
+  private[index] def searchCell(g: CellGraph, q: Array[Double], efSearch: Int,
+      k: Int, excludeId: Long): Array[(Long, Double)] = {
+    val n = g.n
+    if (n == 0) return Array.empty
+    val dim = g.dim
+    var qn = 0.0
+    var i = 0
+    while (i < dim) { qn += q(i) * q(i); i += 1 }
+    qn = math.sqrt(qn)
+    // memoized per-node sim; validity tracked by bitset (no O(n) prefill)
+    val simArr = new Array[Double](n)
+    val simSet = new java.util.BitSet(n)
+    def simOf(pos: Int): Double = {
+      if (!simSet.get(pos)) {
+        var acc = 0.0
+        var j = 0
+        val off = pos * dim
+        while (j < dim) { acc += q(j) * g.vecs(off + j); j += 1 }
+        simArr(pos) = acc / (qn * g.norms(pos))
+        simSet.set(pos)
+      }
+      simArr(pos)
+    }
+    @inline def segStart(pos: Int, layer: Int): Int = g.adjOff(g.nodeBase(pos) + layer)
+    @inline def segEnd(pos: Int, layer: Int): Int = g.adjOff(g.nodeBase(pos) + layer + 1)
+    @inline def layersOf(pos: Int): Int = g.nodeBase(pos + 1) - g.nodeBase(pos)
+    val ef = math.max(math.max(1, k),
+      math.min(efSearch.toLong, n.toLong).toInt)
+    // greedy descent on layers > 0
+    var ep = g.entry
+    var lc = g.maxLevel
+    while (lc > 0) {
+      var moved = true
+      while (moved) {
+        moved = false
+        if (lc < layersOf(ep)) {
+          var bestK = rankKey(simOf(ep)); var bestP = ep
+          var e = segStart(ep, lc)
+          val end = segEnd(ep, lc)
+          while (e < end) {
+            val cand = g.adjData(e)
+            val ck = rankKey(simOf(cand))
+            if (better(ck, cand, bestK, bestP)) { bestK = ck; bestP = cand }
+            e += 1
+          }
+          if (bestP != ep) { ep = bestP; moved = true }
+        }
+      }
+      lc -= 1
+    }
+    // ef-beam at layer 0
+    val visited = new java.util.BitSet(n)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](candOrd.reverse)
+    val w = mutable.PriorityQueue.empty[(Double, Int)](candOrd)
+    val epk = rankKey(simOf(ep))
+    visited.set(ep); cand.enqueue((epk, ep)); w.enqueue((epk, ep))
+    while (cand.nonEmpty) {
+      val (ck, cp) = cand.dequeue()
+      val stop = w.size >= ef && {
+        val (wk, wp) = w.head
+        !better(ck, cp, wk, wp)
+      }
+      if (stop) cand.clear()
+      else {
+        var e = segStart(cp, 0)
+        val end = segEnd(cp, 0)
+        while (e < end) {
+          val nb = g.adjData(e)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val nk = rankKey(simOf(nb))
+            val admit = w.size < ef || {
+              val (wk, wp) = w.head
+              better(nk, nb, wk, wp)
+            }
+            if (admit) {
+              cand.enqueue((nk, nb)); w.enqueue((nk, nb))
+              if (w.size > ef) w.dequeue()
+            }
+          }
+          e += 1
+        }
+      }
+    }
+    // drain the heap worst-first into best-first order
+    val drained = new Array[Int](w.size)
+    var di = w.size - 1
+    while (w.nonEmpty) { drained(di) = w.dequeue()._2; di -= 1 }
+    val all = drained.iterator
+      .filter(pos => g.ids(pos) != excludeId)
+      .map(pos => (g.ids(pos), simArr(pos)))
+      .toArray
+    if (ef >= n) all else all.take(k)
+  }
+
+  /** Per-cell in-memory HNSW builder. Simple top-M neighbor selection
+    * (Malkov & Yashunin 2016 §4 note it performs comparably to the
+    * heuristic on low-dim/clustered data), degree caps M (layers > 0)
+    * and 2M (layer 0) plus the two pruning-exempt backbone edges. */
+  private[index] final class CellBuilder(dim: Int, m: Int, efC: Int,
+      seed: Long, capacity: Int) {
+    private val mL = 1.0 / math.log(math.max(2, m).toDouble)
+    val ids = new Array[Long](capacity)
+    val norms = new Array[Double](capacity)
+    val topLayer = new Array[Int](capacity)
+    val adj = new Array[Array[mutable.ArrayBuffer[Int]]](capacity)
+    private val vecs = new Array[Double](capacity * dim)
+    private var count = 0
+    private var entry = -1
+    private var entryLevel = -1
+    // generation-stamped visited marks: one array reused across the
+    // O(n) per-cell inserts instead of a fresh bitset per insert
+    private val visitedGen = new Array[Int](capacity)
+    private var gen = 0
+
+    def add(id: Long, v: Array[Double]): Unit = {
+      val pos = count
+      ids(pos) = id
+      var s = 0.0
+      var i = 0
+      while (i < dim) { vecs(pos * dim + i) = v(i); s += v(i) * v(i); i += 1 }
+      norms(pos) = math.sqrt(s)
+      count += 1
+    }
+
+    def buildAll(): Unit = {
+      var pos = 0
+      while (pos < count) { insert(pos); pos += 1 }
+    }
+
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    private[index] def levelOf(id: Long): Int = {
+      val h = mix64(id ^ mix64(seed))
+      val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+      math.min(32, math.floor(-math.log(u) * mL).toInt)
+    }
+
+    private def sim(a: Int, b: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      val oa = a * dim; val ob = b * dim
+      while (i < dim) { acc += vecs(oa + i) * vecs(ob + i); i += 1 }
+      acc / (norms(a) * norms(b))
+    }
+
+    @inline private def key(a: Int, b: Int): Double = {
+      val s = sim(a, b)
+      if (s.isNaN) Double.NegativeInfinity else -s
+    }
+
+    private def greedy(qPos: Int, start: Int, layer: Int): Int = {
+      var ep = start
+      var moved = true
+      while (moved) {
+        moved = false
+        val nb = adj(ep)
+        if (layer < nb.length) {
+          val lst = nb(layer)
+          var bestK = key(qPos, ep); var bestP = ep
+          var j = 0
+          while (j < lst.length) {
+            val c = lst(j)
+            val ck = key(qPos, c)
+            if (better(ck, c, bestK, bestP)) { bestK = ck; bestP = c }
+            j += 1
+          }
+          if (bestP != ep) { ep = bestP; moved = true }
+        }
+      }
+      ep
+    }
+
+    private def searchLayer(qPos: Int, eps: Seq[Int], ef: Int,
+        layer: Int): Array[Int] = {
+      gen += 1
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](candOrd.reverse)
+      val w = mutable.PriorityQueue.empty[(Double, Int)](candOrd)
+      eps.foreach { ep =>
+        if (visitedGen(ep) != gen) {
+          visitedGen(ep) = gen
+          val k0 = key(qPos, ep)
+          cand.enqueue((k0, ep)); w.enqueue((k0, ep))
+          if (w.size > ef) w.dequeue()
+        }
+      }
+      while (cand.nonEmpty) {
+        val (ck, cp) = cand.dequeue()
+        val stop = w.size >= ef && {
+          val (wk, wp) = w.head; !better(ck, cp, wk, wp)
+        }
+        if (stop) cand.clear()
+        else {
+          val nb = adj(cp)
+          if (layer < nb.length) {
+            val lst = nb(layer)
+            var j = 0
+            while (j < lst.length) {
+              val e = lst(j)
+              if (visitedGen(e) != gen) {
+                visitedGen(e) = gen
+                val ekk = key(qPos, e)
+                val admit = w.size < ef || {
+                  val (wk, wp) = w.head; better(ekk, e, wk, wp)
+                }
+                if (admit) {
+                  cand.enqueue((ekk, e)); w.enqueue((ekk, e))
+                  if (w.size > ef) w.dequeue()
+                }
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      // drain the heap worst-first into best-first order
+      val out = new Array[Int](w.size)
+      var di = w.size - 1
+      while (w.nonEmpty) { out(di) = w.dequeue()._2; di -= 1 }
+      out
+    }
+
+    private def connect(a: Int, b: Int, layer: Int): Unit = {
+      val lst = adj(a)(layer)
+      if (!lst.contains(b)) lst += b
+    }
+
+    /** Cap a node's layer list; layer-0 backbone partners (pos±1) are
+      * exempt, so layer 0 stays a connected chain by construction. */
+    private def prune(node: Int, layer: Int): Unit = {
+      val cap = if (layer == 0) 2 * m else m
+      val lst = adj(node)(layer)
+      if (lst.length <= cap) return
+      val (backbone, rest) =
+        if (layer == 0) lst.partition(p => p == node - 1 || p == node + 1)
+        else (mutable.ArrayBuffer.empty[Int], lst)
+      val kept = rest.sortWith { (a, b) =>
+        val ka = key(node, a); val kb = key(node, b)
+        better(ka, a, kb, b)
+      }.take(cap)
+      adj(node)(layer) = backbone ++ kept
+    }
+
+    private def insert(pos: Int): Unit = {
+      val l = levelOf(ids(pos))
+      topLayer(pos) = l
+      adj(pos) = Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = pos; entryLevel = l; return }
+      var ep = entry
+      var lc = entryLevel
+      while (lc > l) { ep = greedy(pos, ep, lc); lc -= 1 }
+      var eps: Seq[Int] = Seq(ep)
+      lc = math.min(l, entryLevel)
+      while (lc >= 0) {
+        val w = searchLayer(pos, eps, efC, lc)
+        val sel = w.take(m)
+        var j = 0
+        while (j < sel.length) {
+          val nb = sel(j)
+          connect(pos, nb, lc); connect(nb, pos, lc)
+          prune(nb, lc)
+          j += 1
+        }
+        eps = w.toSeq
+        lc -= 1
+      }
+      // backbone: insertion-order chain at layer 0 (pruning-exempt)
+      connect(pos, pos - 1, 0)
+      connect(pos - 1, pos, 0)
+      if (l > entryLevel) { entry = pos; entryLevel = l }
+    }
+  }
+}

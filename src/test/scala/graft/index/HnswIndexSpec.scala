@@ -1,0 +1,161 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.{VectorFunctions => VF}
+
+/** Gate for X131 per-cell HNSW. The exactness contract is the q56
+  * device: an exhaustively-probed search (nProbe = nCells,
+  * efSearch ≥ cell size) must reproduce the brute-force cosine top-k
+  * BIT-FOR-BIT — rounding, NaN placement and tie order included —
+  * which is what lets q124 share q18's DuckDB oracle. The approximate
+  * configuration's recall is measured, not assumed. */
+class HnswIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dataDir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_hnsw_$tag").toString + "/hnsw"
+
+  /** Clustered corpus (the recall contract's input class — same shape
+    * as the bench's pruned-ANN corpus): per-cluster center + noise. */
+  private def clusteredCorpus(n: Int, dim: Int, nClusters: Int) = {
+    val cluster = col("id") % nClusters
+    def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed * dim + i), lit(1000)).cast("double") / 500.0 - 1.0
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => u(cluster, i) + u(col("id") + 7919L * n, i) * 0.5).as("embedding"))
+  }
+
+  private def queriesOf(df: org.apache.spark.sql.DataFrame, maxId: Long) =
+    df.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
+
+  test("exhaustive probe reproduces brute-force top-k bit-for-bit on real embeddings") {
+    val dir = tmp("exact")
+    val emb = spark.read.parquet(s"$dataDir/embeddings.parquet")
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 8, dir,
+      m = 6, efConstruction = 40)
+    val q = queriesOf(emb, 10L)
+    def collected(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val got = collected(HnswIndex.search(spark, dir, q, k = 5,
+      efSearch = Int.MaxValue, nProbe = 8))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val want = collected(graft.operators.Similarity.topKExact(q, corpus, 5))
+    assert(got.length == want.length && got.length == 50)
+    assert(got.sameElements(want))
+  }
+
+  test("approximate configuration: recall@10 >= 0.9 on a clustered corpus, at a fraction of the sims") {
+    val dir = tmp("recall")
+    val emb = clusteredCorpus(4000, 32, 16).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 16, dir,
+      m = 8, efConstruction = 64)
+    val q = queriesOf(emb, 40L).localCheckpoint(true)
+    val approx = HnswIndex.search(spark, dir, q, k = 10, efSearch = 64, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val exact = graft.operators.Similarity.topKExact(q, corpus, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("build is deterministic: two builds of the same corpus are row-identical") {
+    val emb = clusteredCorpus(600, 16, 4).localCheckpoint(true)
+    def rowsOf(dir: String) = {
+      HnswIndex.build(emb, "vec_id", "embedding", nCells = 4, dir,
+        m = 4, efConstruction = 24)
+      spark.read.parquet(HnswIndex.Paths(dir).graph)
+        .select(col("cell_id").cast("int"), col("_id"), col("top_layer"),
+          col("nbrs").cast("string"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2))
+    }
+    val a = rowsOf(tmp("det_a"))
+    val b = rowsOf(tmp("det_b"))
+    assert(a.sameElements(b))
+  }
+
+  test("degree caps hold and layer 0 is backbone-connected in every cell") {
+    val dir = tmp("caps")
+    val m = 4
+    val emb = clusteredCorpus(1200, 16, 6).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 6, dir,
+      m = m, efConstruction = 32)
+    val rows = spark.read.parquet(HnswIndex.Paths(dir).graph)
+      .select(col("cell_id").cast("int"), col("_id"), col("nbrs"))
+      .as[(Int, Long, Seq[Seq[Int]])].collect()
+    assert(rows.length == 1200)
+    rows.foreach { case (_, _, nbrs) =>
+      nbrs.zipWithIndex.foreach { case (lst, layer) =>
+        val cap = if (layer == 0) 2 * m + 2 else m // +2: backbone exemption
+        assert(lst.length <= cap, s"layer $layer degree ${lst.length} > $cap")
+        assert(lst.distinct.length == lst.length, "duplicate edge")
+      }
+    }
+    rows.groupBy(_._1).foreach { case (cell, cellRows) =>
+      val sorted = cellRows.sortBy(_._2)
+      val n = sorted.length
+      val adj0 = sorted.map(_._3.head.toArray)
+      val seen = new java.util.BitSet(n)
+      val stack = new java.util.ArrayDeque[Int]()
+      seen.set(0); stack.push(0)
+      while (!stack.isEmpty) {
+        val cur = stack.pop()
+        adj0(cur).foreach { nb =>
+          if (!seen.get(nb)) { seen.set(nb); stack.push(nb) }
+        }
+      }
+      assert(seen.cardinality() == n,
+        s"cell $cell: ${seen.cardinality()}/$n reachable at layer 0")
+    }
+  }
+
+  test("more probes never lose recall; exhaustive recall is 1.0") {
+    val dir = tmp("mono")
+    val emb = clusteredCorpus(2000, 24, 8).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 8, dir,
+      m = 6, efConstruction = 48)
+    val q = queriesOf(emb, 20L).localCheckpoint(true)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val exact = graft.operators.Similarity.topKExact(q, corpus, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int, ef: Int): Double = {
+      val got = HnswIndex.search(spark, dir, q, k = 5, efSearch = ef, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val low = recallAt(2, 32)
+    val high = recallAt(8, Int.MaxValue)
+    assert(high == 1.0, s"exhaustive recall = $high")
+    assert(high >= low)
+  }
+
+  test("an incomplete artifact (no _SUCCESS) is refused") {
+    val dir = tmp("crash")
+    val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 2, dir,
+      m = 4, efConstruction = 16)
+    val marker = new java.io.File(
+      new java.net.URI("file://" + HnswIndex.Paths(dir).graph + "/_SUCCESS"))
+    assert(marker.delete())
+    val q = queriesOf(emb, 3L)
+    val e = intercept[IllegalStateException] {
+      HnswIndex.search(spark, dir, q, k = 3, efSearch = 16, nProbe = 2)
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
+}
