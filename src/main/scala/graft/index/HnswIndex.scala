@@ -52,6 +52,28 @@ object HnswIndex {
     def centroids: String = s"$dir/centroids.parquet"
     def graph: String = s"$dir/graph.parquet"
     def metadata: String = s"$dir/metadata.json"
+    def staging: String = s"$dir/rebuild_staging.parquet"
+  }
+
+  private[index] final case class Meta(n: Long, nCells: Int, m: Int,
+      efConstruction: Int, seed: Long)
+
+  /** The sidecar is a bounded single-object JSON this module wrote
+    * itself ([[writeMetadata]]'s fixed field set) — extracted with
+    * anchored field patterns, no JSON library dependency. */
+  private def readMetadata(spark: SparkSession, p: Paths): Meta = {
+    val path = new org.apache.hadoop.fs.Path(p.metadata)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(name: String): Long = {
+      val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
+      m.map(_.group(1).toLong).getOrElse(
+        throw new IllegalStateException(s"metadata at ${p.metadata} lacks $name"))
+    }
+    Meta(field("n_vectors"), field("n_cells").toInt, field("m").toInt,
+      field("ef_construction").toInt, field("seed"))
   }
 
   /** One indexed vector: `nbrs(layer)` holds neighbor POSITIONS within
@@ -90,7 +112,6 @@ object HnswIndex {
       seed: Long = 42L): Unit = {
     val p = Paths(outDir)
     val spark = vectors.sparkSession
-    import spark.implicits._
     val n = vectors.count()
     val cents = Similarity.trainIvfCentroids(
       vectors, idCol, vecCol, nCells, knownN = Some(n))
@@ -99,10 +120,21 @@ object HnswIndex {
       vectors.select(col(idCol).as("_id"),
         graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
       cents)
+    graphNodes(assigned, m, efConstruction, seed)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+    writeMetadata(spark, p, n, nCells, m, efConstruction, seed)
+  }
+
+  /** One grouped pass: (cell_id, _id, _v) rows in, graph node rows out.
+    * Shared by [[build]] (all cells) and [[update]] (touched cells). */
+  private def graphNodes(assigned: DataFrame, m: Int, efConstruction: Int,
+      seed: Long): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val mm = m
     val efc = efConstruction
     val sd = seed
-    val nodes = assigned.select(col("cell_id").cast("int"), col("_id"), col("_v"))
+    assigned.select(col("cell_id").cast("int"), col("_id"), col("_v"))
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
@@ -119,8 +151,83 @@ object HnswIndex {
             b.topLayer(pos), b.adj(pos).map(_.toSeq).toSeq)
         }
       }
-    nodes.toDF().write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
-    writeMetadata(spark, p, n, nCells, m, efConstruction, seed)
+      .toDF()
+  }
+
+  /** Incremental update — the IVF index's V6 contract (anti-join new
+    * ids; full rebuild past the 30% ratio; reference
+    * incremental.py:39-276), adapted to a graph artifact: a graph cell
+    * is a STRUCTURE, not a bag of rows, so the append path rebuilds
+    * exactly the TOUCHED cells (existing members ∪ new arrivals, same
+    * deterministic id-order construction — a touched cell's graph is
+    * byte-identical to what a fresh build of that cell's vector set
+    * produces) and replaces only those partitions via dynamic partition
+    * overwrite. Untouched cells keep their files; cost is
+    * O(touched cells), never O(corpus). Returns
+    * "append" | "rebuild" | "noop". */
+  def update(vectors: DataFrame, idCol: String, vecCol: String,
+      outDir: String): String = {
+    val spark = vectors.sparkSession
+    val p = Paths(outDir)
+    if (!isComplete(spark, p.graph))
+      throw new IllegalStateException(
+        s"index at $outDir is incomplete (no _SUCCESS in ${p.graph}) — " +
+          "a writer crashed mid-build; rebuild from the corpus " +
+          s"(a staged pre-rebuild copy may survive at ${p.staging})")
+    val meta = readMetadata(spark, p)
+    val existing = spark.read.parquet(p.graph)
+      .select(col("cell_id").cast("int"), col("_id"), col("_v"))
+    val fresh = vectors.join(
+      existing.select(col("_id").as(idCol)), Seq(idCol), "left_anti").cache()
+    try {
+      val nNew = fresh.count()
+      if (nNew == 0) return "noop"
+      val nExisting = meta.n
+      if (nExisting == 0 || nNew.toDouble / nExisting > VectorIndex.RebuildRatio) {
+        // stage the union to reliable storage BEFORE build() overwrites
+        // the artifact it is derived from (same crash discipline as the
+        // IVF rebuild: an executor-local copy would be recomputed from
+        // the very files the overwrite deletes)
+        existing.select(col("_id").as(idCol), col("_v").as(vecCol))
+          .unionByName(fresh.select(col(idCol),
+            graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as(vecCol)))
+          .write.mode("overwrite").parquet(p.staging)
+        build(spark.read.parquet(p.staging), idCol, vecCol, meta.nCells,
+          outDir, meta.m, meta.efConstruction, meta.seed)
+        val sp = new org.apache.hadoop.fs.Path(p.staging)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+        "rebuild"
+      } else {
+        val assignedNew = Similarity.assignToNearest(
+          fresh.select(col(idCol).as("_id"),
+            graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
+          spark.read.parquet(p.centroids))
+        // the touched-cell list is bounded by nCells (a model size)
+        val touched = assignedNew.select("cell_id").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // stage the touched-cell member set FIRST: the rebuild below
+        // overwrites the very partitions its input plan would otherwise
+        // read (a read-under-overwrite), and the staged copy doubles as
+        // the crash-recovery corpus for those cells
+        existing.filter(col("cell_id").isin(touched: _*))
+          .unionByName(assignedNew.select(col("cell_id"), col("_id"), col("_v")))
+          .write.mode("overwrite").parquet(p.staging)
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try graphNodes(spark.read.parquet(p.staging), meta.m,
+            meta.efConstruction, meta.seed)
+          .write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val sp = new org.apache.hadoop.fs.Path(p.staging)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+        writeMetadata(spark, p, nExisting + nNew, meta.nCells, meta.m,
+          meta.efConstruction, meta.seed)
+        "append"
+      }
+    } finally fresh.unpersist()
   }
 
   private def writeMetadata(spark: SparkSession, p: Paths, n: Long,

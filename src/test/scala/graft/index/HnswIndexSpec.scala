@@ -144,6 +144,66 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(high >= low)
   }
 
+  test("update: noop on resubmission, touched-cells-only append, 30%-rule rebuild — exhaustive parity holds throughout") {
+    val dir = tmp("upd")
+    val base = clusteredCorpus(2000, 16, 8).localCheckpoint(true)
+    HnswIndex.build(base, "vec_id", "embedding", nCells = 8, dir,
+      m = 6, efConstruction = 32)
+
+    assert(HnswIndex.update(base, "vec_id", "embedding", dir) == "noop")
+
+    def graphFiles(): Map[String, Long] = {
+      val root = new java.io.File(new java.net.URI("file://" + HnswIndex.Paths(dir).graph))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified())).toMap
+    }
+    val before = graphFiles()
+
+    // 100 new vectors (5% < 30%), ALL in cluster 0 so most cells stay
+    // untouched: append path rewrites only the touched partitions
+    val extra = clusteredCorpus(2800, 16, 8)
+      .filter(col("vec_id") >= 2000 && col("vec_id") % 8 === 0)
+      .localCheckpoint(true)
+    assert(HnswIndex.update(extra, "vec_id", "embedding", dir) == "append")
+    val after = graphFiles()
+    val untouchedSurvivors = before.filter { case (path, mtime) =>
+      after.get(path).contains(mtime)
+    }
+    assert(untouchedSurvivors.nonEmpty,
+      "append rewrote every cell partition — not touched-cells-only")
+
+    // exhaustive parity over the UNION corpus after the append
+    val union = base.unionByName(extra).localCheckpoint(true)
+    val q = queriesOf(union, 15L)
+    val got = HnswIndex.search(spark, dir, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val corpus = union.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val want = graft.operators.Similarity.topKExact(q, corpus, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+
+    // 1000 more (≈ 48% > 30%), id range disjoint from both earlier
+    // batches: rebuild path; parity again
+    val big = clusteredCorpus(4100, 16, 8)
+      .filter(col("vec_id") >= 3100).localCheckpoint(true)
+    assert(HnswIndex.update(big, "vec_id", "embedding", dir) == "rebuild")
+    val all = union.unionByName(big).localCheckpoint(true)
+    val q2 = queriesOf(all, 15L)
+    val got2 = HnswIndex.search(spark, dir, q2, k = 5,
+        efSearch = Int.MaxValue, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val corpus2 = all.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val want2 = graft.operators.Similarity.topKExact(q2, corpus2, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got2 == want2)
+  }
+
   test("an incomplete artifact (no _SUCCESS) is refused") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
