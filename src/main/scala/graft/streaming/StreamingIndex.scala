@@ -56,4 +56,46 @@ object StreamingIndex {
       "build"
     } else VectorIndex.update(vectors, idCol, vecCol, nCells, indexDir)
   }
+
+  /** Same drain loop over the X131 graph index: each micro-batch applies
+    * [[graft.index.HnswIndex.update]]'s touched-cells-only maintenance
+    * (a graph cell rebuilds as a structure; untouched cell partitions
+    * are inherited file-identical), so a stream of vector files keeps a
+    * servable HNSW artifact current at O(touched cells) per batch. */
+  def maintainGraphAvailableNow(spark: SparkSession, vectorsDir: String,
+      schema: StructType, idCol: String, vecCol: String, nCells: Int,
+      indexDir: String, checkpointDir: String, m: Int = 8,
+      efConstruction: Int = 64): Seq[String] = {
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(vectorsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        actions += updateOrBuildGraph(batch, idCol, vecCol, nCells, indexDir,
+          m, efConstruction)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    actions.toSeq
+  }
+
+  /** Per-batch graph maintenance: first batch builds, later batches go
+    * through the 30%-rule touched-cells update. */
+  def updateOrBuildGraph(vectors: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, indexDir: String, m: Int = 8,
+      efConstruction: Int = 64): String = {
+    val spark = vectors.sparkSession
+    val graph = new org.apache.hadoop.fs.Path(
+      graft.index.HnswIndex.Paths(indexDir).graph)
+    val fs = graph.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(graph)) {
+      graft.index.HnswIndex.build(vectors, idCol, vecCol, nCells, indexDir,
+        m, efConstruction)
+      "build"
+    } else graft.index.HnswIndex.update(vectors, idCol, vecCol, indexDir)
+  }
 }

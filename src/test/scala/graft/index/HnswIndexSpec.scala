@@ -204,6 +204,70 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(got2 == want2)
   }
 
+  test("soak: eight sequential cluster-confined appends stay touched-cells-only; parity and connectivity hold at the end") {
+    val dir = tmp("soak")
+    val nClusters = 8
+    // base: ids 0..1999; append batch b adds 25 ids all in cluster b
+    val world = clusteredCorpus(6000, 16, nClusters).localCheckpoint(true)
+    val base = world.filter(col("vec_id") < 2000).localCheckpoint(true)
+    HnswIndex.build(base, "vec_id", "embedding", nCells = nClusters, dir,
+      m = 4, efConstruction = 24)
+    def graphFiles(): Map[String, Long] = {
+      val root = new java.io.File(new java.net.URI("file://" + HnswIndex.Paths(dir).graph))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified())).toMap
+    }
+    var kept = base
+    for (b <- 0 until 8) {
+      val lo = 2000 + b * 200
+      val batch = world
+        .filter(col("vec_id") >= lo && col("vec_id") < lo + 200 &&
+          col("vec_id") % nClusters === b)
+        .localCheckpoint(true) // 25 ids, all cluster b
+      val before = graphFiles()
+      assert(HnswIndex.update(batch, "vec_id", "embedding", dir) == "append",
+        s"batch $b was not an append")
+      val after = graphFiles()
+      val untouched = before.count { case (p, t) => after.get(p).contains(t) }
+      assert(untouched > 0, s"batch $b rewrote every cell partition")
+      kept = kept.unionByName(batch)
+    }
+    kept = kept.localCheckpoint(true)
+    // exhaustive parity over the accumulated corpus
+    val q = queriesOf(kept, 12L)
+    val got = HnswIndex.search(spark, dir, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val corpus = kept.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val want = graft.operators.Similarity.topKExact(q, corpus, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // every cell stays backbone-connected after the soak
+    val rows = spark.read.parquet(HnswIndex.Paths(dir).graph)
+      .select(col("cell_id").cast("int"), col("_id"), col("nbrs"))
+      .as[(Int, Long, Seq[Seq[Int]])].collect()
+    rows.groupBy(_._1).foreach { case (cell, cellRows) =>
+      val sorted = cellRows.sortBy(_._2)
+      val n = sorted.length
+      val adj0 = sorted.map(_._3.head.toArray)
+      val seen = new java.util.BitSet(n)
+      val stack = new java.util.ArrayDeque[Int]()
+      seen.set(0); stack.push(0)
+      while (!stack.isEmpty) {
+        val cur = stack.pop()
+        adj0(cur).foreach { nb =>
+          if (!seen.get(nb)) { seen.set(nb); stack.push(nb) }
+        }
+      }
+      assert(seen.cardinality() == n,
+        s"cell $cell after soak: ${seen.cardinality()}/$n reachable")
+    }
+  }
+
   test("an incomplete artifact (no _SUCCESS) is refused") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)

@@ -58,4 +58,46 @@ class StreamingIndexSpec extends AnyFunSuite {
     val hits = VectorIndex.search(spark, idxDir, queries, k = 3, nProbe = 2)
     assert(hits.count() > 0)
   }
+
+  test("graph-index drains: build, touched-cells append, 30%-rule rebuild; exhaustive parity at the end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hnsw")
+    val vecDir = tmp.resolve("vectors").toString
+    val idxDir = tmp.resolve("hnsw").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def drain(): Seq[String] = StreamingIndex.maintainGraphAvailableNow(
+      spark, vecDir, schema, "vec_id", "embedding", nCells = 4, idxDir, ckpt,
+      m = 4, efConstruction = 16)
+
+    writeVectors(vecDir, 0, 100)
+    assert(drain() == Seq("build"))
+    def indexed(): Long =
+      spark.read.parquet(graft.index.HnswIndex.Paths(idxDir).graph).count()
+    assert(indexed() == 100)
+
+    writeVectors(vecDir, 100, 110) // 10% < 30% → append
+    assert(drain() == Seq("append"))
+    assert(indexed() == 110)
+
+    writeVectors(vecDir, 110, 170) // 55% > 30% → rebuild
+    assert(drain() == Seq("rebuild"))
+    assert(indexed() == 170)
+
+    assert(drain().isEmpty) // no new files → no micro-batch
+
+    // the maintained graph answers exhaustive searches exactly
+    val all = spark.read.parquet(vecDir)
+    val queries = all.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
+    val got = graft.index.HnswIndex.search(spark, idxDir, queries, k = 3,
+        efSearch = Int.MaxValue, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = all.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("nv"))
+    val want = graft.operators.Similarity.topKExact(queries, corpus, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
 }
