@@ -273,6 +273,73 @@ object Main {
         d.groupBy("_change").count().orderBy("_change").show()
         d.show(50, truncate = false)
 
+      // ANN index surface (reference: scripts around faiss_builder.py —
+      // build_and_save_index / search as user-facing operations)
+      case "index-build" =>
+        val Array(_, vectorsPath, indexDir) = args.take(3)
+        val flags = args.drop(3)
+        def flag(name: String, default: String): String = {
+          val i = flags.indexOf(name); if (i >= 0 && i + 1 < flags.length) flags(i + 1) else default
+        }
+        val kind = flag("--kind", "ivf")
+        val nCells = flag("--cells", "64").toInt
+        val idCol = flag("--id-col", "vec_id")
+        val vecCol = flag("--vec-col", "embedding")
+        val vecs = spark.read.parquet(vectorsPath)
+        kind match {
+          case "ivf" =>
+            graft.index.VectorIndex.build(vecs, idCol, vecCol, nCells, indexDir,
+              quantized = flags.contains("--int8"))
+          case "hnsw" =>
+            graft.index.HnswIndex.build(vecs, idCol, vecCol, nCells, indexDir,
+              m = flag("--m", "8").toInt,
+              efConstruction = flag("--ef-construction", "64").toInt)
+          case other2 =>
+            System.err.println(s"unknown index kind: $other2 (ivf | hnsw)"); sys.exit(2)
+        }
+        println(s"built $kind index over ${vecs.count()} vectors at $indexDir")
+
+      case "index-update" =>
+        val Array(_, vectorsPath, indexDir) = args.take(3)
+        val flags = args.drop(3)
+        def flag(name: String, default: String): String = {
+          val i = flags.indexOf(name); if (i >= 0 && i + 1 < flags.length) flags(i + 1) else default
+        }
+        val idCol = flag("--id-col", "vec_id")
+        val vecCol = flag("--vec-col", "embedding")
+        val vecs = spark.read.parquet(vectorsPath)
+        val action = flag("--kind", "ivf") match {
+          case "ivf" => graft.index.VectorIndex.update(
+            vecs, idCol, vecCol, flag("--cells", "64").toInt, indexDir)
+          case "hnsw" => graft.index.HnswIndex.update(vecs, idCol, vecCol, indexDir)
+          case other2 =>
+            System.err.println(s"unknown index kind: $other2 (ivf | hnsw)"); sys.exit(2); ""
+        }
+        println(s"index update: $action")
+
+      case "index-search" =>
+        val Array(_, indexDir, queriesPath, outPath) = args.take(4)
+        val flags = args.drop(4)
+        def flag(name: String, default: String): String = {
+          val i = flags.indexOf(name); if (i >= 0 && i + 1 < flags.length) flags(i + 1) else default
+        }
+        val k = flag("--k", "10").toInt
+        val nProbe = flag("--probes", "4").toInt
+        val idCol = flag("--id-col", "vec_id")
+        val vecCol = flag("--vec-col", "embedding")
+        val queries = spark.read.parquet(queriesPath)
+          .select(col(idCol).as("query_id"),
+            graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("qv"))
+        val hits = flag("--kind", "ivf") match {
+          case "ivf" => graft.index.VectorIndex.search(spark, indexDir, queries, k, nProbe)
+          case "hnsw" => graft.index.HnswIndex.search(spark, indexDir, queries, k,
+            efSearch = flag("--ef", "64").toInt, nProbe = nProbe)
+          case other2 =>
+            System.err.println(s"unknown index kind: $other2 (ivf | hnsw)"); sys.exit(2); null
+        }
+        hits.write.mode("overwrite").parquet(outPath)
+        println(s"wrote ${spark.read.parquet(outPath).count()} hit rows to $outPath")
+
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
@@ -326,5 +393,8 @@ object Main {
       |  rollback <lakeDir> <layer> <keepVersion>
       |  versions <lakeDir> <layer>
       |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol>
-      |  diff <lakeDir> <layer> <fromV> <toV> <keyCol>""".stripMargin)
+      |  diff <lakeDir> <layer> <fromV> <toV> <keyCol>
+      |  index-build <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--int8] [--m n] [--ef-construction n] [--id-col c] [--vec-col c]
+      |  index-update <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--id-col c] [--vec-col c]
+      |  index-search <indexDir> <queriesParquet> <outParquet> [--kind ivf|hnsw] [--k n] [--probes n] [--ef n] [--id-col c] [--vec-col c]""".stripMargin)
 }
