@@ -144,6 +144,21 @@ class PlanAssertSpec extends AnyFunSuite {
       s"probe set joins the corpus as a broadcast on cell_id:\n${plan.take(3000)}")
   }
 
+  test("q124 hnsw search: bounded top-k heap merge, no ranking window, no shuffle join") {
+    val plan = planOf("q124_knn_hnsw")
+    assert(plan.contains("topk_min"),
+      s"the cross-cell merge must be the bounded-heap aggregate (map-side " +
+        s"partials cap the shuffle at k rows per query per partition):\n${plan.take(4000)}")
+    assert(!plan.contains("Window"),
+      s"per-query ranking must never be a window over all candidates:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the graph search has no join at all — candidates come from the " +
+        s"per-cell beam walk:\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"serving must read the RESIDENT cached cell-graph dataset, not " +
+        s"re-read parquet per batch:\n${plan.take(3000)}")
+  }
+
   test("q64 retention: no Expand; cohort sizes ride along as a broadcast") {
     val plan = planOf("q64_retention")
     assert(!plan.contains("Expand"),
