@@ -293,7 +293,8 @@ object Main {
           case "hnsw" =>
             graft.index.HnswIndex.build(vecs, idCol, vecCol, nCells, indexDir,
               m = flag("--m", "8").toInt,
-              efConstruction = flag("--ef-construction", "64").toInt)
+              efConstruction = flag("--ef-construction", "64").toInt,
+              quantized = flags.contains("--int8"))
           case other2 =>
             System.err.println(s"unknown index kind: $other2 (ivf | hnsw)"); sys.exit(2)
         }

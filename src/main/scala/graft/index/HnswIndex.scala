@@ -100,6 +100,16 @@ object HnswIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Reconstruct the `_v` column on a frame read from storage (int8
+    * rows dequantize; a null scale marks the all-zero vector). */
+  private def restored(df: DataFrame): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    if (!df.columns.contains("_q")) df
+    else df.withColumn("_v", when(col("_qs").isNotNull,
+      VF.dequantizeInt8(col("_q"), col("_qs")))
+      .otherwise(transform(col("_q"), x => lit(0.0))))
+  }
+
   // ---------------------------------------------------------------- build
 
   /** Build and persist: train/assign through the shared IVF trainer,
@@ -109,7 +119,7 @@ object HnswIndex {
     * Scala and the output keeps one file per cell directory. */
   def build(vectors: DataFrame, idCol: String, vecCol: String, nCells: Int,
       outDir: String, m: Int = 8, efConstruction: Int = 64,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, quantized: Boolean = false): Unit = {
     val p = Paths(outDir)
     val spark = vectors.sparkSession
     val n = vectors.count()
@@ -120,9 +130,39 @@ object HnswIndex {
       vectors.select(col(idCol).as("_id"),
         graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
       cents)
-    graphNodes(assigned, m, efConstruction, seed)
-      .write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+    val buildInput = if (quantized) snapToGrid(assigned) else assigned
+    val nodes = graphNodes(buildInput, m, efConstruction, seed)
+    val stored = if (quantized) quantizedStorage(nodes) else nodes
+    stored.write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
     writeMetadata(spark, p, n, nCells, m, efConstruction, seed)
+  }
+
+  /** int8 storage, build side: the graph is built on the RECONSTRUCTED
+    * vectors (the IVF store's principle — ranking must be consistent
+    * with what serving dequantizes). Quantizing a reconstructed vector
+    * is idempotent (values sit on the k·scale grid), so
+    * [[quantizedStorage]] later reproduces the exact codes the build
+    * ranked with. */
+  private def snapToGrid(assigned: DataFrame): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    assigned
+      .withColumn("_qs", VF.int8Scale(col("_v")))
+      .withColumn("_v", when(col("_qs").isNotNull,
+        VF.dequantizeInt8(VF.quantizeInt8(col("_v"), col("_qs")), col("_qs")))
+        .otherwise(col("_v"))) // zero vector reconstructs as itself
+      .drop("_qs")
+  }
+
+  /** int8 storage, output side: node rows keep (_q, _qs) instead of the
+    * float64 `_v` — ~7× less graph IO and resident-cache footprint. */
+  private def quantizedStorage(nodes: DataFrame): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    nodes
+      .withColumn("_qs", VF.int8Scale(col("_v")))
+      .withColumn("_q", when(col("_qs").isNotNull,
+        VF.quantizeInt8(col("_v"), col("_qs")))
+        .otherwise(transform(col("_v"), x => lit(0).cast("tinyint"))))
+      .drop("_v")
   }
 
   /** One grouped pass: (cell_id, _id, _v) rows in, graph node rows out.
@@ -175,7 +215,9 @@ object HnswIndex {
           "a writer crashed mid-build; rebuild from the corpus " +
           s"(a staged pre-rebuild copy may survive at ${p.staging})")
     val meta = readMetadata(spark, p)
-    val existing = spark.read.parquet(p.graph)
+    val existingRaw = spark.read.parquet(p.graph)
+    val isQuant = existingRaw.columns.contains("_q")
+    val existing = restored(existingRaw)
       .select(col("cell_id").cast("int"), col("_id"), col("_v"))
     val fresh = vectors.join(
       existing.select(col("_id").as(idCol)), Seq(idCol), "left_anti").cache()
@@ -193,7 +235,7 @@ object HnswIndex {
             graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as(vecCol)))
           .write.mode("overwrite").parquet(p.staging)
         build(spark.read.parquet(p.staging), idCol, vecCol, meta.nCells,
-          outDir, meta.m, meta.efConstruction, meta.seed)
+          outDir, meta.m, meta.efConstruction, meta.seed, quantized = isQuant)
         val sp = new org.apache.hadoop.fs.Path(p.staging)
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         "rebuild"
@@ -208,15 +250,21 @@ object HnswIndex {
         // stage the touched-cell member set FIRST: the rebuild below
         // overwrites the very partitions its input plan would otherwise
         // read (a read-under-overwrite), and the staged copy doubles as
-        // the crash-recovery corpus for those cells
+        // the crash-recovery corpus for those cells. New arrivals snap
+        // to the int8 grid here when the index is quantized (existing
+        // members are grid-valued already — snapping is idempotent).
+        val arrivals = assignedNew.select(col("cell_id"), col("_id"), col("_v"))
         existing.filter(col("cell_id").isin(touched: _*))
-          .unionByName(assignedNew.select(col("cell_id"), col("_id"), col("_v")))
+          .unionByName(if (isQuant) snapToGrid(arrivals) else arrivals)
           .write.mode("overwrite").parquet(p.staging)
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try graphNodes(spark.read.parquet(p.staging), meta.m,
+        try {
+          val nodes = graphNodes(spark.read.parquet(p.staging), meta.m,
             meta.efConstruction, meta.seed)
-          .write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+          (if (isQuant) quantizedStorage(nodes) else nodes)
+            .write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+        }
         finally prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -254,7 +302,7 @@ object HnswIndex {
   private[index] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
     import spark.implicits._
     def load(): Dataset[CellGraph] = {
-      val ds = spark.read.parquet(p.graph)
+      val ds = restored(spark.read.parquet(p.graph))
         .select(col("cell_id").cast("int"), col("_id"), col("_v"), col("_nn"),
           col("top_layer"), col("nbrs"))
         .as[(Int, Long, Seq[Double], Double, Int, Seq[Seq[Int]])]

@@ -268,6 +268,61 @@ class HnswIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 storage: exhaustive search is exact over the reconstructed corpus, near-exact over the original, at a fraction of the bytes") {
+    def bytesUnder(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      walk(new java.io.File(new java.net.URI("file://" + dir)))
+    }
+    val emb = clusteredCorpus(2000, 32, 8).localCheckpoint(true)
+    val plainDir = tmp("q_plain")
+    val quantDir = tmp("q_int8")
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 8, plainDir,
+      m = 6, efConstruction = 32)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 8, quantDir,
+      m = 6, efConstruction = 32, quantized = true)
+    val plainBytes = bytesUnder(HnswIndex.Paths(plainDir).graph)
+    val quantBytes = bytesUnder(HnswIndex.Paths(quantDir).graph)
+    assert(quantBytes < plainBytes / 2,
+      s"int8 graph $quantBytes B vs float64 $plainBytes B — expected < 0.5×")
+
+    val q = queriesOf(emb, 15L).localCheckpoint(true)
+    val got = HnswIndex.search(spark, quantDir, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    // oracle: brute force over the RECONSTRUCTED corpus — what the
+    // store ranks with must be exactly what dequantization yields
+    import graft.functions.{VectorFunctions => VF2}
+    val vd = VF2.vecAsDouble(col("embedding"))
+    val qs = VF2.int8Scale(vd)
+    val recon = emb.select(col("vec_id").as("neighbor_id"),
+      when(qs.isNotNull, VF2.dequantizeInt8(VF2.quantizeInt8(vd, qs), qs))
+        .otherwise(vd).as("nv"))
+    val want = graft.operators.Similarity.topKExact(q, recon, 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, "quantized exhaustive search != exact over reconstructed corpus")
+
+    // and against the ORIGINAL floats the distortion stays sub-1%: recall bound
+    val trueExact = graft.operators.Similarity.topKExact(q,
+        emb.select(col("vec_id").as("neighbor_id"), vd.as("nv")), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gotPairs = got.map(t => (t._1, t._2))
+    val recall = (gotPairs & trueExact).size.toDouble / trueExact.size
+    assert(recall >= 0.95, s"int8 recall vs original corpus = $recall")
+
+    // maintenance preserves the int8 schema and the exactness contract
+    val extra = clusteredCorpus(2800, 32, 8)
+      .filter(col("vec_id") >= 2000 && col("vec_id") % 8 === 1)
+      .localCheckpoint(true)
+    assert(HnswIndex.update(extra, "vec_id", "embedding", quantDir) == "append")
+    val cols = spark.read.parquet(HnswIndex.Paths(quantDir).graph).columns.toSet
+    assert(cols.contains("_q") && cols.contains("_qs") && !cols.contains("_v"),
+      s"append must keep int8 storage, got $cols")
+  }
+
   test("an incomplete artifact (no _SUCCESS) is refused") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
