@@ -85,7 +85,7 @@ object HnswIndex {
     * the encoder stays simple and the search walk never boxes.
     * Adjacency of (pos, layer): segment `nodeBase(pos) + layer` of
     * `adjData`, bounds `adjOff(seg) until adjOff(seg + 1)`. */
-  private[index] final case class CellGraph(cellId: Int, ids: Array[Long],
+  private[graft] final case class CellGraph(cellId: Int, ids: Array[Long],
       norms: Array[Double], topLayer: Array[Int], dim: Int,
       vecs: Array[Double], // flattened row-major: node pos * dim
       nodeBase: Array[Int], // per node: first layer-segment index; length n+1
@@ -299,7 +299,7 @@ object HnswIndex {
     * unpersists its executor blocks. */
   private val graphCache = new TrieMap[(String, Long), Dataset[CellGraph]]
 
-  private[index] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
+  private[graft] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
     import spark.implicits._
     def load(): Dataset[CellGraph] = {
       val ds = restored(spark.read.parquet(p.graph))
@@ -494,8 +494,9 @@ object HnswIndex {
     * own id) — exactness relies on the backbone-connected layer 0.
     * Otherwise the best `k` by (sim desc, pos asc) of the beam result
     * (positions are id-sorted, so pos asc == id asc). */
-  private[index] def searchCell(g: CellGraph, q: Array[Double], efSearch: Int,
-      k: Int, excludeId: Long): Array[(Long, Double)] = {
+  private[graft] def searchCell(g: CellGraph, q: Array[Double], efSearch: Int,
+      k: Int, excludeId: Long,
+      simCounter: java.util.concurrent.atomic.LongAdder = null): Array[(Long, Double)] = {
     val n = g.n
     if (n == 0) return Array.empty
     val dim = g.dim
@@ -514,6 +515,7 @@ object HnswIndex {
         while (j < dim) { acc += q(j) * g.vecs(off + j); j += 1 }
         simArr(pos) = acc / (qn * g.norms(pos))
         simSet.set(pos)
+        if (simCounter != null) simCounter.increment()
       }
       simArr(pos)
     }

@@ -56,6 +56,31 @@ object HnswRecallProbe {
       val efLabel = if (ef == Int.MaxValue) "inf" else ef.toString
       println(f"$nProbe%7d $efLabel%7s ${hits / denom}%10.3f ${qps}%8.0f")
     }
+
+    // Sims-touched per (query, cell) as the CELL grows — the structural
+    // claim ("~ef·deg·log cellN sims instead of cellN") measured with a
+    // counter, not asserted. Same 50k corpus regrouped into fewer,
+    // bigger cells; each query searches its OWN cell at ef = 64.
+    println(f"%n${"nCells"}%7s ${"cellN"}%8s ${"sims/q"}%8s ${"frac"}%8s")
+    for (cells <- Seq(64, 16, 4)) {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_hnsw_cellsz").toString + "/hnsw"
+      HnswIndex.build(emb, "vec_id", "embedding", cells, d2)
+      val graphs = HnswIndex.loadGraph(spark, HnswIndex.Paths(d2)).collect()
+      val byId = graphs.flatMap(g => g.ids.map(_ -> g)).toMap
+      val qRows = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val counter = new java.util.concurrent.atomic.LongAdder
+      var nQ = 0
+      qRows.foreach { case (qid, qv) =>
+        byId.get(qid).foreach { g =>
+          HnswIndex.searchCell(g, qv, 64, k, qid, counter); nQ += 1
+        }
+      }
+      val avgCellN = graphs.map(_.n).sum.toDouble / graphs.length
+      val simsPerQ = counter.sum().toDouble / nQ
+      println(f"$cells%7d ${avgCellN}%8.0f ${simsPerQ}%8.0f ${simsPerQ / avgCellN}%8.3f")
+      HnswIndex.evict(d2)
+    }
     spark.stop()
   }
 }
