@@ -33,7 +33,7 @@ import graft.operators.{Guards, Similarity}
   * Determinism: node levels come from a splitmix64 hash of (seed, id),
   * insertion order is id-ascending, and every tie in the build and the
   * search breaks on (sim desc, position asc) — two builds of the same
-  * corpus are byte-identical, so specs can pin the artifact.
+  * corpus produce row-identical graphs, so specs can pin the artifact.
   *
   * Exactness gate (the q56 device, q124): layer-0 adjacency always
   * keeps a "backbone" edge between insertion neighbors (pos ↔ pos−1,
@@ -200,7 +200,7 @@ object HnswIndex {
     * is a STRUCTURE, not a bag of rows, so the append path rebuilds
     * exactly the TOUCHED cells (existing members ∪ new arrivals, same
     * deterministic id-order construction — a touched cell's graph is
-    * byte-identical to what a fresh build of that cell's vector set
+    * row-identical to what a fresh build of that cell's vector set
     * produces) and replaces only those partitions via dynamic partition
     * overwrite. Untouched cells keep their files; cost is
     * O(touched cells), never O(corpus). Returns
