@@ -323,6 +323,35 @@ class HnswIndexSpec extends AnyFunSuite {
       s"append must keep int8 storage, got $cols")
   }
 
+  test("degenerate sizes: more cells than vectors, single-node cells, and a self-only corpus all serve exactly") {
+    // 5 vectors across 8 requested cells -> single-node and empty cells
+    val tiny = clusteredCorpus(5, 8, 3).localCheckpoint(true)
+    val dir = tmp("tiny")
+    HnswIndex.build(tiny, "vec_id", "embedding", nCells = 8, dir,
+      m = 4, efConstruction = 16)
+    val q = queriesOf(tiny, 5L)
+    val got = HnswIndex.search(spark, dir, q, k = 3,
+        efSearch = Int.MaxValue, nProbe = 8)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val corpus = tiny.select(col("vec_id").as("neighbor_id"),
+      VF.vecAsDouble(col("embedding")).as("nv"))
+    val want = graft.operators.Similarity.topKExact(q, corpus, 3)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+
+    // single-vector corpus: the only candidate is the query itself,
+    // so the result is empty on both paths
+    val one = clusteredCorpus(1, 8, 1).localCheckpoint(true)
+    val dir1 = tmp("one")
+    HnswIndex.build(one, "vec_id", "embedding", nCells = 1, dir1,
+      m = 4, efConstruction = 16)
+    val q1 = queriesOf(one, 1L)
+    assert(HnswIndex.search(spark, dir1, q1, k = 3,
+      efSearch = Int.MaxValue, nProbe = 1).count() == 0)
+  }
+
   test("an incomplete artifact (no _SUCCESS) is refused") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
