@@ -366,7 +366,7 @@ object Bench {
     * against exact brute force outside the timed window. */
   def hnswThroughput(spark: SparkSession, nVec: Long = 50000L,
       dim: Int = 64, nCells: Int = 64, nProbe: Int = 4, efSearch: Int = 64,
-      k: Int = 10): (Double, Double, Double) = {
+      k: Int = 10): (Long, Double, Double, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_hnsw").toString + "/hnsw"
     val cluster = col("id") % nCells
     def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
@@ -405,7 +405,9 @@ object Bench {
     val denom = exact.count()
     val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
     graft.index.HnswIndex.evict(dir)
-    (buildSec, qps, hits.toDouble / denom)
+    // nVec returned so the phase JSON's rate uses the ACTUAL corpus
+    // size, not a hardcoded echo of this function's default
+    (nVec, buildSec, qps, hits.toDouble / denom)
   }
 
   /** X117/X120 IVF-PQ serving stats. `probeCeilingRecall` is the
@@ -632,8 +634,8 @@ object Bench {
         val (qps, recall, exhaustiveQps) = annPrunedThroughput(spark)
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
       case "hnsw" =>
-        val (buildSec, qps, recall) = hnswThroughput(spark)
-        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(50000 / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f}"""
+        val (nVec, buildSec, qps, recall) = hnswThroughput(spark)
+        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f}"""
       case "ann_pq" =>
         val s = pqThroughput(spark)
         f"""{"build_sec":${s.buildSec}%.3f,"pq_m":${s.m},"n_probe":${s.nProbe},"qps":${s.qps.toLong},"recall":${s.recall}%.3f,"probe_ceiling_recall":${s.probeCeilingRecall}%.3f,"bytes_per_vec":${s.bytesPerVec},"float_bytes_per_vec":${s.floatBytesPerVec},"rerank_qps":${s.rerankQps.toLong},"rerank_recall":${s.rerankRecall}%.3f,"rerank_window":${s.rerankWindow},"pca_recall":${s.pcaRecall}%.3f,"pca_qps":${s.pcaQps.toLong},"pca_bytes_per_vec":${s.pcaBytesPerVec}}"""
@@ -905,6 +907,24 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
+    // Clean-anchor tracking (r12 verdict #1): when every kept attempt is
+    // both canary-clean and steal-clean, copy the detail record to a
+    // TRACKED anchor file — three rounds of tuning earned a quiet
+    // window whose numbers then lived only in a gitignored detail file
+    // the next run overwrote. The anchor is committed, so verdicts can
+    // diff two anchors instead of trusting prose.
+    val phasesClean = steals.nonEmpty &&
+      steals.values.forall(s => s >= 0 && s <= 2.0) &&
+      canaryGateMs.forall(g => canaries.values.forall(c => c >= 0 && c <= g))
+    if (phasesClean && !skipPhases) {
+      val anchorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH.anchor.json")
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(anchorFile),
+          (fullLine + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] all phases canary+steal clean — anchor written to $anchorFile")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $anchorFile: $e") }
+    }
     // stdout carries per-query integer MILLISECONDS as a positional
     // ARRAY ordered by ascending query name (the file keeps the
     // name-keyed seconds map) — round 9's record went parsed:null
@@ -924,12 +944,25 @@ object Bench {
         s""","sf":"$sfDir"$ph,"detail":"$outFile"}"""
     }
     // deterministic trim ladder against the 2000-char capture: drop the
-    // quality category sub-map first (it lives in the detail file)
-    val out = if (line(true).length <= 1900) line(true) else line(false)
-    if (out.length > 1900)
-      System.err.println(s"[bench] stdout line is ${out.length} chars — " +
-        "past the driver's 2000-char tail capture even after trimming; " +
-        "shorten phase fields before the next query lands")
+    // quality category sub-map first (it lives in the detail file), and
+    // if the phase maps THEMSELVES no longer fit (r12's official record
+    // went parsed:null exactly this way — the line was printed past the
+    // budget with only a warning), fall back to a minimal line that
+    // always fits: total + per-query ms + detail pointer. The budget is
+    // 1800, not 2000: sbt's trailing "[success] Total time" line eats
+    // ~100 chars of the driver's tail capture after ours.
+    val minimal =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$msArray,""" +
+        s""""queries_key_order":"name asc","sf":"$sfDir"$retriesJson,""" +
+        s""""trimmed":"phase maps in detail file","detail":"$outFile"}"""
+    val out =
+      if (line(true).length <= 1800) line(true)
+      else if (line(false).length <= 1800) line(false)
+      else minimal
+    if (out.length > 1800)
+      System.err.println(s"[bench] even the minimal stdout line is ${out.length} " +
+        "chars — past the driver's tail capture; the per-query array itself " +
+        "has outgrown the budget")
     println(out)
   }
 }

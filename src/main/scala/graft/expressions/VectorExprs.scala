@@ -88,7 +88,12 @@ object CellKernels {
       var acc = 0.0
       var i = 0
       while (i < n) { acc += v.getDouble(i) * cent(i); i += 1 }
-      scores(c) = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      // NaN query values make every score NaN, and `score > bestS` never
+      // fires on NaN — map to a sentinel below the zero-norm -2.0 so the
+      // selection stays total (first cells win deterministically) instead
+      // of indexing used(-1)
+      val s = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      scores(c) = if (s.isNaN) -3.0 else s
       c += 1
     }
     val np = math.min(nProbe, m)
@@ -100,7 +105,9 @@ object CellKernels {
       var bestS = Double.NegativeInfinity
       var i = 0
       while (i < m) {
-        if (!used(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        if (!used(i) && (best < 0 || scores(i) > bestS)) {
+          best = i; bestS = scores(i)
+        }
         i += 1
       }
       used(best) = true

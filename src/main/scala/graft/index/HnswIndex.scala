@@ -53,6 +53,17 @@ object HnswIndex {
     def graph: String = s"$dir/graph.parquet"
     def metadata: String = s"$dir/metadata.json"
     def staging: String = s"$dir/rebuild_staging.parquet"
+
+    /** Artifact-level commit marker: deleted FIRST and recreated LAST by
+      * every mutation ([[build]], [[update]]'s append), so a crash at ANY
+      * point between the centroids, graph and metadata writes leaves a
+      * detectably-incomplete artifact. Gating on the graph's own
+      * `_SUCCESS` alone missed the cross-file case: a rebuild that died
+      * after `centroids.parquet` but before `graph.parquet` left NEW
+      * centroids beside the OLD graph and its surviving `_SUCCESS`, and
+      * non-exhaustive searches silently routed with a quantizer that no
+      * longer matched cell membership. */
+    def commitMarker: String = s"$dir/_graft_commit"
   }
 
   private[index] final case class Meta(n: Long, nCells: Int, m: Int,
@@ -95,9 +106,20 @@ object HnswIndex {
     def n: Int = ids.length
   }
 
-  private def isComplete(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def isComplete(spark: SparkSession, p: Paths): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(p.commitMarker)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  private def deleteCommitMarker(spark: SparkSession, p: Paths): Unit = {
+    val m = new org.apache.hadoop.fs.Path(p.commitMarker)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+  }
+
+  private def writeCommitMarker(spark: SparkSession, p: Paths): Unit = {
+    val m = new org.apache.hadoop.fs.Path(p.commitMarker)
+    val out = m.getFileSystem(spark.sparkContext.hadoopConfiguration).create(m, true)
+    out.close()
   }
 
   /** Reconstruct the `_v` column on a frame read from storage (int8
@@ -122,6 +144,10 @@ object HnswIndex {
       seed: Long = 42L, quantized: Boolean = false): Unit = {
     val p = Paths(outDir)
     val spark = vectors.sparkSession
+    // un-publish BEFORE any file mutates: a crash anywhere below leaves
+    // a marker-less artifact that search/update refuse, never a silently
+    // mismatched centroids/graph pair
+    deleteCommitMarker(spark, p)
     val n = vectors.count()
     val cents = Similarity.trainIvfCentroids(
       vectors, idCol, vecCol, nCells, knownN = Some(n))
@@ -135,6 +161,7 @@ object HnswIndex {
     val stored = if (quantized) quantizedStorage(nodes) else nodes
     stored.write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
     writeMetadata(spark, p, n, nCells, m, efConstruction, seed)
+    writeCommitMarker(spark, p)
   }
 
   /** int8 storage, build side: the graph is built on the RECONSTRUCTED
@@ -209,10 +236,10 @@ object HnswIndex {
       outDir: String): String = {
     val spark = vectors.sparkSession
     val p = Paths(outDir)
-    if (!isComplete(spark, p.graph))
+    if (!isComplete(spark, p))
       throw new IllegalStateException(
-        s"index at $outDir is incomplete (no _SUCCESS in ${p.graph}) — " +
-          "a writer crashed mid-build; rebuild from the corpus " +
+        s"index at $outDir is incomplete (no ${p.commitMarker}) — " +
+          "a writer crashed mid-mutation; rebuild from the corpus " +
           s"(a staged pre-rebuild copy may survive at ${p.staging})")
     val meta = readMetadata(spark, p)
     val existingRaw = spark.read.parquet(p.graph)
@@ -257,6 +284,9 @@ object HnswIndex {
         existing.filter(col("cell_id").isin(touched: _*))
           .unionByName(if (isQuant) snapToGrid(arrivals) else arrivals)
           .write.mode("overwrite").parquet(p.staging)
+        // staging is safe on disk — un-publish before the partition
+        // overwrite and metadata rewrite mutate the artifact
+        deleteCommitMarker(spark, p)
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
@@ -273,6 +303,7 @@ object HnswIndex {
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         writeMetadata(spark, p, nExisting + nNew, meta.nCells, meta.m,
           meta.efConstruction, meta.seed)
+        writeCommitMarker(spark, p)
         "append"
       }
     } finally fresh.unpersist()
@@ -293,11 +324,24 @@ object HnswIndex {
 
   /** The loaded graph is a bounded number of cell-sized rows that a
     * serving loop reads on EVERY batch — persist the grouped dataset
-    * and key the cache on the artifact's _SUCCESS mtime (the same
+    * and key the cache on the artifact's commit-marker mtime (the same
     * residency + invalidation device as the IVF centroid cache): a
     * rebuild rewrites the marker, evicts the superseded entry, and
-    * unpersists its executor blocks. */
-  private val graphCache = new TrieMap[(String, Long), Dataset[CellGraph]]
+    * unpersists its executor blocks.
+    *
+    * Entries are [[Slot]]s, not datasets: `TrieMap.getOrElseUpdate` may
+    * evaluate its thunk in two racing first loaders, and the loser's
+    * persisted dataset would leak executor blocks with no owner. The
+    * slot decides the winner via `putIfAbsent` BEFORE anything is
+    * built; only the winning slot's lazy body ever runs. */
+  private final class Slot(mk: () => Dataset[CellGraph]) {
+    @volatile private var built = false
+    lazy val value: Dataset[CellGraph] = { val v = mk(); built = true; v }
+    /** Unpersist if (and only if) this slot ever materialized. */
+    def release(): Unit = if (built) value.unpersist()
+  }
+
+  private val graphCache = new TrieMap[(String, Long), Slot]
 
   private[graft] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
     import spark.implicits._
@@ -355,27 +399,44 @@ object HnswIndex {
       ds.count() // materialize: serving batches never pay the group shuffle
       ds
     }
-    val marker = new org.apache.hadoop.fs.Path(p.graph, "_SUCCESS")
+    val marker = new org.apache.hadoop.fs.Path(p.commitMarker)
     val mtime =
       try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(marker).getModificationTime
       catch { case _: Exception => -1L }
     if (mtime < 0) load()
-    else graphCache.getOrElseUpdate((p.graph, mtime), {
-      graphCache.keys.filter(k => k._1 == p.graph && k._2 != mtime).foreach { k =>
-        graphCache.remove(k).foreach(_.unpersist())
+    else {
+      val slot = new Slot(load _)
+      val won = graphCache.putIfAbsent((p.graph, mtime), slot).getOrElse {
+        graphCache.keys.filter(k => k._1 == p.graph && k._2 != mtime).foreach { k =>
+          graphCache.remove(k).foreach(_.release())
+        }
+        slot
       }
-      load()
-    })
+      won.value
+    }
   }
 
-  /** Drop the resident graph for `outDir` (tests / bounded-memory callers). */
+  /** Drop the resident graph and any outstanding query broadcast for
+    * `outDir` (tests / bounded-memory callers). */
   def evict(outDir: String): Unit = {
     val g = Paths(outDir).graph
     graphCache.keys.filter(_._1 == g).foreach { k =>
-      graphCache.remove(k).foreach(_.unpersist())
+      graphCache.remove(k).foreach(_.release())
     }
+    lastQueryBroadcast.remove(g).foreach(_.destroy())
   }
+
+  /** One outstanding query-batch broadcast per index: a serving loop
+    * that never unpersisted its per-batch broadcasts accumulated
+    * executor memory for the life of the JVM. Each [[search]] destroys
+    * the PREVIOUS call's broadcast on the same index before creating
+    * its own — so the result DataFrame of a search must be consumed
+    * before the next search on that index (every serving loop, the
+    * bench and q124 do exactly that; concurrent query batches on ONE
+    * index are outside the bounded-batch serving contract). */
+  private val lastQueryBroadcast =
+    new TrieMap[String, org.apache.spark.broadcast.Broadcast[_]]
 
   /** Search the persisted index: route each query to its nProbe nearest
     * cells (driver replay of the IVF probe kernel — the model is
@@ -389,10 +450,10 @@ object HnswIndex {
       efSearch: Int, nProbe: Int, maxQueries: Long = 10000L): DataFrame = {
     import spark.implicits._
     val p = Paths(outDir)
-    if (!isComplete(spark, p.graph))
+    if (!isComplete(spark, p))
       throw new IllegalStateException(
-        s"index at $outDir is incomplete (no _SUCCESS in ${p.graph}) — " +
-          "a writer crashed mid-build; rebuild from the corpus")
+        s"index at $outDir is incomplete (no ${p.commitMarker}) — " +
+          "a writer crashed mid-mutation; rebuild from the corpus")
     Guards.requireAtMost(queries, maxQueries, "HnswIndex.search",
       "serve in bounded batches — the query side of a graph search is " +
         "collected for per-cell routing")
@@ -424,7 +485,9 @@ object HnswIndex {
     }
     val routedImm: Map[Int, Array[Int]] = routed.map { case (c, b) => (c, b.toArray) }.toMap
     val probedCells = routedImm.keys.toSeq
+    lastQueryBroadcast.remove(p.graph).foreach(_.destroy())
     val bq = spark.sparkContext.broadcast((qRows, routedImm))
+    lastQueryBroadcast.put(p.graph, bq)
     val kk = k
     val ef = efSearch
     val sims = loadGraph(spark, p)
@@ -455,7 +518,12 @@ object HnswIndex {
       val n = math.min(q.length, cent.length)
       var acc = 0.0; var i = 0
       while (i < n) { acc += q(i) * cent(i); i += 1 }
-      scores(c) = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      // NaN query values make every score NaN and `score > bestS` never
+      // fires on NaN — map to a sentinel below the zero-norm -2.0 so one
+      // degenerate query routes deterministically instead of crashing
+      // the whole batch on used(-1) (the CellKernels.probeCells guard)
+      val s = if (invNorms(c) > 0) acc * invNorms(c) else -2.0
+      scores(c) = if (s.isNaN) -3.0 else s
       c += 1
     }
     val np = math.min(nProbe, m)
@@ -466,7 +534,9 @@ object HnswIndex {
       var best = -1; var bestS = Double.NegativeInfinity
       var i = 0
       while (i < m) {
-        if (!used(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        if (!used(i) && (best < 0 || scores(i) > bestS)) {
+          best = i; bestS = scores(i)
+        }
         i += 1
       }
       used(best) = true; out(r) = best; r += 1

@@ -352,18 +352,26 @@ class HnswIndexSpec extends AnyFunSuite {
       efSearch = Int.MaxValue, nProbe = 1).count() == 0)
   }
 
-  test("an incomplete artifact (no _SUCCESS) is refused") {
+  test("an incomplete artifact (no commit marker) is refused by search and update") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
     HnswIndex.build(emb, "vec_id", "embedding", nCells = 2, dir,
       m = 4, efConstruction = 16)
+    // the crash the marker exists to catch is BETWEEN component writes:
+    // e.g. new centroids written, graph not yet — every component file
+    // can look individually complete, only the artifact-level marker
+    // (deleted first, recreated last) knows the mutation never finished
     val marker = new java.io.File(
-      new java.net.URI("file://" + HnswIndex.Paths(dir).graph + "/_SUCCESS"))
+      new java.net.URI("file://" + HnswIndex.Paths(dir).commitMarker))
     assert(marker.delete())
     val q = queriesOf(emb, 3L)
     val e = intercept[IllegalStateException] {
       HnswIndex.search(spark, dir, q, k = 3, efSearch = 16, nProbe = 2)
     }
     assert(e.getMessage.contains("incomplete"))
+    val e2 = intercept[IllegalStateException] {
+      HnswIndex.update(emb, "vec_id", "embedding", dir)
+    }
+    assert(e2.getMessage.contains("incomplete"))
   }
 }
