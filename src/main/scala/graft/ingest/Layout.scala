@@ -222,7 +222,8 @@ object Layout {
     // a merged version's bytes live across its chain — size the file
     // count from the EFFECTIVE data, not just the local directory
     val sizeRoots =
-      if (Merge.mergeInfo(spark, dir).isEmpty) Seq(dir)
+      if (Merge.mergeInfo(spark, dir).isEmpty &&
+        Merge.manifestInfo(spark, dir).isEmpty) Seq(dir)
       else Merge.effectiveDirs(spark, base, layer, v).values.toSeq
     sizeRoots.foreach { d =>
       val it = f.listFiles(new Path(d), true)

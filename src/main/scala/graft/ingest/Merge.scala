@@ -35,6 +35,13 @@ object Merge {
 
   val MergeMarker = "_graft_merge.json"
 
+  /** Marker of a metadata-only CHECKPOINT version (see [[checkpoint]]):
+    * carries the fully-resolved partition-dir manifest, so reads cost
+    * one marker parse regardless of how deep the merge chain behind it
+    * was — the manifest-log checkpoint of a real table format, with no
+    * data rewrite at all. */
+  val ManifestMarker = "_graft_manifest.json"
+
   final case class MergeInfo(baseVersion: Int, partitionCol: String,
       affected: Seq[String])
 
@@ -56,6 +63,30 @@ object Merge {
     val out = fs(spark, dir).create(new Path(dir, MergeMarker), false)
     out.write(json.toString.getBytes("UTF-8"))
     out.close()
+  }
+
+  private[ingest] def writeManifestMarker(spark: SparkSession, dir: String,
+      manifest: Map[String, String]): Unit = {
+    val json = new ObjectMapper().createObjectNode()
+    val m = json.putObject("manifest")
+    manifest.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    val out = fs(spark, dir).create(new Path(dir, ManifestMarker), false)
+    out.write(json.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Structural parse of the manifest marker: partition-dir name →
+    * absolute data path (none ⇒ not a checkpoint version). */
+  def manifestInfo(spark: SparkSession, dir: String): Option[Map[String, String]] = {
+    val p = new Path(dir, ManifestMarker)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      val m = node.get("manifest")
+      Some(m.fieldNames().asScala.map(k => k -> m.get(k).asText()).toMap)
+    }
   }
 
   /** Structural parse of the merge marker (none ⇒ a plain, self-contained
@@ -92,14 +123,19 @@ object Merge {
       version: Int): Map[String, String] = {
     val dir = Layout.versionedDir(base, layer, version)
     val own = partitionDirNames(spark, dir).map(n => n -> s"$dir/$n").toMap
-    mergeInfo(spark, dir) match {
-      case None => own
-      case Some(info) =>
-        // chains always point backwards; a corrupt/hand-edited marker
-        // must fail loudly, not recurse forever
-        require(info.baseVersion < version,
-          s"corrupt merge marker: v$version claims base v${info.baseVersion}")
-        (effectiveDirs(spark, base, layer, info.baseVersion) -- info.affected) ++ own
+    manifestInfo(spark, dir) match {
+      // a checkpoint version IS its resolved map — one marker parse,
+      // no recursion, no per-link directory listings
+      case Some(manifest) => manifest ++ own
+      case None => mergeInfo(spark, dir) match {
+        case None => own
+        case Some(info) =>
+          // chains always point backwards; a corrupt/hand-edited marker
+          // must fail loudly, not recurse forever
+          require(info.baseVersion < version,
+            s"corrupt merge marker: v$version claims base v${info.baseVersion}")
+          (effectiveDirs(spark, base, layer, info.baseVersion) -- info.affected) ++ own
+      }
     }
   }
 
@@ -110,7 +146,8 @@ object Merge {
   def readResolved(spark: SparkSession, base: String, layer: String,
       version: Int): DataFrame = {
     val dir = Layout.versionedDir(base, layer, version)
-    if (mergeInfo(spark, dir).isEmpty) spark.read.parquet(dir)
+    if (mergeInfo(spark, dir).isEmpty && manifestInfo(spark, dir).isEmpty)
+      spark.read.parquet(dir)
     else {
       val eff = effectiveDirs(spark, base, layer, version)
       require(eff.nonEmpty, s"merged v$version of $layer resolves to zero partitions")
@@ -129,24 +166,74 @@ object Merge {
     * flattens the chain; the manifest-checkpoint analog of a real table
     * format). */
   def chainDepth(spark: SparkSession, base: String, layer: String): Int = {
-    def depth(v: Int): Int =
-      mergeInfo(spark, Layout.versionedDir(base, layer, v)) match {
+    def depth(v: Int): Int = {
+      val dir = Layout.versionedDir(base, layer, v)
+      // a checkpoint version resolves in one marker parse — depth 0
+      if (manifestInfo(spark, dir).nonEmpty) 0
+      else mergeInfo(spark, dir) match {
         case None => 0
         case Some(info) => 1 + depth(info.baseVersion)
       }
+    }
     Layout.committedVersions(spark, base, layer).lastOption.map(depth).getOrElse(0)
+  }
+
+  /** The version number a data path under `{base}/{layer}/vN/…` belongs
+    * to (None for paths outside the layer's version tree). */
+  private def versionOfPath(base: String, layer: String, path: String): Option[Int] = {
+    val prefix = s"$base/$layer/v"
+    if (!path.startsWith(prefix)) None
+    else path.drop(prefix.length).takeWhile(_.isDigit) match {
+      case "" => None
+      case digits => Some(digits.toInt)
+    }
   }
 
   /** Versions that committed merge chains still reference — vacuum must
     * not reclaim these even if they were themselves unpublished by a
     * rollback. */
   def protectedVersions(spark: SparkSession, base: String, layer: String): Set[Int] = {
-    def chain(v: Int): Set[Int] =
-      mergeInfo(spark, Layout.versionedDir(base, layer, v)) match {
-        case None => Set(v)
-        case Some(info) => chain(info.baseVersion) + v
+    def chain(v: Int): Set[Int] = {
+      val dir = Layout.versionedDir(base, layer, v)
+      manifestInfo(spark, dir) match {
+        // a checkpoint's manifest references data dirs across many old
+        // versions — all of them stay alive
+        case Some(manifest) =>
+          manifest.values.flatMap(versionOfPath(base, layer, _)).toSet + v
+        case None => mergeInfo(spark, dir) match {
+          case None => Set(v)
+          case Some(info) => chain(info.baseVersion) + v
+        }
       }
+    }
     Layout.committedVersions(spark, base, layer).flatMap(chain).toSet
+  }
+
+  /** Metadata-only chain flatten (r12 verdict #3): publish a NEW
+    * committed version whose [[ManifestMarker]] carries the latest
+    * version's fully-resolved partition-dir map — every data file stays
+    * exactly where it is. Reads of the checkpoint (and of merges built
+    * on top of it) resolve in one marker parse instead of walking the
+    * chain, so the depth-cadence maintenance of an incremental workload
+    * costs O(partitions) metadata, never an O(corpus) rewrite — the
+    * role a real table format's manifest-log checkpoint plays.
+    * [[Layout.compact]] remains the DATA maintenance job (small-file
+    * packing); its cadence is now independent of chain depth. */
+  def checkpoint(spark: SparkSession, base: String, layer: String): String = {
+    val vCur = Layout.committedVersions(spark, base, layer).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions of $layer under $base — nothing to checkpoint"))
+    val manifest = effectiveDirs(spark, base, layer, vCur)
+    require(manifest.nonEmpty,
+      s"v$vCur of $layer is not hive-partitioned — a manifest checkpoint " +
+        "tracks partition dirs; compact a non-partitioned layer instead")
+    val vNew = Layout.latestVersion(spark, base, layer).getOrElse(0) + 1
+    val newDir = Layout.versionedDir(base, layer, vNew)
+    fs(spark, newDir).mkdirs(new Path(newDir))
+    writeManifestMarker(spark, newDir, manifest)
+    // commit attests the effective row count across the referenced dirs
+    Layout.commit(spark, newDir, manifest.values.toSeq)
+    newDir
   }
 
   // ---- merge ---------------------------------------------------------

@@ -125,6 +125,77 @@ class MergeSpec extends AnyFunSuite {
     assert(Layout.loadLatest(spark, base, "normalized").count() == 5)
   }
 
+  test("manifest checkpoint flattens the chain with zero data movement; merges stack on top") {
+    val base = freshLayer()
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep1", 1L, "a-v2")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep2", 3L, "c-v3")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    assert(Merge.chainDepth(spark, base, "normalized") == 2)
+    val before = Layout.loadLatest(spark, base, "normalized")
+      .select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(s"$base/normalized"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified())).toMap
+    }
+    val filesBefore = dataFiles()
+
+    val ckDir = Merge.checkpoint(spark, base, "normalized")
+
+    // metadata-only: not ONE data file moved, was rewritten, or appeared
+    assert(dataFiles() == filesBefore,
+      "checkpoint touched data files — it must be metadata-only")
+    assert(!new java.io.File(ckDir).listFiles().exists(_.getName.endsWith(".parquet")),
+      "checkpoint version dir must hold no data of its own")
+
+    // reads resolve in one marker parse (depth 0) to identical content
+    assert(Merge.chainDepth(spark, base, "normalized") == 0)
+    assert(Merge.manifestInfo(spark, ckDir).nonEmpty)
+    val after = Layout.loadLatest(spark, base, "normalized")
+      .select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == before)
+    // the commit marker attests the effective row count across the
+    // referenced dirs
+    assert(Layout.committedRowCount(spark, ckDir).contains(5L))
+
+    // a further merge stacks on the checkpoint: depth restarts at 1 and
+    // resolution goes through the manifest, not the old chain
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep3", 5L, "e-v5")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    assert(Merge.chainDepth(spark, base, "normalized") == 1)
+    val stacked = Layout.loadLatest(spark, base, "normalized")
+      .select("episode_id", "row_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(stacked == before - (("ep3", 5L, "e-v1")) + (("ep3", 5L, "e-v5")))
+  }
+
+  test("vacuum keeps versions a committed manifest checkpoint references") {
+    val base = freshLayer()
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep1", 1L, "a-v2")).toDF("episode_id", "row_id", "payload"),
+      Seq("row_id"), "episode_id")
+    Merge.checkpoint(spark, base, "normalized")
+    // unpublish v1 and v2 — the checkpoint's manifest still points into
+    // both version directories
+    Seq(1, 2).foreach { v =>
+      val f = new java.io.File(s"$base/normalized/v$v/${Layout.CommitMarker}")
+      assert(f.delete())
+    }
+    val removed = Layout.vacuum(spark, base, "normalized", retentionMs = 0L)
+    assert(removed.isEmpty, s"vacuum must not reclaim manifest-referenced dirs: $removed")
+    assert(Layout.loadLatest(spark, base, "normalized").count() == 5)
+  }
+
   test("merging onto an unpartitioned base version is refused") {
     val base = Files.createTempDirectory("graft_merge_flat").toString
     Layout.writeVersioned(baseData(), base, "normalized") // no partitionBy

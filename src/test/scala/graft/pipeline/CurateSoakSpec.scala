@@ -45,11 +45,27 @@ class CurateSoakSpec extends AnyFunSuite {
     var expectedShardRows = Layout.loadLatest(spark, base, "curated/shards").count()
     val gateOrder = Seq("raw", "exact", "neardup", "quality", "decontam", "curriculum")
 
+    // shards DATA files: the soak's strongest scale assertion is that no
+    // batch — INCLUDING the chain-flatten batch — ever rewrites or
+    // copies a previously-written shard file (the flatten is a
+    // metadata-only manifest checkpoint, not an O(corpus) rewrite)
+    def shardFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(s"$base/curated/shards"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified())).toMap
+    }
+    var sawShardCheckpoint = false
+
     (0 until 10).foreach { k =>
       val batch = batchDocs(k)
       val nRaw = batch.count()
       val idxDirsBefore = dirsOf(CuratePipeline.Frozen.NearDupIndex)
       val bankDirsBefore = dirsOf(CuratePipeline.Frozen.NormBank)
+      val shardFilesBefore = shardFiles()
+      val shardDepthBefore = Merge.chainDepth(spark, base, "curated/shards")
 
       val acc = CuratePipeline.runIncremental(spark, batch, base)
         .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
@@ -83,9 +99,8 @@ class CurateSoakSpec extends AnyFunSuite {
       } else assert(bankDirs == bankDirsBefore)
 
       // merge-chain depth stays bounded: reads of a merged layer cost
-      // O(chain), so runIncremental flattens (Layout.compact) at the
-      // CompactChainDepth threshold — 10 appends must never leave a
-      // deeper chain behind
+      // O(chain), so runIncremental flattens at the CompactChainDepth
+      // threshold — 10 appends must never leave a deeper chain behind
       Seq("curated/shards", CuratePipeline.Frozen.NearDupIndex,
         CuratePipeline.Frozen.NormBank, CuratePipeline.Frozen.BenchGrams)
         .foreach { l =>
@@ -93,6 +108,31 @@ class CurateSoakSpec extends AnyFunSuite {
           assert(d < CuratePipeline.CompactChainDepth,
             s"batch $k: $l merge chain depth $d not bounded")
         }
+
+      // shards flatten is METADATA-ONLY: no pre-existing data file is
+      // ever rewritten, moved or deleted by any batch, and each batch's
+      // new data files land in at most ONE new version dir (the batch's
+      // own merge) — a checkpoint version contributes zero data files
+      val shardFilesAfter = shardFiles()
+      shardFilesBefore.foreach { case (p, t) =>
+        assert(shardFilesAfter.get(p).contains(t),
+          s"batch $k rewrote or removed shard data file $p")
+      }
+      val newVDirs = (shardFilesAfter.keySet -- shardFilesBefore.keySet)
+        .flatMap("/shards/(v\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+      assert(newVDirs.size <= 1,
+        s"batch $k wrote shard data into ${newVDirs.size} version dirs: $newVDirs")
+      if (Merge.chainDepth(spark, base, "curated/shards") < shardDepthBefore) {
+        // the flatten fired this batch: depth reset by a manifest
+        // checkpoint, not a rewrite
+        sawShardCheckpoint = true
+        assert(Merge.chainDepth(spark, base, "curated/shards") == 0,
+          s"batch $k: flatten did not reset the shards chain")
+        val ckDir = Layout.versionedDir(base, "curated/shards",
+          Layout.committedVersions(spark, base, "curated/shards").last)
+        assert(Merge.manifestInfo(spark, ckDir).nonEmpty,
+          s"batch $k: depth reset without a manifest checkpoint at $ckDir")
+      }
 
       // mid-sequence resubmit: after batch 5, replay batch 2 — no-op
       if (k == 5) {
@@ -110,6 +150,11 @@ class CurateSoakSpec extends AnyFunSuite {
           "resubmission published a version — not a no-op")
       }
     }
+
+    // the soak must actually exercise the flatten path, or the
+    // metadata-only assertions above never ran against it
+    assert(sawShardCheckpoint,
+      "ten batches never tripped the shards chain-depth flatten")
 
     // shards layer: key-consistent and row count == full + Σ deltas
     val shards = Layout.loadLatest(spark, base, "curated/shards")
