@@ -356,6 +356,34 @@ object Bench {
     (qps, hits.toDouble / denom, exhaustiveQps)
   }
 
+  /** X130 PRODUCT delta path (r12 verdict #2): what a user of
+    * `curate-delta` actually pays per batch against a PERSISTED lake —
+    * frozen layers loaded from storage, never re-derived. q123 keeps
+    * measuring the oracle CONTRACT (which re-derives the full side's
+    * frozen parameters inside the one query); this phase is the first
+    * official record of the product cost. Setup (untimed): a full
+    * [[graft.pipeline.CuratePipeline.run]] over 80% of the sf
+    * documents. One warmup delta batch pays Catalyst analysis + JIT;
+    * the measured batch times [[graft.pipeline.CuratePipeline
+    * .runIncremental]] end-to-end including its layer merges and the
+    * per-batch accounting collect. */
+  def curateDeltaThroughput(spark: SparkSession, sfDir: String): (Long, Double) = {
+    import graft.pipeline.CuratePipeline
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_lake").toString
+    CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(10)) < 8), base)
+    def delta(k: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === k)
+    CuratePipeline.runIncremental(spark, delta(8), base).collect() // warmup
+    val measured = delta(9).localCheckpoint(true)
+    val nRows = measured.count()
+    val t0 = System.nanoTime()
+    val acc = CuratePipeline.runIncremental(spark, measured, base).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(acc.nonEmpty && nRows > 0, "curate_delta produced no accounting")
+    (nRows, sec)
+  }
+
   /** X131 graph-ANN serving configuration on the SAME clustered corpus
     * shape as [[annPrunedThroughput]], so its qps/recall rows are
     * directly comparable with the IVF cell-scan numbers: build the
@@ -636,6 +664,9 @@ object Bench {
       case "hnsw" =>
         val (nVec, buildSec, qps, recall) = hnswThroughput(spark)
         f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f}"""
+      case "curate_delta" =>
+        val (rows, sec) = curateDeltaThroughput(spark, sfDir)
+        f"""{"sec":$sec%.3f,"delta_rows":$rows,"rows_per_sec":${(rows / sec).toLong}}"""
       case "ann_pq" =>
         val s = pqThroughput(spark)
         f"""{"build_sec":${s.buildSec}%.3f,"pq_m":${s.m},"n_probe":${s.nProbe},"qps":${s.qps.toLong},"recall":${s.recall}%.3f,"probe_ceiling_recall":${s.probeCeilingRecall}%.3f,"bytes_per_vec":${s.bytesPerVec},"float_bytes_per_vec":${s.floatBytesPerVec},"rerank_qps":${s.rerankQps.toLong},"rerank_recall":${s.rerankRecall}%.3f,"rerank_window":${s.rerankWindow},"pca_recall":${s.pcaRecall}%.3f,"pca_qps":${s.pcaQps.toLong},"pca_bytes_per_vec":${s.pcaBytesPerVec}}"""
@@ -883,6 +914,11 @@ object Bench {
     val annPrunedJson = phaseJson("ann_pruned", "ann_pruned")
     val annPqJson = phaseJson("ann_pq", "ann_pq")
     val hnswJson = phaseJson("hnsw", "hnsw")
+    // curate_delta reads the sf documents table (not a fixed synthetic
+    // corpus) but is still skipped on ladder runs: the ladder's product
+    // is per-query ratios, and this phase's full-run setup would
+    // dominate its window
+    val curateDeltaJson = phaseJson("curate_delta", "curate_delta")
     val qaJson = phaseJson("quality", "quality_assess")
     val streamingJson = phaseJson("streaming", "streaming")
     val phasesNote = if (skipPhases)
@@ -894,7 +930,7 @@ object Bench {
       canaries.map { case (k, v) => f""""$k":${v.round}""" }
         .mkString(""","canary_ms":{""", ",", "}") + retriesJson
     val phases = ingestJson + annJson + annPrunedJson + annPqJson + hnswJson +
-      qaJson + streamingJson + phasesNote + stealJson
+      curateDeltaJson + qaJson + streamingJson + phasesNote + stealJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
     // record lost q01-q15 because the driver captures only the LAST

@@ -101,11 +101,16 @@ object Layout {
     * FileAlreadyExists instead of silently double-publishing).
     * `extraDirs` lets a merged version (see [[Merge]]) attest its
     * EFFECTIVE row count — inherited partition dirs count too. */
-  def commit(spark: SparkSession, dir: String, extraDirs: Seq[String] = Nil): Long = {
+  def commit(spark: SparkSession, dir: String, extraDirs: Seq[String] = Nil): Long =
+    commitAttested(spark, dir, parquetRows(spark, dir +: extraDirs))
+
+  /** Footer-summed row count across `dirs` (metadata reads, no data
+    * pages). An unreadable footer FAILS the caller, never understates. */
+  private[ingest] def parquetRows(spark: SparkSession, dirs: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val f = fs(spark, dir)
     var rows = 0L
-    (dir +: extraDirs).foreach { d =>
+    dirs.foreach { d =>
+      val f = fs(spark, d)
       val it = f.listFiles(new Path(d), true)
       while (it.hasNext) {
         val st = it.next()
@@ -115,10 +120,20 @@ object Layout {
           // understated row_count — the marker exists to attest completeness
           rows += graft.snapshot.Snapshot.parquetRowCount(conf, path).getOrElse(
             throw new IllegalStateException(
-              s"refusing to commit $dir: unreadable parquet footer in $path"))
+              s"refusing to commit $d: unreadable parquet footer in $path"))
       }
     }
-    val out = f.create(new Path(dir, CommitMarker), false)
+    rows
+  }
+
+  /** Publish with an already-derived effective row count. [[Merge]] uses
+    * this to commit in O(touched dirs): the inherited portion of a merged
+    * or checkpointed version's count comes from the PREVIOUS version's
+    * attested marker, so commit cost never re-reads the whole layer's
+    * footers (which grew O(corpus) per batch on an incremental
+    * workload). */
+  private[ingest] def commitAttested(spark: SparkSession, dir: String, rows: Long): Long = {
+    val out = fs(spark, dir).create(new Path(dir, CommitMarker), false)
     out.write(s"""{"row_count": $rows}""".getBytes("UTF-8"))
     out.close()
     rows

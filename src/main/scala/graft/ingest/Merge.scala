@@ -231,8 +231,13 @@ object Merge {
     val newDir = Layout.versionedDir(base, layer, vNew)
     fs(spark, newDir).mkdirs(new Path(newDir))
     writeManifestMarker(spark, newDir, manifest)
-    // commit attests the effective row count across the referenced dirs
-    Layout.commit(spark, newDir, manifest.values.toSeq)
+    // commit attests the effective row count across the referenced dirs —
+    // the checkpoint references exactly vCur's effective data, so vCur's
+    // attested count carries over without re-walking any footer
+    Layout.committedRowCount(spark, Layout.versionedDir(base, layer, vCur)) match {
+      case Some(prior) => Layout.commitAttested(spark, newDir, prior)
+      case None => Layout.commit(spark, newDir, manifest.values.toSeq)
+    }
     newDir
   }
 
@@ -286,39 +291,76 @@ object Merge {
     // inheritance works at partition-dir granularity: a base version
     // written WITHOUT partitionBy has no partition dirs to inherit, and
     // merging onto it would silently drop every untouched row
-    require(effectiveDirs(spark, base, layer, vCur).nonEmpty,
+    val effCur = effectiveDirs(spark, base, layer, vCur)
+    require(effCur.nonEmpty,
       s"v$vCur of $layer is not hive-partitioned — rewrite it with " +
         s"Layout.writeVersioned(partitionCols = Seq(\"$partitionCol\")) before merging")
 
-    // survivors of the touched partitions: partition pruning keeps this
-    // read to the touched dirs only
-    val old = readResolved(spark, base, layer, vCur)
-      .filter(col(partitionCol).isin(touched: _*))
+    val affectedDirNames = touched.map(v => s"$partitionCol=$v")
+    // pure-append fast path: every touched partition value is NEW (the
+    // incremental bank/index layers append one bNNNN batch of dirs per
+    // delta), so there are no survivors to read — the resolved-layer
+    // read (one listing per chain root × partition dir) is skipped
+    // entirely; the schema check reads a single partition dir instead
+    val pureAppend = deleteKeys.isEmpty && !affectedDirNames.exists(effCur.contains)
+    val layerColumns: Seq[String] =
+      if (pureAppend) {
+        val path = effCur(effCur.keys.min)
+        val root = path.substring(0, path.lastIndexOf('/'))
+        spark.read.option("basePath", root).parquet(path).columns.toSeq
+      } else readResolved(spark, base, layer, vCur).columns.toSeq
     // a narrower updates frame would silently DROP the missing columns
     // from every rewritten row (survivors are projected to updates'
     // shape before the union) — refuse instead
-    require(updates.columns.toSet == old.columns.toSet,
+    require(updates.columns.toSet == layerColumns.toSet,
       s"merge updates schema must match the layer: missing " +
-        s"${old.columns.toSet.diff(updates.columns.toSet).mkString(",")}; extra " +
-        s"${updates.columns.toSet.diff(old.columns.toSet).mkString(",")}")
-    val afterDeletes = deleteKeys match {
-      case Some(d) => old.join(d, d.columns.toSeq.intersect(old.columns.toSeq), "left_anti")
-      case None => old
-    }
-    val survivors = afterDeletes.join(
-      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val newData = survivors.select(updates.columns.map(col): _*)
-      .unionByName(updates)
+        s"${layerColumns.toSet.diff(updates.columns.toSet).mkString(",")}; extra " +
+        s"${updates.columns.toSet.diff(layerColumns.toSet).mkString(",")}")
+    val newData =
+      if (pureAppend) updates.select(layerColumns.map(col): _*)
+      else {
+        // survivors of the touched partitions: partition pruning keeps
+        // this read to the touched dirs only
+        val old = readResolved(spark, base, layer, vCur)
+          .filter(col(partitionCol).isin(touched: _*))
+        val afterDeletes = deleteKeys match {
+          case Some(d) => old.join(d, d.columns.toSeq.intersect(old.columns.toSeq), "left_anti")
+          case None => old
+        }
+        val survivors = afterDeletes.join(
+          updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        survivors.select(updates.columns.map(col): _*).unionByName(updates)
+      }
 
     val vNew = Layout.latestVersion(spark, base, layer).getOrElse(0) + 1
     val newDir = Layout.versionedDir(base, layer, vNew)
-    newData.write.mode("errorifexists").partitionBy(partitionCol).parquet(newDir)
+    // range-pack on (partition value, keys) before the partitioned write:
+    // an unpacked write emits one file per (task × partition value) —
+    // measured at 32 tasks × 64 bucket dirs = up to 2048 files per bank
+    // batch — while ranges keep each task inside few partition values
+    // yet still split a hot value across tasks (the Layout.compact
+    // packing rationale; a plain hash repartition would funnel a hot
+    // partition into one task)
+    val nPack = math.max(1, math.min(touched.size,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    newData.repartitionByRange(nPack, (partitionCol +: keyCols).map(col): _*)
+      .write.mode("errorifexists").partitionBy(partitionCol).parquet(newDir)
 
-    val affectedDirNames = touched.map(v => s"$partitionCol=$v")
     writeMarker(spark, newDir, MergeInfo(vCur, partitionCol, affectedDirNames))
-    // commit attests the EFFECTIVE row count: local files + inherited dirs
-    val inherited = (effectiveDirs(spark, base, layer, vCur) -- affectedDirNames).values.toSeq
-    Layout.commit(spark, newDir, inherited)
+    // commit attests the EFFECTIVE row count. When the previous version's
+    // marker carries one, derive it in O(touched dirs): prior count −
+    // replaced dirs' footers + this version's local footers. Footer-
+    // walking the inherited dirs instead costs O(layer files) per batch —
+    // at 100 TB that was the single O(corpus) term left in a delta merge.
+    Layout.committedRowCount(spark, Layout.versionedDir(base, layer, vCur)) match {
+      case Some(prior) =>
+        val replaced = affectedDirNames.flatMap(effCur.get)
+        Layout.commitAttested(spark, newDir,
+          prior - Layout.parquetRows(spark, replaced) +
+            Layout.parquetRows(spark, Seq(newDir)))
+      case None =>
+        Layout.commit(spark, newDir, (effCur -- affectedDirNames).values.toSeq)
+    }
     newDir
   }
 }

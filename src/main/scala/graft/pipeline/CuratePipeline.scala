@@ -77,7 +77,7 @@ object CuratePipeline {
   val StageNames: Seq[String] = Seq("raw", "exact", "neardup", "quality",
     "decontam", "curriculum", "mixture", "shards")
 
-  private def withTok(docs: DataFrame): DataFrame =
+  private[graft] def withTok(docs: DataFrame): DataFrame =
     docs.withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
 
   /** Stage transitions as (name, (raw, previous) => next) — `raw` rides
@@ -333,7 +333,7 @@ object CuratePipeline {
       .withColumn("_n_grams", size(col("_grams")))
       .drop("_tk")
 
-  private def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
+  private[graft] def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
     withGrams_(raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0), cfg)
       .select(explode(col("_grams")).as("g"))
       .distinct()

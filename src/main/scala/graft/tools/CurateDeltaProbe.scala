@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ingest.{Layout, Merge}
+import graft.pipeline.CuratePipeline
+
+/** Decomposes the PRODUCT delta-batch cost (`runIncremental` against a
+  * persisted lake — the bench `curate_delta` phase) into its sections,
+  * so the phase number on the official record is attributable:
+  * frozen-layer loads, the incremental stage chain, each layer MERGE,
+  * and the accounting. Usage:
+  *   runMain graft.tools.CurateDeltaProbe <sfDir>
+  */
+object CurateDeltaProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val base = java.nio.file.Files.createTempDirectory("graft_probe_lake").toString
+    CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(10)) < 8), base)
+    CuratePipeline.runIncremental(spark, docs.filter(pmod(col("doc_id"), lit(10)) === 8), base)
+
+    // measured batch, decomposed (mirrors runIncremental's section order)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 9).localCheckpoint(true)
+    val total0 = System.nanoTime()
+    val cfg = graft.pipeline.CurateConfig()
+    val frozen = timed("frozen_loads") {
+      val f = CuratePipeline.FrozenParams(
+        bankedNorms = CuratePipeline.prunedNormBank(spark, base, delta),
+        index = Layout.loadLatest(spark, base, CuratePipeline.Frozen.NearDupIndex).drop("batch"),
+        benchGrams = Layout.loadLatest(spark, base, CuratePipeline.Frozen.BenchGrams).drop("batch"),
+        bounds = Layout.loadLatest(spark, base, CuratePipeline.Frozen.CurriculumBounds),
+        alloc = Layout.loadLatest(spark, base, CuratePipeline.Frozen.UnimaxAlloc))
+      f.bankedNorms.count() // materialize the pruned bank read
+      f
+    }
+    val st = timed("incremental_stages") {
+      val s = CuratePipeline.incrementalStages(delta, frozen, cfg)
+      s.foreach(_._2.count()) // stages are eager checkpoints; count is cheap
+      s
+    }
+    val frames = st.toMap
+    val shardDelta = frames("shards").localCheckpoint(false)
+    timed("merge_shards") {
+      if (!shardDelta.isEmpty)
+        Merge.merge(spark, base, "curated/shards", shardDelta,
+          Seq("doc_id", "copy"), "shard_key")
+    }
+    timed("merge_neardup_index") {
+      val batchNo = Layout.committedVersions(spark, base, CuratePipeline.Frozen.NearDupIndex).last + 1
+      val newIdx = graft.operators.Dedup.nearDupIndex(frames("neardup"), "doc_id",
+        col("text"), cfg.shingleWords, cfg.minhashK)
+        .withColumn("batch", format_string("b%04d", lit(batchNo)))
+      if (!newIdx.isEmpty)
+        Merge.merge(spark, base, CuratePipeline.Frozen.NearDupIndex, newIdx,
+          Seq("doc_id"), "batch")
+    }
+    timed("merge_norm_bank") {
+      val normBatchNo = Layout.committedVersions(spark, base, CuratePipeline.Frozen.NormBank).last + 1
+      val newNorms = frames("exact").select(col("norm_fp")).distinct()
+        .withColumn("bucket", format_string("b%04d-f%02d", lit(normBatchNo),
+          pmod(col("norm_fp"), lit(64L))))
+      if (!newNorms.isEmpty)
+        Merge.merge(spark, base, CuratePipeline.Frozen.NormBank, newNorms,
+          Seq("norm_fp"), "bucket")
+    }
+    timed("merge_bench_grams") {
+      val benchBatchNo = Layout.committedVersions(spark, base, CuratePipeline.Frozen.BenchGrams).last + 1
+      val novel = CuratePipeline.benchGramSet(CuratePipeline.withTok(delta), cfg)
+        .join(frozen.benchGrams, Seq("g"), "left_anti")
+        .withColumn("batch", format_string("b%04d", lit(benchBatchNo)))
+      if (!novel.isEmpty)
+        Merge.merge(spark, base, CuratePipeline.Frozen.BenchGrams, novel,
+          Seq("g"), "batch")
+    }
+    timed("accounting") {
+      CuratePipeline.accounting(st.map { case (n, df) =>
+        (n, if (n == "shards") shardDelta else df)
+      }).collect()
+    }
+    println(f"PROBE total                 ${(System.nanoTime() - total0) / 1e9}%7.2f s")
+    spark.stop()
+  }
+}
