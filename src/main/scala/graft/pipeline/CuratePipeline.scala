@@ -28,6 +28,16 @@ case class CurateConfig(
     budgetFrac: Double = 1.25,
     maxEpochs: Double = 1.4,
     nShards: Int = 16,
+    /** Fingerprint-range bucket count of the persisted norm bank
+      * (see [[CuratePipeline.NormBankBuckets]]). STRUCTURAL: the value
+      * is baked into the bank's partition-dir names at [[CuratePipeline
+      * .run]] time, and [[CuratePipeline.runIncremental]]'s pruned probe
+      * must use the SAME value or bucket pruning silently reads the
+      * wrong slice — never change it mid-lake (refit with a full run).
+      * Sizing: a bucket is the unit of probe IO; at 100 TB aim for a
+      * few hundred MB per bucket (256+), at test scales the default 64
+      * keeps dir counts sane. */
+    normBankBuckets: Int = CuratePipeline.NormBankBuckets,
     /** Carry each exact survivor's 8-byte [[CuratePipeline.normFp]] as a
       * `norm_fp` column on the exact stage (dropped before neardup) so
       * the norm-bank derivation reads materialized longs instead of
@@ -275,9 +285,10 @@ object CuratePipeline {
     * instead of all of it. */
   val NormBankBuckets = 64
 
-  private def normBucket(batchNo: Int): org.apache.spark.sql.Column =
-    format_string("b%04d-f%02d", lit(batchNo),
-      pmod(col("norm_fp"), lit(NormBankBuckets.toLong)))
+  private[graft] def normBucket(batchNo: Int,
+      buckets: Int = NormBankBuckets): org.apache.spark.sql.Column =
+    format_string("b%04d-f%03d", lit(batchNo),
+      pmod(col("norm_fp"), lit(buckets.toLong)))
 
   /** The banked norm fingerprints a delta batch's exact probe needs:
     * the latest bank read PRUNED to the fp buckets the delta's own
@@ -287,11 +298,11 @@ object CuratePipeline {
     * collected driver-side — bounded by [[NormBankBuckets]], never by
     * corpus or delta size. */
   private[graft] def prunedNormBank(spark: SparkSession, base: String,
-      deltaDocs: DataFrame): DataFrame = {
+      deltaDocs: DataFrame, buckets: Int = NormBankBuckets): DataFrame = {
     val hit = deltaDocs
       .select(pmod(normFp(TF.normalizeWs(col("text"))),
-        lit(NormBankBuckets.toLong)).as("_b"))
-      .distinct().collect().map(r => f"f${r.getLong(0)}%02d").toSeq
+        lit(buckets.toLong)).as("_b"))
+      .distinct().collect().map(r => f"f${r.getLong(0)}%03d").toSeq
     Layout.loadLatest(spark, base, Frozen.NormBank)
       .filter(substring_index(col("bucket"), "-", -1).isin(hit: _*))
       .select(col("norm_fp"))
@@ -309,7 +320,7 @@ object CuratePipeline {
     * equal-length norms, collapsing entropy to ~30 bits per length
     * class (r11 ADVICE, high). Both factors are plain string
     * poly-hashes, so the q123 oracle replays the key exactly. */
-  private[pipeline] def normFp(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def normFp(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Hashes.polyHash(norm) * lit(2147483648L) + Hashes.polyHash2(norm)
 
   /** Distinct norm fingerprints of an exact-stage frame: reads the
@@ -404,7 +415,8 @@ object CuratePipeline {
     val frames = materialized.result().toMap
     // frozen parameters for the incremental path
     Layout.writeVersioned(
-      normBankOf(frames("exact")).withColumn("bucket", normBucket(0)),
+      normBankOf(frames("exact"))
+        .withColumn("bucket", normBucket(0, cfg.normBankBuckets)),
       base, Frozen.NormBank, partitionCols = Seq("bucket"))
     Layout.writeVersioned(
       Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
@@ -476,7 +488,7 @@ object CuratePipeline {
     val frozen = FrozenParams(
       // pruned to the delta's fp buckets — reads a bounded fraction of
       // the bank, not all of it (see [[prunedNormBank]])
-      bankedNorms = prunedNormBank(spark, base, deltaDocs),
+      bankedNorms = prunedNormBank(spark, base, deltaDocs, cfg.normBankBuckets),
       index = Layout.loadLatest(spark, base, Frozen.NearDupIndex).drop("batch"),
       benchGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams).drop("batch"),
       bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds),
@@ -507,7 +519,7 @@ object CuratePipeline {
     val normBatchNo = Layout
       .committedVersions(spark, base, Frozen.NormBank).last + 1
     val newNorms = normBankOf(frames("exact"))
-      .withColumn("bucket", normBucket(normBatchNo))
+      .withColumn("bucket", normBucket(normBatchNo, cfg.normBankBuckets))
     if (!newNorms.isEmpty)
       Merge.merge(spark, base, Frozen.NormBank, newNorms,
         Seq("norm_fp"), "bucket")

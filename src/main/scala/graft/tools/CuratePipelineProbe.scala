@@ -91,7 +91,7 @@ object CuratePipelineProbe {
             Hashes.polyHash(TF.normalizeWs(col("text"))) * lit(2147483648L) +
             Hashes.polyHash2(TF.normalizeWs(col("text"))),
             lit(CP.NormBankBuckets.toLong)).as("b"))
-          .distinct().collect().map(r => f"f${r.getLong(0)}%02d").toSet
+          .distinct().collect().map(r => f"f${r.getLong(0)}%03d").toSet
         val pruned = eff.filter { case (name, _) =>
           hit.exists(sfx => name.endsWith("-" + sfx)) }.values.map(dirBytes).sum
         println(f"PROBE bank-prune $label%-10s buckets=${hit.size}/${CP.NormBankBuckets} " +

@@ -70,7 +70,7 @@ class CurateIncrementalSpec extends AnyFunSuite {
     val v = Layout.committedVersions(spark, base, CuratePipeline.Frozen.NormBank).last
     val eff = Merge.effectiveDirs(spark, base, CuratePipeline.Frozen.NormBank, v)
     // bucketed hive layout: every partition dir is bucket=bNNNN-fXX
-    assert(eff.nonEmpty && eff.keys.forall(_.matches("bucket=b\\d{4}-f\\d{2}")),
+    assert(eff.nonEmpty && eff.keys.forall(_.matches("bucket=b\\d{4}-f\\d{3}")),
       s"unexpected bank dirs: ${eff.keys.take(3).mkString(", ")}")
     // the delta batch appended new-batch dirs without rewriting b0000's
     val v1 = Layout.versionedDir(base, CuratePipeline.Frozen.NormBank, 1)
