@@ -438,6 +438,49 @@ object Bench {
     (nVec, buildSec, qps, hits.toDouble / denom)
   }
 
+  /** PQ-coded graph serving on the same corpus shape: beam on m-byte
+    * resident codes, exact rerank from the on-disk int8 store. Returns
+    * (qps, recall, residentBytesPerVec) — the bytes number is the
+    * resident serving footprint (m codes + 8-byte norm), vs 8·dim for
+    * the float/int8 modes' dequantized residency. */
+  def hnswPqThroughput(spark: SparkSession, nVec: Long = 50000L,
+      dim: Int = 64, nCells: Int = 64, nProbe: Int = 4, efSearch: Int = 96,
+      window: Int = 60, k: Int = 10, pqM: Int = 16): (Double, Double, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_hnswpq").toString + "/hnsw"
+    val cluster = col("id") % nCells
+    def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed * dim + i), lit(1000)).cast("double") / 500.0 - 1.0
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (u(cluster, i) + u(col("id") + 7919L * nVec, i) * 0.5)
+          .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    graft.index.HnswIndex.build(emb, "vec_id", "embedding", nCells, dir, pqM = pqM)
+    val queries = emb.limit(200).select(col("vec_id").as("query_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
+      .localCheckpoint(true)
+    def searchOnce(): Double = {
+      val t1 = System.nanoTime()
+      val got = graft.index.HnswIndex.searchPq(
+        spark, dir, queries, k, efSearch, nProbe, window).count()
+      require(got > 0, "hnsw pq search returned no rows")
+      (System.nanoTime() - t1) / 1e9
+    }
+    searchOnce() // warmup: codegen + code-graph residency
+    val qps = 200.0 / math.min(searchOnce(), searchOnce())
+    val approx = graft.index.HnswIndex.searchPq(
+      spark, dir, queries, k, efSearch, nProbe, window)
+      .select("query_id", "neighbor_id")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("nv"))
+    val exact = graft.operators.Similarity.topKExact(queries, corpus, k)
+      .select("query_id", "neighbor_id")
+    val denom = exact.count()
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
+    graft.index.HnswIndex.evict(dir)
+    (qps, hits.toDouble / denom, pqM + 8L)
+  }
+
   /** X117/X120 IVF-PQ serving stats. `probeCeilingRecall` is the
     * attribution control: exact cosine RESTRICTED to the nProbe probed
     * cells (the float index at the same coarse quantizer), the recall no
@@ -663,7 +706,8 @@ object Bench {
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
       case "hnsw" =>
         val (nVec, buildSec, qps, recall) = hnswThroughput(spark)
-        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f}"""
+        val (pqQps, pqRecall, pqBytes) = hnswPqThroughput(spark)
+        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f,"pq_qps":${pqQps.toLong},"pq_recall":$pqRecall%.3f,"pq_resident_bytes_per_vec":$pqBytes}"""
       case "curate_delta" =>
         val (rows, sec) = curateDeltaThroughput(spark, sfDir)
         f"""{"sec":$sec%.3f,"delta_rows":$rows,"rows_per_sec":${(rows / sec).toLong}}"""

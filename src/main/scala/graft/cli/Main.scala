@@ -294,7 +294,9 @@ object Main {
             graft.index.HnswIndex.build(vecs, idCol, vecCol, nCells, indexDir,
               m = flag("--m", "8").toInt,
               efConstruction = flag("--ef-construction", "64").toInt,
-              quantized = flags.contains("--int8"))
+              quantized = flags.contains("--int8"),
+              pqM = flag("--pq-m", "0").toInt,
+              pqK = flag("--pq-k", "256").toInt)
           case other2 =>
             System.err.println(s"unknown index kind: $other2 (ivf | hnsw)"); sys.exit(2)
         }
@@ -335,8 +337,11 @@ object Main {
           case "ivf" => graft.index.VectorIndex.search(spark, indexDir, queries, k, nProbe)
           case "hnsw" => graft.index.HnswIndex.search(spark, indexDir, queries, k,
             efSearch = flag("--ef", "64").toInt, nProbe = nProbe)
+          case "hnsw-pq" => graft.index.HnswIndex.searchPq(spark, indexDir, queries, k,
+            efSearch = flag("--ef", "64").toInt, nProbe = nProbe,
+            window = flag("--window", "50").toInt)
           case other2 =>
-            System.err.println(s"unknown index kind: $other2 (ivf | hnsw)"); sys.exit(2); null
+            System.err.println(s"unknown index kind: $other2 (ivf | hnsw | hnsw-pq)"); sys.exit(2); null
         }
         hits.write.mode("overwrite").parquet(outPath)
         println(s"wrote ${spark.read.parquet(outPath).count()} hit rows to $outPath")
@@ -395,7 +400,7 @@ object Main {
       |  versions <lakeDir> <layer>
       |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol>
       |  diff <lakeDir> <layer> <fromV> <toV> <keyCol>
-      |  index-build <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--int8] [--m n] [--ef-construction n] [--id-col c] [--vec-col c]
+      |  index-build <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--int8] [--pq-m n] [--pq-k n] [--m n] [--ef-construction n] [--id-col c] [--vec-col c]
       |  index-update <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--id-col c] [--vec-col c]
-      |  index-search <indexDir> <queriesParquet> <outParquet> [--kind ivf|hnsw] [--k n] [--probes n] [--ef n] [--id-col c] [--vec-col c]""".stripMargin)
+      |  index-search <indexDir> <queriesParquet> <outParquet> [--kind ivf|hnsw|hnsw-pq] [--k n] [--probes n] [--ef n] [--window n] [--id-col c] [--vec-col c]""".stripMargin)
 }

@@ -51,6 +51,7 @@ object HnswIndex {
   final case class Paths(dir: String) {
     def centroids: String = s"$dir/centroids.parquet"
     def graph: String = s"$dir/graph.parquet"
+    def codebooks: String = s"$dir/codebooks.parquet"
     def metadata: String = s"$dir/metadata.json"
     def staging: String = s"$dir/rebuild_staging.parquet"
 
@@ -66,8 +67,9 @@ object HnswIndex {
     def commitMarker: String = s"$dir/_graft_commit"
   }
 
+  /** `pqM == 0` ⇒ no PQ codes stored (float / int8 storage only). */
   private[index] final case class Meta(n: Long, nCells: Int, m: Int,
-      efConstruction: Int, seed: Long)
+      efConstruction: Int, seed: Long, pqM: Int, pqK: Int)
 
   /** The sidecar is a bounded single-object JSON this module wrote
     * itself ([[writeMetadata]]'s fixed field set) — extracted with
@@ -83,8 +85,13 @@ object HnswIndex {
       m.map(_.group(1).toLong).getOrElse(
         throw new IllegalStateException(s"metadata at ${p.metadata} lacks $name"))
     }
+    // optional: artifacts written before PQ support have no pq fields
+    def fieldOr(name: String, dflt: Long): Long =
+      s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(dflt)
     Meta(field("n_vectors"), field("n_cells").toInt, field("m").toInt,
-      field("ef_construction").toInt, field("seed"))
+      field("ef_construction").toInt, field("seed"),
+      fieldOr("pq_m", 0L).toInt, fieldOr("pq_k", 256L).toInt)
   }
 
   /** One indexed vector: `nbrs(layer)` holds neighbor POSITIONS within
@@ -102,6 +109,18 @@ object HnswIndex {
       nodeBase: Array[Int], // per node: first layer-segment index; length n+1
       adjOff: Array[Int], // per layer-segment: offset into adjData
       adjData: Array[Int], // concatenated neighbor position lists
+      entry: Int, maxLevel: Int) {
+    def n: Int = ids.length
+  }
+
+  /** PQ serving form of a cell: m CODE BYTES + one reconstructed norm
+    * per node instead of 8·dim vector bytes — the resident footprint
+    * drops ~25× at d=64/m=8 (the int8 store stays on DISK for the
+    * rerank; it is never loaded into the serving cache). */
+  private[graft] final case class CellGraphPq(cellId: Int, ids: Array[Long],
+      rn: Array[Double], m: Int,
+      codes: Array[Byte], // flattened row-major: node pos * m
+      nodeBase: Array[Int], adjOff: Array[Int], adjData: Array[Int],
       entry: Int, maxLevel: Int) {
     def n: Int = ids.length
   }
@@ -139,9 +158,16 @@ object HnswIndex {
     * cell lands whole in one task (hash partitioning on the group key
     * never splits a key), so the per-cell builder is plain in-memory
     * Scala and the output keeps one file per cell directory. */
+  /** `pqM > 0` adds m-byte PQ codes beside the (then mandatory) int8
+    * exact store — FAISS's HNSW-over-PQ composition: the graph is built
+    * and persisted exactly as in int8 mode (structure from the snapped
+    * vectors, codes from residual codebooks trained through
+    * [[PqIndex.trainCodebooks]]), [[searchPq]] beam-searches on the
+    * codes and reranks its shortlist against the int8 store. */
   def build(vectors: DataFrame, idCol: String, vecCol: String, nCells: Int,
       outDir: String, m: Int = 8, efConstruction: Int = 64,
-      seed: Long = 42L, quantized: Boolean = false): Unit = {
+      seed: Long = 42L, quantized: Boolean = false,
+      pqM: Int = 0, pqK: Int = 256): Unit = {
     val p = Paths(outDir)
     val spark = vectors.sparkSession
     // un-publish BEFORE any file mutates: a crash anywhere below leaves
@@ -156,12 +182,61 @@ object HnswIndex {
       vectors.select(col(idCol).as("_id"),
         graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as("_v")),
       cents)
-    val buildInput = if (quantized) snapToGrid(assigned) else assigned
+    val useQuant = quantized || pqM > 0
+    val buildInput = if (useQuant) snapToGrid(assigned) else assigned
     val nodes = graphNodes(buildInput, m, efConstruction, seed)
-    val stored = if (quantized) quantizedStorage(nodes) else nodes
+    val stored =
+      if (pqM > 0) {
+        val (cellIds, centArr) = loadedCentroids(cents)
+        val posOf = cellIds.zipWithIndex.toMap
+        val model = PqIndex.trainCodebooks(
+          buildInput.withColumn("_cp",
+            element_at(typedlit(posOf), col("cell_id"))),
+          pqM, pqK, centArr, knownN = Some(n))
+        saveCodebooks(spark, p, model)
+        quantizedStorage(withPqCodes(nodes, posOf, centArr, model))
+      } else if (useQuant) quantizedStorage(nodes)
+      else nodes
     stored.write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
-    writeMetadata(spark, p, n, nCells, m, efConstruction, seed)
+    writeMetadata(spark, p, n, nCells, m, efConstruction, seed, pqM, pqK)
     writeCommitMarker(spark, p)
+  }
+
+  private def loadedCentroids(cents: DataFrame): (Seq[Int], Array[Array[Double]]) = {
+    val rows = cents.select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2))
+  }
+
+  /** Attach PQ residual codes + reconstructed norm to graph node rows —
+    * one map-only codegen pass ([[graft.expressions.PqExprs.pq_encode]]),
+    * same encode the IVF-PQ index uses. */
+  private def withPqCodes(nodes: DataFrame, posOf: Map[Int, Int],
+      centArr: Array[Array[Double]], model: PqIndex.PqModel): DataFrame =
+    nodes
+      .withColumn("_cp", element_at(typedlit(posOf), col("cell_id")))
+      .withColumn("_e", graft.expressions.PqExprs.pq_encode(
+        col("_v"), col("_cp"), centArr, model.codebooks))
+      .withColumn("_codes", col("_e.codes"))
+      .withColumn("_rn", col("_e.rnorm"))
+      .drop("_e", "_cp")
+
+  private def saveCodebooks(spark: SparkSession, p: Paths,
+      model: PqIndex.PqModel): Unit = {
+    import spark.implicits._
+    (for { j <- 0 until model.m; c <- 0 until model.k }
+      yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(p.codebooks)
+  }
+
+  private def loadPqModel(spark: SparkSession, p: Paths, meta: Meta): PqIndex.PqModel = {
+    val rows = spark.read.parquet(p.codebooks)
+      .select(col("subspace"), col("code"), col("centroid")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val dsub = rows.head._2.length
+    val cb = Array.tabulate(meta.pqM, meta.pqK)((j, c) => rows((j, c)))
+    PqIndex.PqModel(meta.pqM, dsub, meta.pqK, cb)
   }
 
   /** int8 storage, build side: the graph is built on the RECONSTRUCTED
@@ -261,8 +336,11 @@ object HnswIndex {
           .unionByName(fresh.select(col(idCol),
             graft.functions.VectorFunctions.vecAsDouble(col(vecCol)).as(vecCol)))
           .write.mode("overwrite").parquet(p.staging)
+        // a PQ rebuild retrains codebooks too — enough new mass to shift
+        // both quantizers, the PqIndex.update convention
         build(spark.read.parquet(p.staging), idCol, vecCol, meta.nCells,
-          outDir, meta.m, meta.efConstruction, meta.seed, quantized = isQuant)
+          outDir, meta.m, meta.efConstruction, meta.seed, quantized = isQuant,
+          pqM = meta.pqM, pqK = meta.pqK)
         val sp = new org.apache.hadoop.fs.Path(p.staging)
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         "rebuild"
@@ -292,8 +370,17 @@ object HnswIndex {
         try {
           val nodes = graphNodes(spark.read.parquet(p.staging), meta.m,
             meta.efConstruction, meta.seed)
-          (if (isQuant) quantizedStorage(nodes) else nodes)
-            .write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
+          // PQ append re-encodes the touched cells with the PERSISTED
+          // codebooks — no retrain, exactly how FAISS add()s to a
+          // trained index (rebuild is where codebooks refit)
+          val stored =
+            if (meta.pqM > 0) {
+              val (cellIds, centArr) = loadedCentroids(spark.read.parquet(p.centroids))
+              quantizedStorage(withPqCodes(nodes, cellIds.zipWithIndex.toMap,
+                centArr, loadPqModel(spark, p, meta)))
+            } else if (isQuant) quantizedStorage(nodes)
+            else nodes
+          stored.write.mode("overwrite").partitionBy("cell_id").parquet(p.graph)
         }
         finally prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -302,7 +389,7 @@ object HnswIndex {
         val sp = new org.apache.hadoop.fs.Path(p.staging)
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         writeMetadata(spark, p, nExisting + nNew, meta.nCells, meta.m,
-          meta.efConstruction, meta.seed)
+          meta.efConstruction, meta.seed, meta.pqM, meta.pqK)
         writeCommitMarker(spark, p)
         "append"
       }
@@ -310,12 +397,14 @@ object HnswIndex {
   }
 
   private def writeMetadata(spark: SparkSession, p: Paths, n: Long,
-      nCells: Int, m: Int, efC: Int, seed: Long): Unit = {
+      nCells: Int, m: Int, efC: Int, seed: Long,
+      pqM: Int = 0, pqK: Int = 256): Unit = {
     val path = new org.apache.hadoop.fs.Path(p.metadata)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     out.write((s"""{"n_vectors": $n, "n_cells": $nCells, "m": $m, """ +
-      s""""ef_construction": $efC, "seed": $seed, "metric": "cosine"}""")
+      s""""ef_construction": $efC, "seed": $seed, """ +
+      s""""pq_m": $pqM, "pq_k": $pqK, "metric": "cosine"}""")
       .getBytes("UTF-8"))
     out.close()
   }
@@ -334,14 +423,18 @@ object HnswIndex {
     * persisted dataset would leak executor blocks with no owner. The
     * slot decides the winner via `putIfAbsent` BEFORE anything is
     * built; only the winning slot's lazy body ever runs. */
-  private final class Slot(mk: () => Dataset[CellGraph]) {
+  private final class Slot[A](mk: () => Dataset[A]) {
     @volatile private var built = false
-    lazy val value: Dataset[CellGraph] = { val v = mk(); built = true; v }
+    lazy val value: Dataset[A] = { val v = mk(); built = true; v }
     /** Unpersist if (and only if) this slot ever materialized. */
     def release(): Unit = if (built) value.unpersist()
   }
 
-  private val graphCache = new TrieMap[(String, Long), Slot]
+  private val graphCache = new TrieMap[(String, Long), Slot[CellGraph]]
+
+  /** Same residency/invalidation device for the PQ serving form (codes
+    * resident instead of vectors — m + 8 bytes per node vs 8·dim). */
+  private val pqCache = new TrieMap[(String, Long), Slot[CellGraphPq]]
 
   private[graft] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
     import spark.implicits._
@@ -417,12 +510,88 @@ object HnswIndex {
     }
   }
 
+  /** PQ twin of [[loadGraph]]: column-pruned to (codes, rn, adjacency) —
+    * the int8 exact-store columns stay on disk. */
+  private[graft] def loadGraphPq(spark: SparkSession, p: Paths): Dataset[CellGraphPq] = {
+    import spark.implicits._
+    def load(): Dataset[CellGraphPq] = {
+      val ds = spark.read.parquet(p.graph)
+        .select(col("cell_id").cast("int"), col("_id"), col("_codes"),
+          col("_rn"), col("top_layer"), col("nbrs"))
+        .as[(Int, Long, Array[Byte], Double, Int, Seq[Seq[Int]])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val n = rows.length
+          val m = if (n == 0) 0 else rows.head._3.length
+          val ids = new Array[Long](n)
+          val rn = new Array[Double](n)
+          val codes = new Array[Byte](n * m)
+          val nodeBase = new Array[Int](n + 1)
+          var entry = -1
+          var maxLevel = -1
+          var i = 0
+          var segs = 0
+          var edges = 0
+          while (i < n) {
+            val r = rows(i)
+            ids(i) = r._2; rn(i) = r._4
+            System.arraycopy(r._3, 0, codes, i * m, m)
+            nodeBase(i) = segs
+            segs += r._6.length
+            r._6.foreach(l => edges += l.length)
+            if (r._5 > maxLevel) { maxLevel = r._5; entry = i }
+            i += 1
+          }
+          nodeBase(n) = segs
+          val adjOff = new Array[Int](segs + 1)
+          val adjData = new Array[Int](edges)
+          var seg = 0
+          var e = 0
+          i = 0
+          while (i < n) {
+            rows(i)._6.foreach { lst =>
+              adjOff(seg) = e
+              lst.foreach { nb => adjData(e) = nb; e += 1 }
+              seg += 1
+            }
+            i += 1
+          }
+          adjOff(segs) = e
+          CellGraphPq(cell, ids, rn, m, codes, nodeBase, adjOff, adjData,
+            entry, maxLevel)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      ds
+    }
+    val marker = new org.apache.hadoop.fs.Path(p.commitMarker)
+    val mtime =
+      try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(marker).getModificationTime
+      catch { case _: Exception => -1L }
+    if (mtime < 0) load()
+    else {
+      val slot = new Slot(load _)
+      val won = pqCache.putIfAbsent((p.graph, mtime), slot).getOrElse {
+        pqCache.keys.filter(k => k._1 == p.graph && k._2 != mtime).foreach { k =>
+          pqCache.remove(k).foreach(_.release())
+        }
+        slot
+      }
+      won.value
+    }
+  }
+
   /** Drop the resident graph and any outstanding query broadcast for
     * `outDir` (tests / bounded-memory callers). */
   def evict(outDir: String): Unit = {
     val g = Paths(outDir).graph
     graphCache.keys.filter(_._1 == g).foreach { k =>
       graphCache.remove(k).foreach(_.release())
+    }
+    pqCache.keys.filter(_._1 == g).foreach { k =>
+      pqCache.remove(k).foreach(_.release())
     }
     lastQueryBroadcast.remove(g).foreach(_.destroy())
   }
@@ -506,6 +675,131 @@ object HnswIndex {
     Similarity.perQueryTopK(sims, k)
   }
 
+  /** PQ serving (FAISS's HNSW+PQ+refine composition): route queries as
+    * [[search]] does, beam-search the probed cells' RESIDENT CODE
+    * graphs (m lookups per candidate against an m+8-byte/node
+    * footprint), then rerank each query's merged `window`-candidate
+    * shortlist with EXACT cosines against the int8 store — which stays
+    * on DISK (column-pruned out of the resident cache) and is read only
+    * for the probed cells, |Q|·window·nProbe candidate rows per batch.
+    * The rerank replays [[Similarity.topKExact]]'s formula and NaN
+    * placement bit-for-bit, so `efSearch ≥ cell size`, `nProbe =
+    * nCells`, `window ≥ cell size` reproduces the int8-exhaustive
+    * result exactly (the beam returns every node when ef ≥ n — the
+    * backbone-connectivity device — and a full-window rerank is then an
+    * exhaustive exact scan). */
+  def searchPq(spark: SparkSession, outDir: String, queries: DataFrame,
+      k: Int, efSearch: Int, nProbe: Int, window: Int = 50,
+      maxQueries: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    val p = Paths(outDir)
+    if (!isComplete(spark, p))
+      throw new IllegalStateException(
+        s"index at $outDir is incomplete (no ${p.commitMarker}) — " +
+          "a writer crashed mid-mutation; rebuild from the corpus")
+    val meta = readMetadata(spark, p)
+    require(meta.pqM > 0,
+      s"index at $outDir carries no PQ codes — build(pqM > 0) or use search()")
+    require(window >= k, s"pq rerank: window $window must be >= k $k")
+    Guards.requireAtMost(queries, maxQueries, "HnswIndex.searchPq",
+      "serve in bounded batches — the query side of a graph search is " +
+        "collected for per-cell routing")
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cents = spark.read.parquet(p.centroids)
+      .select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centVecs = cents.map(_._2)
+    val invNorms = centVecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    }
+    val routed = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < qRows.length) {
+      val cellPos = probeCellPositions(qRows(qi)._2, centVecs, invNorms, nProbe)
+      var j = 0
+      while (j < cellPos.length) {
+        routed.getOrElseUpdate(cents(cellPos(j))._1, mutable.ArrayBuffer.empty) += qi
+        j += 1
+      }
+      qi += 1
+    }
+    val routedImm: Map[Int, Array[Int]] = routed.map { case (c, b) => (c, b.toArray) }.toMap
+    val probedCells = routedImm.keys.toSeq
+    val centById: Map[Int, Array[Double]] = cents.toMap
+    val model = loadPqModel(spark, p, meta)
+    lastQueryBroadcast.remove(p.graph).foreach(_.destroy())
+    val bq = spark.sparkContext.broadcast(
+      (qRows, routedImm, centById, model.codebooks))
+    lastQueryBroadcast.put(p.graph, bq)
+    val kSub = meta.pqK
+    val ef = efSearch
+    val win = window
+    val shortlist = loadGraphPq(spark, p)
+      .filter(col("cellId").isin(probedCells: _*))
+      .flatMap { g =>
+        val (qs, routing, centOf, cbs) = bq.value
+        val dsub = cbs(0)(0).length
+        val cent = centOf(g.cellId)
+        routing.getOrElse(g.cellId, Array.empty[Int]).iterator.flatMap { idx =>
+          val (qid, qv) = qs(idx)
+          var qn = 0.0
+          var i = 0
+          while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+          qn = math.sqrt(qn)
+          var qc = 0.0
+          val nc = math.min(qv.length, cent.length)
+          i = 0
+          while (i < nc) { qc += qv(i) * cent(i); i += 1 }
+          // per-(query, cell) LUT: lut[j·k + c] = dot(q_subj, codebook_jc)
+          // — m·k·dsub multiplies once, then m lookups per candidate
+          val m = cbs.length
+          val lut = new Array[Double](m * kSub)
+          var j = 0
+          while (j < m) {
+            var c = 0
+            while (c < kSub) {
+              val cb = cbs(j)(c)
+              var acc = 0.0
+              var t = 0
+              val base = j * dsub
+              while (t < dsub) {
+                if (base + t < qv.length) acc += qv(base + t) * cb(t)
+                t += 1
+              }
+              lut(j * kSub + c) = acc
+              c += 1
+            }
+            j += 1
+          }
+          searchCellPq(g, lut, qc, qn, kSub, ef, win, qid).iterator
+            .map { case (nid, _) => (qid, nid) }
+        }
+      }
+      .toDF("query_id", "neighbor_id")
+    // exact rerank against the int8 store: probed-cell parquet read, the
+    // bounded shortlist broadcasts, sims replay topKExact's formula
+    import graft.expressions.VectorExprs.vec_dot
+    graft.expressions.VectorExprs.register(spark)
+    val store = restored(spark.read.parquet(p.graph)
+        .filter(col("cell_id").isin(probedCells: _*)))
+      .select(col("_id").as("neighbor_id"), col("_v").as("_nv"))
+      .withColumn("_nn", sqrt(vec_dot(col("_nv"), col("_nv"))))
+    val q = queries.select(col("query_id"), col("qv"))
+      .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
+    val sims = broadcast(shortlist.join(q, "query_id"))
+      .join(store, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(vec_dot(col("qv"), col("_nv")) / (col("_qn") * col("_nn")), 6)
+          .as("sim"))
+    Similarity.perQueryTopK(sims, k)
+  }
+
   /** Driver replay of [[graft.expressions.CellKernels.probeCells]]:
     * top-nProbe cell positions by (dot/‖cent‖ desc, position asc). */
   private def probeCellPositions(q: Array[Double], cents: Array[Array[Double]],
@@ -564,39 +858,21 @@ object HnswIndex {
     * own id) — exactness relies on the backbone-connected layer 0.
     * Otherwise the best `k` by (sim desc, pos asc) of the beam result
     * (positions are id-sorted, so pos asc == id asc). */
-  private[graft] def searchCell(g: CellGraph, q: Array[Double], efSearch: Int,
-      k: Int, excludeId: Long,
-      simCounter: java.util.concurrent.atomic.LongAdder = null): Array[(Long, Double)] = {
-    val n = g.n
-    if (n == 0) return Array.empty
-    val dim = g.dim
-    var qn = 0.0
-    var i = 0
-    while (i < dim) { qn += q(i) * q(i); i += 1 }
-    qn = math.sqrt(qn)
-    // memoized per-node sim; validity tracked by bitset (no O(n) prefill)
-    val simArr = new Array[Double](n)
-    val simSet = new java.util.BitSet(n)
-    def simOf(pos: Int): Double = {
-      if (!simSet.get(pos)) {
-        var acc = 0.0
-        var j = 0
-        val off = pos * dim
-        while (j < dim) { acc += q(j) * g.vecs(off + j); j += 1 }
-        simArr(pos) = acc / (qn * g.norms(pos))
-        simSet.set(pos)
-        if (simCounter != null) simCounter.increment()
-      }
-      simArr(pos)
-    }
-    @inline def segStart(pos: Int, layer: Int): Int = g.adjOff(g.nodeBase(pos) + layer)
-    @inline def segEnd(pos: Int, layer: Int): Int = g.adjOff(g.nodeBase(pos) + layer + 1)
-    @inline def layersOf(pos: Int): Int = g.nodeBase(pos + 1) - g.nodeBase(pos)
-    val ef = math.max(math.max(1, k),
-      math.min(efSearch.toLong, n.toLong).toInt)
+  /** The shared greedy-descent + ef-beam walk over one cell's CSR
+    * adjacency, parameterized by the (memoized) similarity: the float /
+    * int8 path scores with full dot products, the PQ path with
+    * LUT-summed asymmetric distances — the traversal itself is
+    * identical, so both serve through one deterministic kernel.
+    * Returns the beam's positions best-first. */
+  private def beamWalk(n: Int, nodeBase: Array[Int], adjOff: Array[Int],
+      adjData: Array[Int], entry: Int, maxLevel: Int,
+      simOf: Int => Double, ef: Int): Array[Int] = {
+    @inline def segStart(pos: Int, layer: Int): Int = adjOff(nodeBase(pos) + layer)
+    @inline def segEnd(pos: Int, layer: Int): Int = adjOff(nodeBase(pos) + layer + 1)
+    @inline def layersOf(pos: Int): Int = nodeBase(pos + 1) - nodeBase(pos)
     // greedy descent on layers > 0
-    var ep = g.entry
-    var lc = g.maxLevel
+    var ep = entry
+    var lc = maxLevel
     while (lc > 0) {
       var moved = true
       while (moved) {
@@ -606,7 +882,7 @@ object HnswIndex {
           var e = segStart(ep, lc)
           val end = segEnd(ep, lc)
           while (e < end) {
-            val cand = g.adjData(e)
+            val cand = adjData(e)
             val ck = rankKey(simOf(cand))
             if (better(ck, cand, bestK, bestP)) { bestK = ck; bestP = cand }
             e += 1
@@ -633,7 +909,7 @@ object HnswIndex {
         var e = segStart(cp, 0)
         val end = segEnd(cp, 0)
         while (e < end) {
-          val nb = g.adjData(e)
+          val nb = adjData(e)
           if (!visited.get(nb)) {
             visited.set(nb)
             val nk = rankKey(simOf(nb))
@@ -654,11 +930,83 @@ object HnswIndex {
     val drained = new Array[Int](w.size)
     var di = w.size - 1
     while (w.nonEmpty) { drained(di) = w.dequeue()._2; di -= 1 }
+    drained
+  }
+
+  private[graft] def searchCell(g: CellGraph, q: Array[Double], efSearch: Int,
+      k: Int, excludeId: Long,
+      simCounter: java.util.concurrent.atomic.LongAdder = null): Array[(Long, Double)] = {
+    val n = g.n
+    if (n == 0) return Array.empty
+    val dim = g.dim
+    var qn = 0.0
+    var i = 0
+    while (i < dim) { qn += q(i) * q(i); i += 1 }
+    qn = math.sqrt(qn)
+    // memoized per-node sim; validity tracked by bitset (no O(n) prefill)
+    val simArr = new Array[Double](n)
+    val simSet = new java.util.BitSet(n)
+    def simOf(pos: Int): Double = {
+      if (!simSet.get(pos)) {
+        var acc = 0.0
+        var j = 0
+        val off = pos * dim
+        while (j < dim) { acc += q(j) * g.vecs(off + j); j += 1 }
+        simArr(pos) = acc / (qn * g.norms(pos))
+        simSet.set(pos)
+        if (simCounter != null) simCounter.increment()
+      }
+      simArr(pos)
+    }
+    val ef = math.max(math.max(1, k),
+      math.min(efSearch.toLong, n.toLong).toInt)
+    val drained = beamWalk(n, g.nodeBase, g.adjOff, g.adjData, g.entry,
+      g.maxLevel, simOf, ef)
     val all = drained.iterator
       .filter(pos => g.ids(pos) != excludeId)
       .map(pos => (g.ids(pos), simArr(pos)))
       .toArray
     if (ef >= n) all else all.take(k)
+  }
+
+  /** PQ beam: identical walk, asymmetric-distance similarity —
+    * sim(q, x̂) = (dot(q, coarse) + Σⱼ lut[j][codeⱼ]) / (‖q‖·‖x̂‖), m
+    * table lookups per candidate instead of d multiplies, against a
+    * resident footprint of m bytes + one norm per vector. The sims are
+    * EXACT cosines against the PQ reconstruction (the LUT sum IS
+    * dot(q, decode(codes)) — no approximation beyond the codes
+    * themselves), so with ef ≥ n the beam returns every node and the
+    * full-window rerank path is exhaustive-exact over the int8 store. */
+  private[graft] def searchCellPq(g: CellGraphPq, lut: Array[Double],
+      qCoarse: Double, qn: Double, kSub: Int, efSearch: Int, window: Int,
+      excludeId: Long,
+      simCounter: java.util.concurrent.atomic.LongAdder = null): Array[(Long, Double)] = {
+    val n = g.n
+    if (n == 0) return Array.empty
+    val m = g.m
+    val simArr = new Array[Double](n)
+    val simSet = new java.util.BitSet(n)
+    def simOf(pos: Int): Double = {
+      if (!simSet.get(pos)) {
+        var acc = qCoarse
+        var j = 0
+        val off = pos * m
+        while (j < m) { acc += lut(j * kSub + (g.codes(off + j) + 128)); j += 1 }
+        simArr(pos) = acc / (qn * g.rn(pos))
+        simSet.set(pos)
+        if (simCounter != null) simCounter.increment()
+      }
+      simArr(pos)
+    }
+    val ef = math.max(math.max(1, window),
+      math.min(efSearch.toLong, n.toLong).toInt)
+    val drained = beamWalk(n, g.nodeBase, g.adjOff, g.adjData, g.entry,
+      g.maxLevel, simOf, ef)
+    val all = drained.iterator
+      .filter(pos => g.ids(pos) != excludeId)
+      .map(pos => (g.ids(pos), simArr(pos)))
+      .toArray
+    if (ef >= n) all else all.take(window)
   }
 
   /** Per-cell in-memory HNSW builder. Simple top-M neighbor selection
