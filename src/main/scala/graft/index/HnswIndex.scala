@@ -436,7 +436,71 @@ object HnswIndex {
     * resident instead of vectors — m + 8 bytes per node vs 8·dim). */
   private val pqCache = new TrieMap[(String, Long), Slot[CellGraphPq]]
 
+  /** Per-generation ROUTING state (sorted centroid rows), cached beside
+    * the graph: routing must come from the SAME generation as the
+    * resident graph it routes into — re-reading centroids.parquet per
+    * batch could pair a mid-rebuild quantizer with the previous resident
+    * graph (the silent-misroute the commit marker exists to prevent),
+    * and costs a driver read per batch besides. */
+  private val routingCache = new TrieMap[(String, Long), Array[(Int, Array[Double])]]
+
+  private val pqModelCache = new TrieMap[(String, Long), PqIndex.PqModel]
+
+  private def markerMtime(spark: SparkSession, p: Paths): Long = {
+    val marker = new org.apache.hadoop.fs.Path(p.commitMarker)
+    try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(marker).getModificationTime
+    catch { case _: Exception => -1L }
+  }
+
+  /** The generation a search serves: the committed marker's mtime when
+    * the artifact is published; during a maintenance window (marker
+    * deleted first, recreated last) the NEWEST RESIDENT generation — a
+    * serving loop keeps answering consistent old-generation results
+    * while update() mutates, and flips exactly once when the new marker
+    * lands (spec: "serve-during-update"). A generation that was never
+    * served (nothing resident) cannot be recovered mid-mutation — that
+    * is the incomplete-artifact refusal. */
+  private def servingGeneration(spark: SparkSession, p: Paths): Long = {
+    val mtime = markerMtime(spark, p)
+    if (mtime >= 0) mtime
+    else graphCache.keys.filter(_._1 == p.graph).map(_._2).maxOption
+      .orElse(pqCache.keys.filter(_._1 == p.graph).map(_._2).maxOption)
+      .getOrElse(throw new IllegalStateException(
+        s"index at ${p.dir} is incomplete (no ${p.commitMarker}) and has no " +
+          "resident generation to serve — a writer crashed mid-mutation; " +
+          "rebuild from the corpus"))
+  }
+
+  private def routingFor(spark: SparkSession, p: Paths,
+      gen: Long): Array[(Int, Array[Double])] =
+    routingCache.getOrElseUpdate((p.graph, gen), {
+      routingCache.keys.filter(k => k._1 == p.graph && k._2 != gen)
+        .foreach(routingCache.remove)
+      spark.read.parquet(p.centroids)
+        .select(col("cell_id"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    })
+
   private[graft] def loadGraph(spark: SparkSession, p: Paths): Dataset[CellGraph] = {
+    val mtime = markerMtime(spark, p)
+    if (mtime < 0) mkGraphLoader(spark, p)()
+    else loadGraphGen(spark, p, mtime)
+  }
+
+  private[graft] def loadGraphGen(spark: SparkSession, p: Paths, gen: Long): Dataset[CellGraph] = {
+    val slot = new Slot(mkGraphLoader(spark, p))
+    val won = graphCache.putIfAbsent((p.graph, gen), slot).getOrElse {
+      graphCache.keys.filter(k => k._1 == p.graph && k._2 != gen).foreach { k =>
+        graphCache.remove(k).foreach(_.release())
+      }
+      slot
+    }
+    won.value
+  }
+
+  private def mkGraphLoader(spark: SparkSession, p: Paths): () => Dataset[CellGraph] = () => {
     import spark.implicits._
     def load(): Dataset[CellGraph] = {
       val ds = restored(spark.read.parquet(p.graph))
@@ -492,27 +556,29 @@ object HnswIndex {
       ds.count() // materialize: serving batches never pay the group shuffle
       ds
     }
-    val marker = new org.apache.hadoop.fs.Path(p.commitMarker)
-    val mtime =
-      try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(marker).getModificationTime
-      catch { case _: Exception => -1L }
-    if (mtime < 0) load()
-    else {
-      val slot = new Slot(load _)
-      val won = graphCache.putIfAbsent((p.graph, mtime), slot).getOrElse {
-        graphCache.keys.filter(k => k._1 == p.graph && k._2 != mtime).foreach { k =>
-          graphCache.remove(k).foreach(_.release())
-        }
-        slot
-      }
-      won.value
-    }
+    load()
   }
 
   /** PQ twin of [[loadGraph]]: column-pruned to (codes, rn, adjacency) —
     * the int8 exact-store columns stay on disk. */
   private[graft] def loadGraphPq(spark: SparkSession, p: Paths): Dataset[CellGraphPq] = {
+    val mtime = markerMtime(spark, p)
+    if (mtime < 0) mkPqLoader(spark, p)()
+    else loadGraphPqGen(spark, p, mtime)
+  }
+
+  private[graft] def loadGraphPqGen(spark: SparkSession, p: Paths, gen: Long): Dataset[CellGraphPq] = {
+    val slot = new Slot(mkPqLoader(spark, p))
+    val won = pqCache.putIfAbsent((p.graph, gen), slot).getOrElse {
+      pqCache.keys.filter(k => k._1 == p.graph && k._2 != gen).foreach { k =>
+        pqCache.remove(k).foreach(_.release())
+      }
+      slot
+    }
+    won.value
+  }
+
+  private def mkPqLoader(spark: SparkSession, p: Paths): () => Dataset[CellGraphPq] = () => {
     import spark.implicits._
     def load(): Dataset[CellGraphPq] = {
       val ds = spark.read.parquet(p.graph)
@@ -565,22 +631,7 @@ object HnswIndex {
       ds.count()
       ds
     }
-    val marker = new org.apache.hadoop.fs.Path(p.commitMarker)
-    val mtime =
-      try marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(marker).getModificationTime
-      catch { case _: Exception => -1L }
-    if (mtime < 0) load()
-    else {
-      val slot = new Slot(load _)
-      val won = pqCache.putIfAbsent((p.graph, mtime), slot).getOrElse {
-        pqCache.keys.filter(k => k._1 == p.graph && k._2 != mtime).foreach { k =>
-          pqCache.remove(k).foreach(_.release())
-        }
-        slot
-      }
-      won.value
-    }
+    load()
   }
 
   /** Drop the resident graph and any outstanding query broadcast for
@@ -593,6 +644,8 @@ object HnswIndex {
     pqCache.keys.filter(_._1 == g).foreach { k =>
       pqCache.remove(k).foreach(_.release())
     }
+    routingCache.keys.filter(_._1 == g).foreach(routingCache.remove)
+    pqModelCache.keys.filter(_._1 == g).foreach(pqModelCache.remove)
     lastQueryBroadcast.remove(g).foreach(_.destroy())
   }
 
@@ -619,10 +672,9 @@ object HnswIndex {
       efSearch: Int, nProbe: Int, maxQueries: Long = 10000L): DataFrame = {
     import spark.implicits._
     val p = Paths(outDir)
-    if (!isComplete(spark, p))
-      throw new IllegalStateException(
-        s"index at $outDir is incomplete (no ${p.commitMarker}) — " +
-          "a writer crashed mid-mutation; rebuild from the corpus")
+    // resolve ONE generation for routing + graph: either the committed
+    // marker's, or — mid-maintenance — the newest resident one
+    val gen = servingGeneration(spark, p)
     Guards.requireAtMost(queries, maxQueries, "HnswIndex.search",
       "serve in bounded batches — the query side of a graph search is " +
         "collected for per-cell routing")
@@ -630,10 +682,7 @@ object HnswIndex {
       .select(col("query_id"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val cents = spark.read.parquet(p.centroids)
-      .select(col("cell_id"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val cents = routingFor(spark, p, gen)
     val centVecs = cents.map(_._2)
     val invNorms = centVecs.map { c =>
       var s = 0.0; var i = 0
@@ -659,7 +708,7 @@ object HnswIndex {
     lastQueryBroadcast.put(p.graph, bq)
     val kk = k
     val ef = efSearch
-    val sims = loadGraph(spark, p)
+    val sims = loadGraphGen(spark, p, gen)
       .filter(col("cellId").isin(probedCells: _*))
       .flatMap { g =>
         val (qs, routing) = bq.value
@@ -693,10 +742,7 @@ object HnswIndex {
       maxQueries: Long = 10000L): DataFrame = {
     import spark.implicits._
     val p = Paths(outDir)
-    if (!isComplete(spark, p))
-      throw new IllegalStateException(
-        s"index at $outDir is incomplete (no ${p.commitMarker}) — " +
-          "a writer crashed mid-mutation; rebuild from the corpus")
+    val gen = servingGeneration(spark, p)
     val meta = readMetadata(spark, p)
     require(meta.pqM > 0,
       s"index at $outDir carries no PQ codes — build(pqM > 0) or use search()")
@@ -708,10 +754,7 @@ object HnswIndex {
       .select(col("query_id"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val cents = spark.read.parquet(p.centroids)
-      .select(col("cell_id"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val cents = routingFor(spark, p, gen)
     val centVecs = cents.map(_._2)
     val invNorms = centVecs.map { c =>
       var s = 0.0; var i = 0
@@ -732,7 +775,11 @@ object HnswIndex {
     val routedImm: Map[Int, Array[Int]] = routed.map { case (c, b) => (c, b.toArray) }.toMap
     val probedCells = routedImm.keys.toSeq
     val centById: Map[Int, Array[Double]] = cents.toMap
-    val model = loadPqModel(spark, p, meta)
+    val model = pqModelCache.getOrElseUpdate((p.graph, gen), {
+      pqModelCache.keys.filter(k2 => k2._1 == p.graph && k2._2 != gen)
+        .foreach(pqModelCache.remove)
+      loadPqModel(spark, p, meta)
+    })
     lastQueryBroadcast.remove(p.graph).foreach(_.destroy())
     val bq = spark.sparkContext.broadcast(
       (qRows, routedImm, centById, model.codebooks))
@@ -740,7 +787,7 @@ object HnswIndex {
     val kSub = meta.pqK
     val ef = efSearch
     val win = window
-    val shortlist = loadGraphPq(spark, p)
+    val shortlist = loadGraphPqGen(spark, p, gen)
       .filter(col("cellId").isin(probedCells: _*))
       .flatMap { g =>
         val (qs, routing, centOf, cbs) = bq.value
@@ -853,6 +900,70 @@ object HnswIndex {
   private val candOrd: Ordering[(Double, Int)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
 
+  /** Allocation-free binary heap over (key, pos) pairs held in parallel
+    * primitive arrays — the boxed `PriorityQueue[(Double, Int)]` in the
+    * build/serve inner loops allocated two objects per candidate and
+    * dominated the 10⁵-vector-cell build profile. Ordering is the
+    * lexicographic (key, pos) total order (keys are [[rankKey]] outputs,
+    * never NaN), `maxHeap = true` puts the LARGEST pair at the head (the
+    * beam's worst-kept), `false` the smallest (the best candidate). Heap
+    * internals never affect results: each pop is the unique total-order
+    * extremum of the current set, so the pop sequence — and therefore
+    * every search and build decision — is identical to the boxed form's. */
+  private[index] final class KeyHeap(cap0: Int, maxHeap: Boolean) {
+    private var keys = new Array[Double](math.max(8, cap0))
+    private var poss = new Array[Int](keys.length)
+    private var n = 0
+    @inline private def before(k1: Double, p1: Int, k2: Double, p2: Int): Boolean =
+      if (maxHeap) k1 > k2 || (k1 == k2 && p1 > p2)
+      else k1 < k2 || (k1 == k2 && p1 < p2)
+    def size: Int = n
+    def nonEmpty: Boolean = n > 0
+    def headKey: Double = keys(0)
+    def headPos: Int = poss(0)
+    def clear(): Unit = n = 0
+    def enqueue(k: Double, p: Int): Unit = {
+      if (n == keys.length) {
+        keys = java.util.Arrays.copyOf(keys, n * 2)
+        poss = java.util.Arrays.copyOf(poss, n * 2)
+      }
+      var i = n
+      n += 1
+      while (i > 0) {
+        val parent = (i - 1) >> 1
+        if (before(k, p, keys(parent), poss(parent))) {
+          keys(i) = keys(parent); poss(i) = poss(parent); i = parent
+        } else {
+          keys(i) = k; poss(i) = p; return
+        }
+      }
+      keys(0) = k; poss(0) = p
+    }
+    /** Pop the head; returns its pos. */
+    def dequeue(): Int = {
+      val out = poss(0)
+      n -= 1
+      if (n > 0) {
+        val k = keys(n); val p = poss(n)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          if (l >= n) done = true
+          else {
+            val r = l + 1
+            val c = if (r < n && before(keys(r), poss(r), keys(l), poss(l))) r else l
+            if (before(keys(c), poss(c), k, p)) {
+              keys(i) = keys(c); poss(i) = poss(c); i = c
+            } else done = true
+          }
+        }
+        keys(i) = k; poss(i) = p
+      }
+      out
+    }
+  }
+
   /** Beam-search one cell for one query; returns (neighbor_id, rawSim)
     * candidates. With ef ≥ n every node is returned (minus the query's
     * own id) — exactness relies on the backbone-connected layer 0.
@@ -894,16 +1005,14 @@ object HnswIndex {
     }
     // ef-beam at layer 0
     val visited = new java.util.BitSet(n)
-    val cand = mutable.PriorityQueue.empty[(Double, Int)](candOrd.reverse)
-    val w = mutable.PriorityQueue.empty[(Double, Int)](candOrd)
+    val cand = new KeyHeap(ef + 1, maxHeap = false) // head = best candidate
+    val w = new KeyHeap(ef + 1, maxHeap = true) // head = worst kept
     val epk = rankKey(simOf(ep))
-    visited.set(ep); cand.enqueue((epk, ep)); w.enqueue((epk, ep))
+    visited.set(ep); cand.enqueue(epk, ep); w.enqueue(epk, ep)
     while (cand.nonEmpty) {
-      val (ck, cp) = cand.dequeue()
-      val stop = w.size >= ef && {
-        val (wk, wp) = w.head
-        !better(ck, cp, wk, wp)
-      }
+      val ck = cand.headKey
+      val cp = cand.dequeue()
+      val stop = w.size >= ef && !better(ck, cp, w.headKey, w.headPos)
       if (stop) cand.clear()
       else {
         var e = segStart(cp, 0)
@@ -913,12 +1022,9 @@ object HnswIndex {
           if (!visited.get(nb)) {
             visited.set(nb)
             val nk = rankKey(simOf(nb))
-            val admit = w.size < ef || {
-              val (wk, wp) = w.head
-              better(nk, nb, wk, wp)
-            }
+            val admit = w.size < ef || better(nk, nb, w.headKey, w.headPos)
             if (admit) {
-              cand.enqueue((nk, nb)); w.enqueue((nk, nb))
+              cand.enqueue(nk, nb); w.enqueue(nk, nb)
               if (w.size > ef) w.dequeue()
             }
           }
@@ -929,7 +1035,7 @@ object HnswIndex {
     // drain the heap worst-first into best-first order
     val drained = new Array[Int](w.size)
     var di = w.size - 1
-    while (w.nonEmpty) { drained(di) = w.dequeue()._2; di -= 1 }
+    while (w.nonEmpty) { drained(di) = w.dequeue(); di -= 1 }
     drained
   }
 
@@ -1095,21 +1201,20 @@ object HnswIndex {
     private def searchLayer(qPos: Int, eps: Seq[Int], ef: Int,
         layer: Int): Array[Int] = {
       gen += 1
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](candOrd.reverse)
-      val w = mutable.PriorityQueue.empty[(Double, Int)](candOrd)
+      val cand = new KeyHeap(ef + 1, maxHeap = false) // head = best candidate
+      val w = new KeyHeap(ef + 1, maxHeap = true) // head = worst kept
       eps.foreach { ep =>
         if (visitedGen(ep) != gen) {
           visitedGen(ep) = gen
           val k0 = key(qPos, ep)
-          cand.enqueue((k0, ep)); w.enqueue((k0, ep))
+          cand.enqueue(k0, ep); w.enqueue(k0, ep)
           if (w.size > ef) w.dequeue()
         }
       }
       while (cand.nonEmpty) {
-        val (ck, cp) = cand.dequeue()
-        val stop = w.size >= ef && {
-          val (wk, wp) = w.head; !better(ck, cp, wk, wp)
-        }
+        val ck = cand.headKey
+        val cp = cand.dequeue()
+        val stop = w.size >= ef && !better(ck, cp, w.headKey, w.headPos)
         if (stop) cand.clear()
         else {
           val nb = adj(cp)
@@ -1121,11 +1226,9 @@ object HnswIndex {
               if (visitedGen(e) != gen) {
                 visitedGen(e) = gen
                 val ekk = key(qPos, e)
-                val admit = w.size < ef || {
-                  val (wk, wp) = w.head; better(ekk, e, wk, wp)
-                }
+                val admit = w.size < ef || better(ekk, e, w.headKey, w.headPos)
                 if (admit) {
-                  cand.enqueue((ekk, e)); w.enqueue((ekk, e))
+                  cand.enqueue(ekk, e); w.enqueue(ekk, e)
                   if (w.size > ef) w.dequeue()
                 }
               }
@@ -1137,7 +1240,7 @@ object HnswIndex {
       // drain the heap worst-first into best-first order
       val out = new Array[Int](w.size)
       var di = w.size - 1
-      while (w.nonEmpty) { out(di) = w.dequeue()._2; di -= 1 }
+      while (w.nonEmpty) { out(di) = w.dequeue(); di -= 1 }
       out
     }
 

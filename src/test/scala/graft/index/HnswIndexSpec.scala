@@ -352,6 +352,61 @@ class HnswIndexSpec extends AnyFunSuite {
       efSearch = Int.MaxValue, nProbe = 1).count() == 0)
   }
 
+  test("serve-during-update: concurrent searches see a consistent old-or-new generation, never a mix or an error") {
+    val dir = tmp("race")
+    val nClusters = 4
+    val base = clusteredCorpus(1200, 16, nClusters).localCheckpoint(true)
+    HnswIndex.build(base, "vec_id", "embedding", nCells = nClusters, dir,
+      m = 4, efConstruction = 24)
+    // confined batch -> append path (partition overwrite + marker cycle)
+    val batch = clusteredCorpus(1500, 16, nClusters)
+      .filter(col("vec_id") >= 1200 && col("vec_id") % nClusters === 0)
+      .localCheckpoint(true)
+    val q = queriesOf(base, 6L).localCheckpoint(true)
+    def exactOf(corpus: org.apache.spark.sql.DataFrame) = {
+      val c = corpus.select(col("vec_id").as("neighbor_id"),
+        VF.vecAsDouble(col("embedding")).as("nv"))
+      graft.operators.Similarity.topKExact(q, c, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    val oldWant = exactOf(base)
+    val newWant = exactOf(base.unionByName(batch).localCheckpoint(true))
+    def served(): Set[(Long, Long)] =
+      HnswIndex.search(spark, dir, q, k = 5, efSearch = Int.MaxValue,
+        nProbe = nClusters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // make the initial generation RESIDENT (the serving pattern: a loop
+    // that has served a batch holds that generation in the cache)
+    assert(served() == oldWant)
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val hammer = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = served()
+          outcomes.add(
+            if (got == oldWant) "old"
+            else if (got == newWant) "new"
+            else "mix")
+        } catch { case e: Throwable => errors.add(e); stop = true }
+      }
+    })
+    hammer.start()
+    try assert(HnswIndex.update(batch, "vec_id", "embedding", dir) == "append")
+    finally { stop = true; hammer.join(60000) }
+    assert(errors.isEmpty, s"search failed during update: ${errors.peek()}")
+    val seen = outcomes.toArray(Array.empty[String]).toSeq
+    assert(seen.nonEmpty && !seen.contains("mix"),
+      s"inconsistent generation served during update: $seen")
+    // once old has flipped to new, it never flips back
+    val flips = seen.zip(seen.drop(1)).count { case (a, b) => a != b }
+    assert(flips <= 1, s"generation flapped: $seen")
+    // after the update commits, serving converges on the new generation
+    assert(served() == newWant)
+  }
+
   test("an incomplete artifact (no commit marker) is refused by search and update") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
