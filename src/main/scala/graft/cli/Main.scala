@@ -339,7 +339,8 @@ object Main {
             efSearch = flag("--ef", "64").toInt, nProbe = nProbe)
           case "hnsw-pq" => graft.index.HnswIndex.searchPq(spark, indexDir, queries, k,
             efSearch = flag("--ef", "64").toInt, nProbe = nProbe,
-            window = flag("--window", "50").toInt)
+            window = flag("--window", "50").toInt,
+            residentRerank = flags.contains("--resident-rerank"))
           case other2 =>
             System.err.println(s"unknown index kind: $other2 (ivf | hnsw | hnsw-pq)"); sys.exit(2); null
         }

@@ -114,12 +114,19 @@ object HnswIndex {
   }
 
   /** PQ serving form of a cell: m CODE BYTES + one reconstructed norm
-    * per node instead of 8·dim vector bytes — the resident footprint
-    * drops ~25× at d=64/m=8 (the int8 store stays on DISK for the
-    * rerank; it is never loaded into the serving cache). */
+    * per node instead of 8·dim vector bytes. Two residency variants:
+    * codes-only (qcodes empty — the int8 store stays on DISK for the
+    * rerank; minimum footprint, m+8 B/node) and resident-rerank
+    * (qcodes/qscale/nn loaded — the beam's window reranks EXACTLY
+    * in-cell with no per-batch store IO; m+dim+24 B/node, still ~5×
+    * below the float form's 8·dim). */
   private[graft] final case class CellGraphPq(cellId: Int, ids: Array[Long],
       rn: Array[Double], m: Int,
       codes: Array[Byte], // flattened row-major: node pos * m
+      dim: Int,
+      qcodes: Array[Byte], // resident int8 store (pos * dim); empty = on disk
+      qscale: Array[Double], // per-node dequant scale; 0.0 = zero vector
+      nn: Array[Double], // per-node snapped-vector norm (exact-sim denominator)
       nodeBase: Array[Int], adjOff: Array[Int], adjData: Array[Int],
       entry: Int, maxLevel: Int) {
     def n: Int = ids.length
@@ -465,7 +472,8 @@ object HnswIndex {
     val mtime = markerMtime(spark, p)
     if (mtime >= 0) mtime
     else graphCache.keys.filter(_._1 == p.graph).map(_._2).maxOption
-      .orElse(pqCache.keys.filter(_._1 == p.graph).map(_._2).maxOption)
+      .orElse(pqCache.keys.filter(k => k._1 == p.graph ||
+        k._1 == p.graph + "#store").map(_._2).maxOption)
       .getOrElse(throw new IllegalStateException(
         s"index at ${p.dir} is incomplete (no ${p.commitMarker}) and has no " +
           "resident generation to serve — a writer crashed mid-mutation; " +
@@ -561,16 +569,22 @@ object HnswIndex {
 
   /** PQ twin of [[loadGraph]]: column-pruned to (codes, rn, adjacency) —
     * the int8 exact-store columns stay on disk. */
-  private[graft] def loadGraphPq(spark: SparkSession, p: Paths): Dataset[CellGraphPq] = {
+  private[graft] def loadGraphPq(spark: SparkSession, p: Paths,
+      withStore: Boolean = false): Dataset[CellGraphPq] = {
     val mtime = markerMtime(spark, p)
-    if (mtime < 0) mkPqLoader(spark, p)()
-    else loadGraphPqGen(spark, p, mtime)
+    if (mtime < 0) mkPqLoader(spark, p, withStore)()
+    else loadGraphPqGen(spark, p, mtime, withStore)
   }
 
-  private[graft] def loadGraphPqGen(spark: SparkSession, p: Paths, gen: Long): Dataset[CellGraphPq] = {
-    val slot = new Slot(mkPqLoader(spark, p))
-    val won = pqCache.putIfAbsent((p.graph, gen), slot).getOrElse {
-      pqCache.keys.filter(k => k._1 == p.graph && k._2 != gen).foreach { k =>
+  private def pqCacheKey(p: Paths, withStore: Boolean): String =
+    if (withStore) p.graph + "#store" else p.graph
+
+  private[graft] def loadGraphPqGen(spark: SparkSession, p: Paths, gen: Long,
+      withStore: Boolean): Dataset[CellGraphPq] = {
+    val key1 = pqCacheKey(p, withStore)
+    val slot = new Slot(mkPqLoader(spark, p, withStore))
+    val won = pqCache.putIfAbsent((key1, gen), slot).getOrElse {
+      pqCache.keys.filter(k => k._1 == key1 && k._2 != gen).foreach { k =>
         pqCache.remove(k).foreach(_.release())
       }
       slot
@@ -578,21 +592,31 @@ object HnswIndex {
     won.value
   }
 
-  private def mkPqLoader(spark: SparkSession, p: Paths): () => Dataset[CellGraphPq] = () => {
+  private def mkPqLoader(spark: SparkSession, p: Paths,
+      withStore: Boolean): () => Dataset[CellGraphPq] = () => {
     import spark.implicits._
     def load(): Dataset[CellGraphPq] = {
-      val ds = spark.read.parquet(p.graph)
-        .select(col("cell_id").cast("int"), col("_id"), col("_codes"),
-          col("_rn"), col("top_layer"), col("nbrs"))
-        .as[(Int, Long, Array[Byte], Double, Int, Seq[Seq[Int]])]
+      val base = spark.read.parquet(p.graph)
+      val cols = Seq(col("cell_id").cast("int"), col("_id"), col("_codes"),
+        col("_rn"), col("top_layer"), col("nbrs")) ++
+        (if (withStore) Seq(col("_q"), coalesce(col("_qs"), lit(0.0)).as("_qs"),
+          col("_nn")) else Seq(lit(null).cast("array<tinyint>").as("_q"),
+          lit(0.0).as("_qs"), lit(0.0).as("_nn")))
+      val ds = base.select(cols: _*)
+        .as[(Int, Long, Array[Byte], Double, Int, Seq[Seq[Int]],
+          Seq[Byte], Double, Double)]
         .groupByKey(_._1)
         .mapGroups { (cell, it) =>
           val rows = it.toArray.sortBy(_._2)
           val n = rows.length
           val m = if (n == 0) 0 else rows.head._3.length
+          val dim = if (n == 0 || rows.head._7 == null) 0 else rows.head._7.length
           val ids = new Array[Long](n)
           val rn = new Array[Double](n)
           val codes = new Array[Byte](n * m)
+          val qcodes = new Array[Byte](n * dim)
+          val qscale = new Array[Double](if (dim > 0) n else 0)
+          val nnArr = new Array[Double](if (dim > 0) n else 0)
           val nodeBase = new Array[Int](n + 1)
           var entry = -1
           var maxLevel = -1
@@ -603,6 +627,13 @@ object HnswIndex {
             val r = rows(i)
             ids(i) = r._2; rn(i) = r._4
             System.arraycopy(r._3, 0, codes, i * m, m)
+            if (dim > 0) {
+              val qv = r._7
+              var t = 0
+              while (t < dim) { qcodes(i * dim + t) = qv(t); t += 1 }
+              qscale(i) = r._8
+              nnArr(i) = r._9
+            }
             nodeBase(i) = segs
             segs += r._6.length
             r._6.foreach(l => edges += l.length)
@@ -624,8 +655,8 @@ object HnswIndex {
             i += 1
           }
           adjOff(segs) = e
-          CellGraphPq(cell, ids, rn, m, codes, nodeBase, adjOff, adjData,
-            entry, maxLevel)
+          CellGraphPq(cell, ids, rn, m, codes, dim, qcodes, qscale, nnArr,
+            nodeBase, adjOff, adjData, entry, maxLevel)
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       ds.count()
@@ -641,7 +672,7 @@ object HnswIndex {
     graphCache.keys.filter(_._1 == g).foreach { k =>
       graphCache.remove(k).foreach(_.release())
     }
-    pqCache.keys.filter(_._1 == g).foreach { k =>
+    pqCache.keys.filter(k => k._1 == g || k._1 == g + "#store").foreach { k =>
       pqCache.remove(k).foreach(_.release())
     }
     routingCache.keys.filter(_._1 == g).foreach(routingCache.remove)
@@ -739,7 +770,7 @@ object HnswIndex {
     * exhaustive exact scan). */
   def searchPq(spark: SparkSession, outDir: String, queries: DataFrame,
       k: Int, efSearch: Int, nProbe: Int, window: Int = 50,
-      maxQueries: Long = 10000L): DataFrame = {
+      maxQueries: Long = 10000L, residentRerank: Boolean = false): DataFrame = {
     import spark.implicits._
     val p = Paths(outDir)
     val gen = servingGeneration(spark, p)
@@ -787,7 +818,8 @@ object HnswIndex {
     val kSub = meta.pqK
     val ef = efSearch
     val win = window
-    val shortlist = loadGraphPqGen(spark, p, gen)
+    val rr = residentRerank
+    val perCell = loadGraphPqGen(spark, p, gen, withStore = residentRerank)
       .filter(col("cellId").isin(probedCells: _*))
       .flatMap { g =>
         val (qs, routing, centOf, cbs) = bq.value
@@ -824,27 +856,38 @@ object HnswIndex {
             }
             j += 1
           }
-          searchCellPq(g, lut, qc, qn, kSub, ef, win, qid).iterator
-            .map { case (nid, _) => (qid, nid) }
+          searchCellPq(g, lut, qc, qn, kSub, ef, win, qid,
+            qv = if (rr) qv else null).iterator
+            .map { case (nid, sim) => (qid, nid, sim) }
         }
       }
-      .toDF("query_id", "neighbor_id")
-    // exact rerank against the int8 store: probed-cell parquet read, the
-    // bounded shortlist broadcasts, sims replay topKExact's formula
-    import graft.expressions.VectorExprs.vec_dot
-    graft.expressions.VectorExprs.register(spark)
-    val store = restored(spark.read.parquet(p.graph)
-        .filter(col("cell_id").isin(probedCells: _*)))
-      .select(col("_id").as("neighbor_id"), col("_v").as("_nv"))
-      .withColumn("_nn", sqrt(vec_dot(col("_nv"), col("_nv"))))
-    val q = queries.select(col("query_id"), col("qv"))
-      .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
-    val sims = broadcast(shortlist.join(q, "query_id"))
-      .join(store, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(vec_dot(col("qv"), col("_nv")) / (col("_qn") * col("_nn")), 6)
-          .as("sim"))
-    Similarity.perQueryTopK(sims, k)
+    if (residentRerank) {
+      // exact sims were computed IN-CELL from the resident int8 store —
+      // no per-batch store IO at all; round in-plan and merge
+      val sims = perCell.toDF("query_id", "neighbor_id", "sim_raw")
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim_raw"), 6).as("sim"))
+      Similarity.perQueryTopK(sims, k)
+    } else {
+      // exact rerank against the ON-DISK int8 store: probed-cell parquet
+      // read per batch (the IO the codes-only residency trades for), the
+      // bounded shortlist broadcasts, sims replay topKExact's formula
+      val shortlist = perCell.map(t => (t._1, t._2)).toDF("query_id", "neighbor_id")
+      import graft.expressions.VectorExprs.vec_dot
+      graft.expressions.VectorExprs.register(spark)
+      val store = restored(spark.read.parquet(p.graph)
+          .filter(col("cell_id").isin(probedCells: _*)))
+        .select(col("_id").as("neighbor_id"), col("_v").as("_nv"))
+        .withColumn("_nn", sqrt(vec_dot(col("_nv"), col("_nv"))))
+      val q = queries.select(col("query_id"), col("qv"))
+        .withColumn("_qn", sqrt(vec_dot(col("qv"), col("qv"))))
+      val sims = broadcast(shortlist.join(q, "query_id"))
+        .join(store, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(vec_dot(col("qv"), col("_nv")) / (col("_qn") * col("_nn")), 6)
+            .as("sim"))
+      Similarity.perQueryTopK(sims, k)
+    }
   }
 
   /** Driver replay of [[graft.expressions.CellKernels.probeCells]]:
@@ -1085,7 +1128,7 @@ object HnswIndex {
     * full-window rerank path is exhaustive-exact over the int8 store. */
   private[graft] def searchCellPq(g: CellGraphPq, lut: Array[Double],
       qCoarse: Double, qn: Double, kSub: Int, efSearch: Int, window: Int,
-      excludeId: Long,
+      excludeId: Long, qv: Array[Double] = null,
       simCounter: java.util.concurrent.atomic.LongAdder = null): Array[(Long, Double)] = {
     val n = g.n
     if (n == 0) return Array.empty
@@ -1108,11 +1151,29 @@ object HnswIndex {
       math.min(efSearch.toLong, n.toLong).toInt)
     val drained = beamWalk(n, g.nodeBase, g.adjOff, g.adjData, g.entry,
       g.maxLevel, simOf, ef)
-    val all = drained.iterator
-      .filter(pos => g.ids(pos) != excludeId)
-      .map(pos => (g.ids(pos), simArr(pos)))
-      .toArray
-    if (ef >= n) all else all.take(window)
+    val kept = {
+      val all = drained.filter(pos => g.ids(pos) != excludeId)
+      if (ef >= n) all else all.take(window)
+    }
+    if (g.dim == 0 || qv == null)
+      kept.map(pos => (g.ids(pos), simArr(pos))) // ADC sims: caller reranks
+    else kept.map { pos =>
+      // in-cell EXACT rerank from the resident int8 store: replays
+      // dequantizeInt8 (code / scale; zero-scale = zero vector) and the
+      // sequential VecDotD accumulation, denominator qn·nn — identical
+      // doubles to the disk-rerank/searchCell int8 path, so exhaustive
+      // parity carries over
+      val sc = g.qscale(pos)
+      var acc = 0.0
+      var j = 0
+      val off = pos * g.dim
+      while (j < g.dim) {
+        val v = if (sc > 0) g.qcodes(off + j).toDouble / sc else 0.0
+        acc += qv(j) * v
+        j += 1
+      }
+      (g.ids(pos), acc / (qn * g.nn(pos)))
+    }
   }
 
   /** Per-cell in-memory HNSW builder. Simple top-M neighbor selection
@@ -1178,13 +1239,14 @@ object HnswIndex {
 
     private def greedy(qPos: Int, start: Int, layer: Int): Int = {
       var ep = start
-      var moved = true
+      var epk = key(qPos, ep) // carried across moves: the chosen best's
+      var moved = true        // key IS the next iteration's pivot key
       while (moved) {
         moved = false
         val nb = adj(ep)
         if (layer < nb.length) {
           val lst = nb(layer)
-          var bestK = key(qPos, ep); var bestP = ep
+          var bestK = epk; var bestP = ep
           var j = 0
           while (j < lst.length) {
             val c = lst(j)
@@ -1192,7 +1254,7 @@ object HnswIndex {
             if (better(ck, c, bestK, bestP)) { bestK = ck; bestP = c }
             j += 1
           }
-          if (bestP != ep) { ep = bestP; moved = true }
+          if (bestP != ep) { ep = bestP; epk = bestK; moved = true }
         }
       }
       ep
@@ -1250,7 +1312,13 @@ object HnswIndex {
     }
 
     /** Cap a node's layer list; layer-0 backbone partners (pos±1) are
-      * exempt, so layer 0 stays a connected chain by construction. */
+      * exempt, so layer 0 stays a connected chain by construction.
+      * Keys are computed ONCE per element before the sort — computing
+      * them inside the comparator re-ran a dim-length dot product per
+      * comparison, ~2·(cap+1)·log(cap) dots per prune across ~m·layers
+      * prunes per insert (a top-three term in the 10⁵-vector-cell build
+      * profile). The sort ranks by the same (key, pos) total order, so
+      * the kept set is identical. */
     private def prune(node: Int, layer: Int): Unit = {
       val cap = if (layer == 0) 2 * m else m
       val lst = adj(node)(layer)
@@ -1258,10 +1326,15 @@ object HnswIndex {
       val (backbone, rest) =
         if (layer == 0) lst.partition(p => p == node - 1 || p == node + 1)
         else (mutable.ArrayBuffer.empty[Int], lst)
-      val kept = rest.sortWith { (a, b) =>
-        val ka = key(node, a); val kb = key(node, b)
-        better(ka, a, kb, b)
-      }.take(cap)
+      val arr = rest.toArray
+      val keys = new Array[Double](arr.length)
+      var i = 0
+      while (i < arr.length) { keys(i) = key(node, arr(i)); i += 1 }
+      val order = arr.indices.sortWith { (a, b) =>
+        better(keys(a), arr(a), keys(b), arr(b))
+      }
+      val kept = mutable.ArrayBuffer.tabulate(
+        math.min(cap, arr.length))(r => arr(order(r)))
       adj(node)(layer) = backbone ++ kept
     }
 

@@ -55,12 +55,22 @@ object HnswScaleProbe {
       dir
     }
 
+    // reference-aligned graph parameters for 1e5-vector cells: the
+    // m=8/efC=64 defaults were tuned on sub-1k cells and cap recall
+    // well below the probe ceiling at this size (measured 0.73@ef=512);
+    // the reference's FAISS artifact uses M=32/efC=64 on exactly this
+    // corpus size (faiss_builder.py:50-53)
+    val gM = 16
+    val gEfc = 128
     val dirF = timedBuild("float") { d =>
-      HnswIndex.build(emb, "vec_id", "embedding", nCells, d) }
+      HnswIndex.build(emb, "vec_id", "embedding", nCells, d, m = gM,
+        efConstruction = gEfc) }
     val dirI = timedBuild("int8") { d =>
-      HnswIndex.build(emb, "vec_id", "embedding", nCells, d, quantized = true) }
+      HnswIndex.build(emb, "vec_id", "embedding", nCells, d, m = gM,
+        efConstruction = gEfc, quantized = true) }
     val dirP = timedBuild("pq16") { d =>
-      HnswIndex.build(emb, "vec_id", "embedding", nCells, d, pqM = 16) }
+      HnswIndex.build(emb, "vec_id", "embedding", nCells, d, m = gM,
+        efConstruction = gEfc, pqM = 16) }
     // the product scan baseline at the same coarse quantizer
     val dirV = java.nio.file.Files.createTempDirectory("graft_scale_ivf").toString + "/ivf"
     val tV = System.nanoTime()
@@ -97,8 +107,11 @@ object HnswScaleProbe {
       }
     grid("float", (ef, np) => HnswIndex.search(spark, dirF, queries, k, ef, np),
       Seq(2, 4), Seq(64, 128, 256, 512))
-    grid("pq16", (ef, np) => HnswIndex.searchPq(spark, dirP, queries, k, ef, np, window = 60),
-      Seq(4), Seq(96, 256))
+    grid("pq_rr", (ef, np) => HnswIndex.searchPq(spark, dirP, queries, k, ef, np,
+        window = 60, residentRerank = true),
+      Seq(2), Seq(96, 256, 512))
+    grid("pq_io", (ef, np) => HnswIndex.searchPq(spark, dirP, queries, k, ef, np, window = 60),
+      Seq(2), Seq(256))
     // scan rows: ef column is moot (every in-cell candidate is scored —
     // sims/q = nProbe·cellN by definition); recall = the probe ceiling
     grid("scan", (_, np) => graft.index.VectorIndex.search(spark, dirV, queries, k, np),

@@ -63,6 +63,28 @@ class HnswPqSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("resident in-cell rerank: exhaustive config bit-equal to the disk rerank and the int8 oracle") {
+    val dir = tmp("rr")
+    val emb = clusteredCorpus(2000, 32, 8).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 8, dir,
+      m = 6, efConstruction = 32, pqM = 8)
+    val q = queriesOf(emb, 12L).localCheckpoint(true)
+    def collected(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val viaResident = collected(HnswIndex.searchPq(spark, dir, q, k = 5,
+      efSearch = Int.MaxValue, nProbe = 8, window = Int.MaxValue,
+      residentRerank = true))
+    val viaDisk = collected(HnswIndex.searchPq(spark, dir, q, k = 5,
+      efSearch = Int.MaxValue, nProbe = 8, window = Int.MaxValue))
+    val want = collected(reconExact(emb, q, 5))
+    assert(viaResident.sameElements(want),
+      "resident in-cell rerank != int8-exhaustive oracle")
+    assert(viaDisk.sameElements(want), "disk rerank != int8-exhaustive oracle")
+    HnswIndex.evict(dir)
+  }
+
   test("approximate pq config: reranked recall@10 >= 0.95 against the original floats") {
     val dir = tmp("recall")
     val emb = clusteredCorpus(4000, 32, 16).localCheckpoint(true)
