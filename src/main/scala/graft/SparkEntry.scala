@@ -373,6 +373,44 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** X131's PQ serving composition end-to-end through a persisted
+    * PQ-coded graph index (FAISS's HNSW+PQ+refine), exhaustively
+    * configured: efSearch ≥ cell size makes the asymmetric-distance
+    * beam visit every node, window ≥ cell size makes the exact in-cell
+    * rerank an exhaustive scan of the resident int8 store — so the
+    * result must reproduce the INT8-exhaustive brute force, which the
+    * oracle replays by quantize/dequantizing the corpus side in SQL
+    * (the q63-proven `round(x·scale)/scale` replay). Gates the whole
+    * codebook-train → residual-encode → code-beam → exact-rerank chain
+    * cross-engine, not just against the Spark-side oracle in
+    * HnswPqSpec (faiss_builder.py:60-147's HNSW artifact composed with
+    * embedding.py's PQ compression, re-expressed Spark-first). */
+  private val hnswPqIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    sys.addShutdownHook {
+      hnswPqIndexDirs.values().forEach { d =>
+        try org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(d))
+        catch { case _: Exception => () }
+      }
+    }
+  }
+  def knnHnswPq(spark: SparkSession, dir: String): DataFrame = {
+    val idx = hnswPqIndexDirs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hnswpq-").toString
+      graft.index.HnswIndex.build(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16, tmp,
+        m = 8, efConstruction = 64, pqM = 8)
+      tmp
+    })
+    val q = Tables.readRange(spark, dir, "embeddings", "vec_id", Long.MinValue, 9L)
+      .select(col("vec_id").as("query_id"), VF.vecAsDouble(col("embedding")).as("qv"))
+    graft.index.HnswIndex.searchPq(spark, idx, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 16, window = Int.MaxValue,
+        residentRerank = true)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** MinHash-LSH near-dup candidates with exact-Jaccard verification
     * (the scale path for integrity.py:551-616's O(n²) fuzzy dedup).
     * Word-bigram shingles, k=12 minhashes in 3 bands of 4 — poly-hash based
@@ -1955,6 +1993,7 @@ object SparkEntry {
     "q122_curate_pipeline" -> curatePipelineQuery _,
     "q123_incremental_curate" -> incrementalCurateQuery _,
     "q124_knn_hnsw" -> knnHnsw _,
+    "q125_knn_hnsw_pq" -> knnHnswPq _,
   )
 
   private val stopwordsSqlList: String =
@@ -3056,6 +3095,35 @@ object SparkEntry {
     // HNSW beam search visit every node of its backbone-connected
     // layer-0 graph — same brute-force oracle as q18/q56
     "q124_knn_hnsw" -> knnOracleSql,
+
+    // the PQ-coded graph's exhaustive config (ef ≥ cell, window ≥ cell,
+    // nProbe = nCells) reduces to an exhaustive EXACT rerank against the
+    // int8 store, so the oracle is the q18 brute force with the corpus
+    // side pushed through the q63-proven int8 replay
+    // (round(x·scale)/scale, scale = 127/max|x|); queries stay float
+    "q125_knn_hnsw_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e
+        |), rc AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs > 0
+        |      THEN list_transform(v, x -> round(x * (127.0 / maxabs)) / (127.0 / maxabs))
+        |      ELSE v END AS rv
+        |  FROM m
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.rv)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.rv, c.rv))), 6) AS sim
+        |  FROM e q JOIN rc c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q57_decontamination" ->
       s"""WITH t0 AS (

@@ -159,6 +159,21 @@ class PlanAssertSpec extends AnyFunSuite {
         s"re-read parquet per batch:\n${plan.take(3000)}")
   }
 
+  test("q125 hnsw+pq search: resident code-graph serving, bounded heap merge, no join") {
+    val plan = planOf("q125_knn_hnsw_pq")
+    assert(plan.contains("topk_min"),
+      s"the cross-cell merge must be the bounded-heap aggregate:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"),
+      s"per-query ranking must never be a window over all candidates:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"the resident in-cell rerank has no join at all — exact sims come " +
+        s"out of the flatMap beside the beam walk:\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"serving must read the RESIDENT cached code-graph dataset, not " +
+        s"re-read parquet per batch:\n${plan.take(3000)}")
+  }
+
   test("q64 retention: no Expand; cohort sizes ride along as a broadcast") {
     val plan = planOf("q64_retention")
     assert(!plan.contains("Expand"),
