@@ -74,12 +74,16 @@ object HnswIndex {
   /** The sidecar is a bounded single-object JSON this module wrote
     * itself ([[writeMetadata]]'s fixed field set) — extracted with
     * anchored field patterns, no JSON library dependency. */
-  private def readMetadata(spark: SparkSession, p: Paths): Meta = {
+  private def metadataText(spark: SparkSession, p: Paths): String = {
     val path = new org.apache.hadoop.fs.Path(p.metadata)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(path)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  private def readMetadata(spark: SparkSession, p: Paths): Meta = {
+    val text = metadataText(spark, p)
     def field(name: String): Long = {
       val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
       m.map(_.group(1).toLong).getOrElse(
@@ -135,6 +139,31 @@ object HnswIndex {
   private def isComplete(spark: SparkSession, p: Paths): Boolean = {
     val m = new org.apache.hadoop.fs.Path(p.commitMarker)
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  /** Legacy-artifact adoption: an index written before the
+    * artifact-level commit marker existed is gated by the graph's own
+    * `_SUCCESS` and carries NO pq fields in its metadata — marker-era
+    * writers always stamp both, so a crashed marker-era mutation
+    * (marker deleted first, metadata already pq-stamped) is never
+    * mistaken for a legacy artifact. Without this, every healthy
+    * pre-marker index would be refused with a misleading
+    * crashed-mid-mutation diagnosis and forced into a full rebuild.
+    * Adoption re-stamps the metadata (adding the pq fields, making the
+    * artifact marker-era from then on) and publishes the marker;
+    * idempotent and cheap, called at every entry point. */
+  private def ensureAdopted(spark: SparkSession, p: Paths): Unit = {
+    if (markerMtime(spark, p) >= 0) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val succ = new org.apache.hadoop.fs.Path(s"${p.graph}/_SUCCESS")
+    val metaP = new org.apache.hadoop.fs.Path(p.metadata)
+    val fs = succ.getFileSystem(conf)
+    if (!fs.exists(succ) || !fs.exists(metaP)) return // genuinely incomplete
+    if (metadataText(spark, p).contains("\"pq_m\"")) return // marker-era crash
+    val meta = readMetadata(spark, p)
+    writeMetadata(spark, p, meta.n, meta.nCells, meta.m,
+      meta.efConstruction, meta.seed, meta.pqM, meta.pqK)
+    writeCommitMarker(spark, p)
   }
 
   private def deleteCommitMarker(spark: SparkSession, p: Paths): Unit = {
@@ -318,6 +347,7 @@ object HnswIndex {
       outDir: String): String = {
     val spark = vectors.sparkSession
     val p = Paths(outDir)
+    ensureAdopted(spark, p)
     if (!isComplete(spark, p))
       throw new IllegalStateException(
         s"index at $outDir is incomplete (no ${p.commitMarker}) — " +
@@ -432,9 +462,19 @@ object HnswIndex {
     * built; only the winning slot's lazy body ever runs. */
   private final class Slot[A](mk: () => Dataset[A]) {
     @volatile private var built = false
-    lazy val value: Dataset[A] = { val v = mk(); built = true; v }
-    /** Unpersist if (and only if) this slot ever materialized. */
-    def release(): Unit = if (built) value.unpersist()
+    @volatile private var released = false
+    lazy val value: Dataset[A] = {
+      val v = mk(); built = true
+      // an eviction that raced the first load saw built=false and
+      // skipped the unpersist — honor it here, or the freshly persisted
+      // dataset would outlive its cache entry with no owner
+      if (released) v.unpersist()
+      v
+    }
+    /** Unpersist once materialized; if the winning loader is still
+      * inside `mk()`, mark the slot so the lazy body unpersists on
+      * completion (unpersist is idempotent, so both firing is safe). */
+    def release(): Unit = { released = true; if (built) value.unpersist() }
   }
 
   private val graphCache = new TrieMap[(String, Long), Slot[CellGraph]]
@@ -452,6 +492,22 @@ object HnswIndex {
   private val routingCache = new TrieMap[(String, Long), Array[(Int, Array[Double])]]
 
   private val pqModelCache = new TrieMap[(String, Long), PqIndex.PqModel]
+
+  /** Generation-pinned metadata, same discipline as [[routingCache]]:
+    * a searchPq that re-read metadata.json per call could catch
+    * [[writeMetadata]]'s truncate-then-write mid-update and fail (or
+    * pair new pq geometry with the previous resident code graph). A
+    * serving loop that has searched the committed artifact once holds
+    * its generation's meta here and keeps decoding consistently while
+    * update() mutates. */
+  private val metaCache = new TrieMap[(String, Long), Meta]
+
+  private def metaFor(spark: SparkSession, p: Paths, gen: Long): Meta =
+    metaCache.getOrElseUpdate((p.graph, gen), {
+      metaCache.keys.filter(k => k._1 == p.graph && k._2 != gen)
+        .foreach(metaCache.remove)
+      readMetadata(spark, p)
+    })
 
   private def markerMtime(spark: SparkSession, p: Paths): Long = {
     val marker = new org.apache.hadoop.fs.Path(p.commitMarker)
@@ -703,6 +759,7 @@ object HnswIndex {
       efSearch: Int, nProbe: Int, maxQueries: Long = 10000L): DataFrame = {
     import spark.implicits._
     val p = Paths(outDir)
+    ensureAdopted(spark, p)
     // resolve ONE generation for routing + graph: either the committed
     // marker's, or — mid-maintenance — the newest resident one
     val gen = servingGeneration(spark, p)
@@ -773,11 +830,22 @@ object HnswIndex {
       maxQueries: Long = 10000L, residentRerank: Boolean = false): DataFrame = {
     import spark.implicits._
     val p = Paths(outDir)
+    ensureAdopted(spark, p)
     val gen = servingGeneration(spark, p)
-    val meta = readMetadata(spark, p)
+    val meta = metaFor(spark, p, gen)
     require(meta.pqM > 0,
       s"index at $outDir carries no PQ codes — build(pqM > 0) or use search()")
     require(window >= k, s"pq rerank: window $window must be >= k $k")
+    // the on-disk rerank reads graph.parquet per batch, which a
+    // concurrent update()'s dynamic partition overwrite may be
+    // rewriting — fail fast rather than rerank against a torn old/new
+    // mix; the resident-rerank form carries the full
+    // serve-during-update guarantee (its store rides the
+    // generation-keyed cache)
+    require(residentRerank || markerMtime(spark, p) >= 0,
+      s"index at $outDir is mid-maintenance and the disk-rerank form " +
+        "reads the store per batch — serve with residentRerank = true " +
+        "(generation-consistent) or retry after the update commits")
     Guards.requireAtMost(queries, maxQueries, "HnswIndex.searchPq",
       "serve in bounded batches — the query side of a graph search is " +
         "collected for per-cell routing")
@@ -821,23 +889,23 @@ object HnswIndex {
     val rr = residentRerank
     val perCell = loadGraphPqGen(spark, p, gen, withStore = residentRerank)
       .filter(col("cellId").isin(probedCells: _*))
-      .flatMap { g =>
+      .mapPartitions { cells =>
         val (qs, routing, centOf, cbs) = bq.value
         val dsub = cbs(0)(0).length
-        val cent = centOf(g.cellId)
-        routing.getOrElse(g.cellId, Array.empty[Int]).iterator.flatMap { idx =>
-          val (qid, qv) = qs(idx)
-          var qn = 0.0
-          var i = 0
-          while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
-          qn = math.sqrt(qn)
-          var qc = 0.0
-          val nc = math.min(qv.length, cent.length)
-          i = 0
-          while (i < nc) { qc += qv(i) * cent(i); i += 1 }
-          // per-(query, cell) LUT: lut[j·k + c] = dot(q_subj, codebook_jc)
-          // — m·k·dsub multiplies once, then m lookups per candidate
-          val m = cbs.length
+        val m = cbs.length
+        // per-QUERY LUT: lut[j·k + c] = dot(q_subj, codebook_jc). The
+        // LUT depends only on the query and the shared codebooks — at
+        // m·k·dsub = d·k multiplies it often outweighs the beam itself,
+        // and a query probes nProbe cells (ALL cells in the q125
+        // exhaustive config) — so memoize per task across the cells it
+        // serves instead of rebuilding per (query, cell). Capped so the
+        // worst case (every query routed to this task's cells at the
+        // 10k-query guard ceiling) holds ~33 MB, not ~330 MB.
+        val luts = new java.util.HashMap[Int, Array[Double]]()
+        val lutCap = 1024
+        def lutOf(idx: Int, qv: Array[Double]): Array[Double] = {
+          val hit = luts.get(idx)
+          if (hit != null) return hit
           val lut = new Array[Double](m * kSub)
           var j = 0
           while (j < m) {
@@ -856,9 +924,26 @@ object HnswIndex {
             }
             j += 1
           }
-          searchCellPq(g, lut, qc, qn, kSub, ef, win, qid,
-            qv = if (rr) qv else null).iterator
-            .map { case (nid, sim) => (qid, nid, sim) }
+          if (luts.size >= lutCap) luts.clear()
+          luts.put(idx, lut)
+          lut
+        }
+        cells.flatMap { g =>
+          val cent = centOf(g.cellId)
+          routing.getOrElse(g.cellId, Array.empty[Int]).iterator.flatMap { idx =>
+            val (qid, qv) = qs(idx)
+            var qn = 0.0
+            var i = 0
+            while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+            qn = math.sqrt(qn)
+            var qc = 0.0
+            val nc = math.min(qv.length, cent.length)
+            i = 0
+            while (i < nc) { qc += qv(i) * cent(i); i += 1 }
+            searchCellPq(g, lutOf(idx, qv), qc, qn, kSub, ef, win, qid,
+              qv = if (rr) qv else null).iterator
+              .map { case (nid, sim) => (qid, nid, sim) }
+          }
         }
       }
     if (residentRerank) {

@@ -241,6 +241,15 @@ object Merge {
     newDir
   }
 
+  /** Range-pack task count for a merge write: the LARGER of the touched
+    * partition breadth and a 64 MiB-per-file size estimate, capped at
+    * the shuffle width. Extracted for the unit spec. */
+  private[ingest] def packCount(touched: Int, estBytes: BigInt,
+      shuffleN: Int): Int = {
+    val bySize = (estBytes / (64L << 20)).min(BigInt(Int.MaxValue)).toInt
+    math.max(1, math.min(math.max(touched, bySize), shuffleN))
+  }
+
   // ---- merge ---------------------------------------------------------
 
   /** Upsert `updates` (and optionally delete `deleteKeys`) into the
@@ -340,9 +349,17 @@ object Merge {
     // batch — while ranges keep each task inside few partition values
     // yet still split a hot value across tasks (the Layout.compact
     // packing rationale; a plain hash repartition would funnel a hot
-    // partition into one task)
-    val nPack = math.max(1, math.min(touched.size,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    // partition into one task). Task count is the LARGER of the touched
+    // breadth and a 64 MiB-per-file size estimate, capped at the shuffle
+    // width: capping at touched.size alone serialized every
+    // single-partition-value merge (the incremental layers' one
+    // batch=bNNNN dir per delta) into ONE task regardless of delta size
+    // — ranges on the trailing key columns split such a value across
+    // tasks without reintroducing the file explosion, since each range
+    // still spans ~one partition value.
+    val nPack = packCount(touched.size,
+      newData.queryExecution.optimizedPlan.stats.sizeInBytes,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     newData.repartitionByRange(nPack, (partitionCol +: keyCols).map(col): _*)
       .write.mode("errorifexists").partitionBy(partitionCol).parquet(newDir)
 

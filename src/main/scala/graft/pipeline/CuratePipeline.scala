@@ -302,9 +302,17 @@ object CuratePipeline {
     val hit = deltaDocs
       .select(pmod(normFp(TF.normalizeWs(col("text"))),
         lit(buckets.toLong)).as("_b"))
-      .distinct().collect().map(r => f"f${r.getLong(0)}%03d").toSeq
+      .distinct().collect().map(r => r.getLong(0)).toSeq
+    // match on the NUMERIC bucket id, not the zero-padded string: the
+    // suffix width changed f%02d → f%03d when the bucket count became a
+    // knob, and a string match against the current width silently reads
+    // ZERO buckets from a lake persisted at the old width — every
+    // banked duplicate would then pass the delta's exact stage. The
+    // numeric form reads both vintages; it is still a partition-column
+    // expression, so the probe keeps pruning to the hit dirs.
     Layout.loadLatest(spark, base, Frozen.NormBank)
-      .filter(substring_index(col("bucket"), "-", -1).isin(hit: _*))
+      .filter(substring(substring_index(col("bucket"), "-", -1), 2, 10)
+        .cast("long").isin(hit: _*))
       .select(col("norm_fp"))
   }
 

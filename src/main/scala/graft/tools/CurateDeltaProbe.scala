@@ -67,8 +67,7 @@ object CurateDeltaProbe {
     timed("merge_norm_bank") {
       val normBatchNo = Layout.committedVersions(spark, base, CuratePipeline.Frozen.NormBank).last + 1
       val newNorms = frames("exact").select(col("norm_fp")).distinct()
-        .withColumn("bucket", format_string("b%04d-f%02d", lit(normBatchNo),
-          pmod(col("norm_fp"), lit(64L))))
+        .withColumn("bucket", CuratePipeline.normBucket(normBatchNo))
       if (!newNorms.isEmpty)
         Merge.merge(spark, base, CuratePipeline.Frozen.NormBank, newNorms,
           Seq("norm_fp"), "bucket")

@@ -407,6 +407,45 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(served() == newWant)
   }
 
+  test("a legacy artifact (pre-marker vintage, no pq fields) is adopted, not refused") {
+    val dir = tmp("legacy")
+    val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 2, dir,
+      m = 4, efConstruction = 16)
+    val q = queriesOf(emb, 3L)
+    val want = HnswIndex.search(spark, dir, q, k = 3,
+        efSearch = Int.MaxValue, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    HnswIndex.evict(dir)
+    // rewrite the artifact to the pre-marker vintage: no _graft_commit,
+    // metadata WITHOUT the pq fields (marker-era writers always stamp
+    // both — that pair is the version guard)
+    val marker = new java.io.File(
+      new java.net.URI("file://" + HnswIndex.Paths(dir).commitMarker))
+    assert(marker.delete())
+    val metaPath = java.nio.file.Paths.get(
+      new java.net.URI("file://" + HnswIndex.Paths(dir).metadata))
+    java.nio.file.Files.write(metaPath,
+      ("""{"n_vectors": 300, "n_cells": 2, "m": 4, """ +
+        """"ef_construction": 16, "seed": 42, "metric": "cosine"}""").getBytes("UTF-8"))
+    // the NIO write bypassed hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar or the next hadoop read fails verification
+    java.nio.file.Files.deleteIfExists(
+      metaPath.resolveSibling("." + metaPath.getFileName + ".crc"))
+    // search adopts (re-stamps metadata + publishes the marker) and
+    // serves the same results instead of refusing a healthy artifact
+    val got = HnswIndex.search(spark, dir, q, k = 3,
+        efSearch = Int.MaxValue, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(marker.exists(), "adoption must publish the commit marker")
+    // update() on the adopted artifact proceeds under normal discipline
+    assert(HnswIndex.update(emb, "vec_id", "embedding", dir) == "noop")
+    HnswIndex.evict(dir)
+  }
+
   test("an incomplete artifact (no commit marker) is refused by search and update") {
     val dir = tmp("crash")
     val emb = clusteredCorpus(300, 8, 2).localCheckpoint(true)

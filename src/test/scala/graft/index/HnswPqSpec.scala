@@ -183,6 +183,33 @@ class HnswPqSpec extends AnyFunSuite {
     HnswIndex.evict(dir)
   }
 
+  test("mid-maintenance: resident rerank keeps serving the resident generation; disk rerank fails fast") {
+    val dir = tmp("midmaint")
+    val emb = clusteredCorpus(1200, 16, 6).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 6, dir,
+      m = 4, efConstruction = 24, pqM = 4)
+    val q = queriesOf(emb, 8L).localCheckpoint(true)
+    def resident() = HnswIndex.searchPq(spark, dir, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 6, window = Int.MaxValue,
+        residentRerank = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val committed = resident() // warms the generation-keyed caches
+    // simulate update()'s maintenance window: marker deleted first
+    val marker = new java.io.File(s"$dir/_graft_commit")
+    assert(marker.delete(), "commit marker should exist after build")
+    // the resident form serves the resident old generation, consistent
+    assert(resident() == committed)
+    // the disk-rerank form would read graph.parquet under a concurrent
+    // partition overwrite — it must refuse, not rerank a torn mix
+    val e = intercept[IllegalArgumentException] {
+      HnswIndex.searchPq(spark, dir, q, k = 5,
+        efSearch = Int.MaxValue, nProbe = 6, window = Int.MaxValue,
+        residentRerank = false).collect()
+    }
+    assert(e.getMessage.contains("mid-maintenance"))
+    HnswIndex.evict(dir)
+  }
+
   test("the exact-store search() path still serves a pq artifact (int8 semantics)") {
     val dir = tmp("compat")
     val emb = clusteredCorpus(1200, 16, 6).localCheckpoint(true)

@@ -23,6 +23,17 @@ class MergeSpec extends AnyFunSuite {
     base
   }
 
+  test("range-pack width: single-partition-value merges split by size, never one task") {
+    // a delta merge touching ONE batch=bNNNN value must not serialize a
+    // large delta into one task; a tiny delta must not shatter into 32
+    // files. Breadth and size both widen, the shuffle width caps.
+    assert(Merge.packCount(touched = 1, estBytes = BigInt(1L << 10), shuffleN = 32) == 1)
+    assert(Merge.packCount(touched = 1, estBytes = BigInt(10L << 30), shuffleN = 32) == 32)
+    assert(Merge.packCount(touched = 1, estBytes = BigInt(256L << 20), shuffleN = 32) == 4)
+    assert(Merge.packCount(touched = 64, estBytes = BigInt(1L << 10), shuffleN = 32) == 32)
+    assert(Merge.packCount(touched = 8, estBytes = BigInt(1L << 10), shuffleN = 32) == 8)
+  }
+
   test("merge rewrites only touched partitions and inherits the rest") {
     val base = freshLayer()
     val updates = Seq(

@@ -103,6 +103,27 @@ class CurateIncrementalSpec extends AnyFunSuite {
     assert(pruned.exceptAll(full.select("norm_fp")).isEmpty)
   }
 
+  test("bucket-width compat: a bank persisted at the old f%02d width is still probed") {
+    import graft.functions.{TextFunctions => TF}
+    // the suffix widened f%02d → f%03d when the bucket count became a
+    // knob; the probe must match on the NUMERIC bucket id, or a lake
+    // persisted at the old width silently contributes ZERO banked fps
+    // and every banked duplicate passes the delta's exact stage
+    val oldBase = Files.createTempDirectory("graft_oldwidth_bank").toString
+    val doc = spark.range(1).select(lit(7L).as("doc_id"),
+      lit("legacy banked text").as("text"),
+      lit("en").as("lang"), lit("src").as("source"))
+    val bank = doc
+      .select(CuratePipeline.normFp(TF.normalizeWs(col("text"))).as("norm_fp"))
+      .withColumn("bucket", format_string("b%04d-f%02d", lit(0),
+        pmod(col("norm_fp"), lit(64L))))
+    Layout.writeVersioned(bank, oldBase, CuratePipeline.Frozen.NormBank,
+      partitionCols = Seq("bucket"))
+    val pruned = CuratePipeline.prunedNormBank(spark, oldBase, doc)
+    assert(pruned.count() == 1,
+      "old-width bucket dirs must still match the numeric probe")
+  }
+
   test("bench-gram bank appends one novel-grams batch partition per delta") {
     acc // force the full run + one delta batch
     val layer = CuratePipeline.Frozen.BenchGrams
