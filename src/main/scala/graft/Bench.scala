@@ -445,7 +445,8 @@ object Bench {
     * the float/int8 modes' dequantized residency. */
   def hnswPqThroughput(spark: SparkSession, nVec: Long = 50000L,
       dim: Int = 64, nCells: Int = 64, nProbe: Int = 4, efSearch: Int = 96,
-      window: Int = 60, k: Int = 10, pqM: Int = 16): (Double, Double, Long) = {
+      window: Int = 60, k: Int = 10,
+      pqM: Int = 16): (Double, Double, Long, Double, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_hnswpq").toString + "/hnsw"
     val cluster = col("id") % nCells
     def u(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
@@ -459,15 +460,21 @@ object Bench {
     val queries = emb.limit(200).select(col("vec_id").as("query_id"),
       graft.functions.VectorFunctions.vecAsDouble(col("embedding")).as("qv"))
       .localCheckpoint(true)
-    def searchOnce(): Double = {
+    def searchOnce(resident: Boolean): Double = {
       val t1 = System.nanoTime()
       val got = graft.index.HnswIndex.searchPq(
-        spark, dir, queries, k, efSearch, nProbe, window).count()
+        spark, dir, queries, k, efSearch, nProbe, window,
+        residentRerank = resident).count()
       require(got > 0, "hnsw pq search returned no rows")
       (System.nanoTime() - t1) / 1e9
     }
-    searchOnce() // warmup: codegen + code-graph residency
-    val qps = 200.0 / math.min(searchOnce(), searchOnce())
+    searchOnce(resident = false) // warmup: codegen + code-graph residency
+    val qps = 200.0 / math.min(searchOnce(false), searchOnce(false))
+    // the resident in-cell rerank: no per-batch store IO, exact sims
+    // beside the beam — the serve-during-update-safe form; costs
+    // m+dim+24 B/node resident vs the codes-only m+8
+    searchOnce(resident = true) // warmup: store residency
+    val residentQps = 200.0 / math.min(searchOnce(true), searchOnce(true))
     val approx = graft.index.HnswIndex.searchPq(
       spark, dir, queries, k, efSearch, nProbe, window)
       .select("query_id", "neighbor_id")
@@ -478,7 +485,7 @@ object Bench {
     val denom = exact.count()
     val hits = approx.join(exact, Seq("query_id", "neighbor_id")).count()
     graft.index.HnswIndex.evict(dir)
-    (qps, hits.toDouble / denom, pqM + 8L)
+    (qps, hits.toDouble / denom, pqM + 8L, residentQps, pqM + dim + 24L)
   }
 
   /** X117/X120 IVF-PQ serving stats. `probeCeilingRecall` is the
@@ -706,8 +713,8 @@ object Bench {
         f"""{"qps":${qps.toLong},"recall":$recall%.3f,"exhaustive_qps":${exhaustiveQps.toLong}}"""
       case "hnsw" =>
         val (nVec, buildSec, qps, recall) = hnswThroughput(spark)
-        val (pqQps, pqRecall, pqBytes) = hnswPqThroughput(spark)
-        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f,"pq_qps":${pqQps.toLong},"pq_recall":$pqRecall%.3f,"pq_resident_bytes_per_vec":$pqBytes}"""
+        val (pqQps, pqRecall, pqBytes, pqResQps, pqResBytes) = hnswPqThroughput(spark)
+        f"""{"build_sec":$buildSec%.3f,"build_vectors_per_sec":${(nVec / buildSec).toLong},"qps":${qps.toLong},"recall":$recall%.3f,"pq_qps":${pqQps.toLong},"pq_recall":$pqRecall%.3f,"pq_resident_bytes_per_vec":$pqBytes,"pq_resident_rerank_qps":${pqResQps.toLong},"pq_resident_rerank_bytes_per_vec":$pqResBytes}"""
       case "curate_delta" =>
         val (rows, sec) = curateDeltaThroughput(spark, sfDir)
         f"""{"sec":$sec%.3f,"delta_rows":$rows,"rows_per_sec":${(rows / sec).toLong}}"""
