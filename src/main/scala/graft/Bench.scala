@@ -878,6 +878,7 @@ object Bench {
     // manufacture a quiet box — docs/SCALE.md discloses this).
     val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
     val canaries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     var stealRetries = 0
     // Canary gate ON BY DEFAULT since r12 (the r11 verdict's #2: three
     // rounds of official records never caught a fully-quiet window
@@ -905,7 +906,7 @@ object Bench {
       // set, a canary-CLEAN attempt always beats a canary-polluted one
       // even at marginally higher steal — otherwise the gate could
       // commit the very measurement it declared polluted and retried
-      var best: Option[(Double, Double, String)] = None // (steal, canary, json)
+      var best: Option[(Double, Double, String, Double)] = None // (steal, canary, json, wall)
       var attempt = 1
       var done = false
       while (!done) {
@@ -919,7 +920,8 @@ object Bench {
           (canaryGateMs.exists(ca > _), st)
         result.foreach { j =>
           if (best.forall(b => Ordering[(Boolean, Double)]
-            .gt(key(b._1, b._2), key(steal, canary)))) best = Some((steal, canary, j))
+            .gt(key(b._1, b._2), key(steal, canary))))
+            best = Some((steal, canary, j, wall))
         }
         val polluted = steal > math.max(2.0, 0.05 * wall) ||
           canaryGateMs.exists(canary > _)
@@ -938,6 +940,7 @@ object Bench {
       }
       steals(name) = best.fold(-1.0)(_._1)
       canaries(name) = best.fold(-1.0)(_._2)
+      walls(name) = best.fold(-1.0)(_._4)
       best.map(_._3)
     }
     val queries = gatedPhase("queries").getOrElse {
@@ -1000,8 +1003,16 @@ object Bench {
     // window whose numbers then lived only in a gitignored detail file
     // the next run overwrote. The anchor is committed, so verdicts can
     // diff two anchors instead of trusting prose.
+    // "clean" uses the SAME per-phase bound the retry gate applies —
+    // steal ≤ max(2.0 CPU-s, 5% of the kept attempt's wall seconds) —
+    // not a flat 2.0: a flat bound demands 0.02% purity from the
+    // ~5-minute queries phase (stricter than any run the r12 prose
+    // ever called clean) while letting a 20-s phase run 10× dirtier
+    // proportionally. Canary within the gate remains the primary
+    // single-thread cleanliness signal.
     val phasesClean = steals.nonEmpty &&
-      steals.values.forall(s => s >= 0 && s <= 2.0) &&
+      steals.forall { case (name, s) =>
+        s >= 0 && s <= math.max(2.0, 0.05 * walls.getOrElse(name, 0.0)) } &&
       canaryGateMs.forall(g => canaries.values.forall(c => c >= 0 && c <= g))
     if (phasesClean && !skipPhases) {
       val anchorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH.anchor.json")
