@@ -982,7 +982,11 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.1f""" }
       .mkString(""","steal_cpu_s":{""", ",", "}") +
       canaries.map { case (k, v) => f""""$k":${v.round}""" }
-        .mkString(""","canary_ms":{""", ",", "}") + retriesJson
+        .mkString(""","canary_ms":{""", ",", "}") +
+      // kept-attempt wall seconds: lets a reader audit the proportional
+      // steal bound (clean ⇔ steal ≤ max(2, 5% of wall)) from the record
+      walls.map { case (k, v) => f""""$k":${v.round}""" }
+        .mkString(""","phase_wall_s":{""", ",", "}") + retriesJson
     val phases = ingestJson + annJson + annPrunedJson + annPqJson + hnswJson +
       curateDeltaJson + qaJson + streamingJson + phasesNote + stealJson
 
