@@ -326,7 +326,7 @@ object HnswIndex {
         b.buildAll()
         rows.indices.iterator.map { pos =>
           NodeRow(cell, b.ids(pos), rows(pos)._3, b.norms(pos),
-            b.topLayer(pos), b.adj(pos).map(_.toSeq).toSeq)
+            b.topLayer(pos), b.adjSeq(pos))
         }
       }
       .toDF()
@@ -1271,8 +1271,24 @@ object HnswIndex {
     val ids = new Array[Long](capacity)
     val norms = new Array[Double](capacity)
     val topLayer = new Array[Int](capacity)
-    val adj = new Array[Array[mutable.ArrayBuffer[Int]]](capacity)
-    private val vecs = new Array[Double](capacity * dim)
+    // adjacency as parallel fixed-capacity (neighbor, key) arrays with
+    // explicit lengths — the cached key is the SAME value `key(a,b)`
+    // recomputation would produce (the kernel is bitwise symmetric), so
+    // prune never re-runs a dot product it already paid for. The r13
+    // build profile showed the prune-side recompute plus ArrayBuffer
+    // churn were the top terms at m=16/efC=128 on 10⁵-vector cells.
+    private val adjN = new Array[Array[Array[Int]]](capacity)
+    private val adjK = new Array[Array[Array[Double]]](capacity)
+    private val adjLen = new Array[Array[Int]](capacity)
+    // a node-layer list is longest right before its prune: cap (2m at
+    // layer 0, m above) + 2 pruning-exempt backbone partners + 1 fresh
+    private val cap0 = 2 * m + 3
+    private val capU = m + 1
+    // float backing store: the kernel is memory-latency/bandwidth bound
+    // (169 ns/sim all-in at 10⁵×64 doubles, 20 concurrent cells saturate
+    // ~60 GB/s on the r13 probe) — float rows halve the lines per pair;
+    // products still accumulate in double
+    private val vecs = new Array[Float](capacity * dim)
     private var count = 0
     private var entry = -1
     private var entryLevel = -1
@@ -1280,15 +1296,48 @@ object HnswIndex {
     // O(n) per-cell inserts instead of a fresh bitset per insert
     private val visitedGen = new Array[Int](capacity)
     private var gen = 0
+    // reused per-insert scratch: beam heaps, ping-pong entry/result
+    // buffers, prune sort arrays — zero steady-state allocation beyond
+    // the l+1 adjacency arrays of the inserted node itself
+    private val candHeap = new KeyHeap(efC + 1, maxHeap = false)
+    private val keepHeap = new KeyHeap(efC + 1, maxHeap = true)
+    private val bufP1 = new Array[Int](efC + 1)
+    private val bufK1 = new Array[Double](efC + 1)
+    private val bufP2 = new Array[Int](efC + 1)
+    private val bufK2 = new Array[Double](efC + 1)
+    private val prP = new Array[Int](cap0 + 1)
+    private val prK = new Array[Double](cap0 + 1)
+    private val nbrBuf = new Array[Int](cap0 + 1)
+    private var pfSink = 0.0f // keeps the prefetch reads observable
 
     def add(id: Long, v: Array[Double]): Unit = {
       val pos = count
       ids(pos) = id
       var s = 0.0
       var i = 0
-      while (i < dim) { vecs(pos * dim + i) = v(i); s += v(i) * v(i); i += 1 }
-      norms(pos) = math.sqrt(s)
+      while (i < dim) { s += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(s)
+      norms(pos) = nrm
+      val base = pos * dim
+      if (nrm > 0 && !nrm.isNaN) {
+        // store the UNIT vector: sim() becomes a plain dot product (the
+        // division the old kernel paid per-pair is paid once per node)
+        i = 0
+        while (i < dim) { vecs(base + i) = (v(i) / nrm).toFloat; i += 1 }
+      } else {
+        // zero/NaN-norm row: a NaN row makes every dot involving it NaN,
+        // matching the 0/0 = NaN → key -∞ of the un-normalized kernel
+        i = 0
+        while (i < dim) { vecs(base + i) = Float.NaN; i += 1 }
+      }
       count += 1
+    }
+
+    /** Neighbor lists in output form, one Seq per layer. */
+    def adjSeq(pos: Int): Seq[Seq[Int]] = {
+      val ns = adjN(pos)
+      val ls = adjLen(pos)
+      Seq.tabulate(ns.length)(lay => ns(lay).take(ls(lay)).toSeq)
     }
 
     def buildAll(): Unit = {
@@ -1309,146 +1358,250 @@ object HnswIndex {
       math.min(32, math.floor(-math.log(u) * mL).toInt)
     }
 
-    private def sim(a: Int, b: Int): Double = {
-      var acc = 0.0
-      var i = 0
-      val oa = a * dim; val ob = b * dim
-      while (i < dim) { acc += vecs(oa + i) * vecs(ob + i); i += 1 }
-      acc / (norms(a) * norms(b))
+    /** Dot of two UNIT rows = cosine. Four independent accumulators
+      * break the serial FP-add dependency chain (the strict one-acc loop
+      * was latency-bound at ~dim·4 cycles per pair); reassociation
+      * changes rounding in the last bits, which only perturbs which
+      * near-tied edges the graph keeps — search results stay gated by
+      * the exhaustive-beam oracles (q124/q125) and the recall specs.
+      *
+      * Every key computed during insert(pos) is sim(pos, ·), so the
+      * query row is staged once per insert into the L1-resident qBuf
+      * and the kernel reads one hot small array + one cold row instead
+      * of two indexed slices of the 10⁵×dim backing array. */
+    private val qBuf = new Array[Float](dim)
+    private var qPos = -1
+
+    private def stageQuery(pos: Int): Unit = {
+      System.arraycopy(vecs, pos * dim, qBuf, 0, dim)
+      qPos = pos
     }
 
-    @inline private def key(a: Int, b: Int): Double = {
-      val s = sim(a, b)
+    private[index] var statSims = 0L
+    private[index] var statAdmits = 0L
+    private[index] var statPrunes = 0L
+
+    private def simQ(b: Int): Double = {
+      statSims += 1
+      val ob = b * dim
+      val q = qBuf
+      var acc0 = 0.0f; var acc1 = 0.0f; var acc2 = 0.0f; var acc3 = 0.0f
+      var acc4 = 0.0f; var acc5 = 0.0f; var acc6 = 0.0f; var acc7 = 0.0f
+      var i = 0
+      val lim = dim - 7
+      while (i < lim) {
+        acc0 += q(i) * vecs(ob + i)
+        acc1 += q(i + 1) * vecs(ob + i + 1)
+        acc2 += q(i + 2) * vecs(ob + i + 2)
+        acc3 += q(i + 3) * vecs(ob + i + 3)
+        acc4 += q(i + 4) * vecs(ob + i + 4)
+        acc5 += q(i + 5) * vecs(ob + i + 5)
+        acc6 += q(i + 6) * vecs(ob + i + 6)
+        acc7 += q(i + 7) * vecs(ob + i + 7)
+        i += 8
+      }
+      var acc = ((acc0 + acc1) + (acc2 + acc3)) + ((acc4 + acc5) + (acc6 + acc7))
+      while (i < dim) { acc += q(i) * vecs(ob + i); i += 1 }
+      acc.toDouble
+    }
+
+    @inline private def keyQ(b: Int): Double = {
+      val s = simQ(b)
       if (s.isNaN) Double.NegativeInfinity else -s
     }
 
-    private def greedy(qPos: Int, start: Int, layer: Int): Int = {
+    // key of the node greedy() settled on — valid right after the call
+    private var greedyKey = 0.0
+
+    private def greedy(start: Int, startKey: Double,
+        layer: Int): Int = {
       var ep = start
-      var epk = key(qPos, ep) // carried across moves: the chosen best's
-      var moved = true        // key IS the next iteration's pivot key
+      var epk = startKey // carried across moves: the chosen best's
+      var moved = true   // key IS the next iteration's pivot key
       while (moved) {
         moved = false
-        val nb = adj(ep)
-        if (layer < nb.length) {
-          val lst = nb(layer)
+        if (layer < adjN(ep).length) {
+          val lst = adjN(ep)(layer)
+          val len = adjLen(ep)(layer)
           var bestK = epk; var bestP = ep
           var j = 0
-          while (j < lst.length) {
+          while (j < len) {
             val c = lst(j)
-            val ck = key(qPos, c)
+            val ck = keyQ(c)
             if (better(ck, c, bestK, bestP)) { bestK = ck; bestP = c }
             j += 1
           }
           if (bestP != ep) { ep = bestP; epk = bestK; moved = true }
         }
       }
+      greedyKey = epk
       ep
     }
 
-    private def searchLayer(qPos: Int, eps: Seq[Int], ef: Int,
-        layer: Int): Array[Int] = {
+    /** Beam search; entry points arrive WITH their already-computed keys
+      * (they are the previous layer's results), results leave with
+      * theirs — no key in the descent is ever computed twice. */
+    private def searchLayer(epsP: Array[Int], epsK: Array[Double],
+        epsN: Int, ef: Int, layer: Int,
+        outP: Array[Int], outK: Array[Double]): Int = {
       gen += 1
-      val cand = new KeyHeap(ef + 1, maxHeap = false) // head = best candidate
-      val w = new KeyHeap(ef + 1, maxHeap = true) // head = worst kept
-      eps.foreach { ep =>
+      val cand = candHeap; cand.clear() // head = best candidate
+      val w = keepHeap; w.clear()       // head = worst kept
+      var ei = 0
+      while (ei < epsN) {
+        val ep = epsP(ei)
         if (visitedGen(ep) != gen) {
           visitedGen(ep) = gen
-          val k0 = key(qPos, ep)
+          val k0 = epsK(ei)
           cand.enqueue(k0, ep); w.enqueue(k0, ep)
           if (w.size > ef) w.dequeue()
         }
+        ei += 1
       }
       while (cand.nonEmpty) {
         val ck = cand.headKey
         val cp = cand.dequeue()
         val stop = w.size >= ef && !better(ck, cp, w.headKey, w.headPos)
         if (stop) cand.clear()
-        else {
-          val nb = adj(cp)
-          if (layer < nb.length) {
-            val lst = nb(layer)
-            var j = 0
-            while (j < lst.length) {
-              val e = lst(j)
-              if (visitedGen(e) != gen) {
-                visitedGen(e) = gen
-                val ekk = key(qPos, e)
-                val admit = w.size < ef || better(ekk, e, w.headKey, w.headPos)
-                if (admit) {
-                  cand.enqueue(ekk, e); w.enqueue(ekk, e)
-                  if (w.size > ef) w.dequeue()
-                }
-              }
-              j += 1
+        else if (layer < adjN(cp).length) {
+          val lst = adjN(cp)(layer)
+          val len = adjLen(cp)(layer)
+          // phase 1: mark unvisited neighbors and touch each row's head
+          // line — the kernel is memory-latency bound (137 ns/sim, 100k
+          // rows never L3-resident), so issuing all the row-head misses
+          // before any dot product overlaps them in the OoO window
+          var nu = 0
+          var pf = 0.0f
+          var j = 0
+          while (j < len) {
+            val e = lst(j)
+            if (visitedGen(e) != gen) {
+              visitedGen(e) = gen
+              nbrBuf(nu) = e; nu += 1
+              val eb = e * dim
+              // touch every 64 B line of the 256 B row (dim=64 floats)
+              pf += vecs(eb) + vecs(eb + (dim >> 2)) +
+                vecs(eb + (dim >> 1)) + vecs(eb + dim - 1)
             }
+            j += 1
+          }
+          pfSink += pf
+          // phase 2: score them
+          j = 0
+          while (j < nu) {
+            val e = nbrBuf(j)
+            val ekk = keyQ(e)
+            val admit = w.size < ef || better(ekk, e, w.headKey, w.headPos)
+            if (admit) {
+              statAdmits += 1
+              cand.enqueue(ekk, e); w.enqueue(ekk, e)
+              if (w.size > ef) w.dequeue()
+            }
+            j += 1
           }
         }
       }
-      // drain the heap worst-first into best-first order
-      val out = new Array[Int](w.size)
-      var di = w.size - 1
-      while (w.nonEmpty) { out(di) = w.dequeue(); di -= 1 }
-      out
+      // drain the heap worst-first into best-first order, keys alongside
+      val n = w.size
+      var di = n - 1
+      while (w.nonEmpty) { outK(di) = w.headKey; outP(di) = w.dequeue(); di -= 1 }
+      n
     }
 
-    private def connect(a: Int, b: Int, layer: Int): Unit = {
-      val lst = adj(a)(layer)
-      if (!lst.contains(b)) lst += b
+    private def connect(a: Int, b: Int, k: Double, layer: Int): Unit = {
+      val ns = adjN(a)(layer)
+      val len = adjLen(a)(layer)
+      var i = 0
+      while (i < len) { if (ns(i) == b) return; i += 1 }
+      ns(len) = b
+      adjK(a)(layer)(len) = k
+      adjLen(a)(layer) = len + 1
     }
 
     /** Cap a node's layer list; layer-0 backbone partners (pos±1) are
       * exempt, so layer 0 stays a connected chain by construction.
-      * Keys are computed ONCE per element before the sort — computing
-      * them inside the comparator re-ran a dim-length dot product per
-      * comparison, ~2·(cap+1)·log(cap) dots per prune across ~m·layers
-      * prunes per insert (a top-three term in the 10⁵-vector-cell build
-      * profile). The sort ranks by the same (key, pos) total order, so
-      * the kept set is identical. */
+      * Keys are the CACHED edge keys — the r13 form recomputed a
+      * dim-length dot per element per prune (~m·(cap+1) dots per insert
+      * at layer 0 alone, the top term in the 10⁵-cell build profile);
+      * the cached values are bitwise what the recompute would produce.
+      * Rank order is the same (key, pos) total order, so the kept set
+      * is identical. */
     private def prune(node: Int, layer: Int): Unit = {
       val cap = if (layer == 0) 2 * m else m
-      val lst = adj(node)(layer)
-      if (lst.length <= cap) return
-      val (backbone, rest) =
-        if (layer == 0) lst.partition(p => p == node - 1 || p == node + 1)
-        else (mutable.ArrayBuffer.empty[Int], lst)
-      val arr = rest.toArray
-      val keys = new Array[Double](arr.length)
+      val len = adjLen(node)(layer)
+      if (len <= cap) return
+      statPrunes += 1
+      val ns = adjN(node)(layer)
+      val ks = adjK(node)(layer)
+      // split out the layer-0 backbone (pos±1), preserving list order
+      var bbP0 = -1; var bbP1 = -1; var bbK0 = 0.0; var bbK1 = 0.0
+      var rn = 0
       var i = 0
-      while (i < arr.length) { keys(i) = key(node, arr(i)); i += 1 }
-      val order = arr.indices.sortWith { (a, b) =>
-        better(keys(a), arr(a), keys(b), arr(b))
+      while (i < len) {
+        val p = ns(i)
+        if (layer == 0 && (p == node - 1 || p == node + 1)) {
+          if (bbP0 < 0) { bbP0 = p; bbK0 = ks(i) }
+          else { bbP1 = p; bbK1 = ks(i) }
+        } else { prP(rn) = p; prK(rn) = ks(i); rn += 1 }
+        i += 1
       }
-      val kept = mutable.ArrayBuffer.tabulate(
-        math.min(cap, arr.length))(r => arr(order(r)))
-      adj(node)(layer) = backbone ++ kept
+      // insertion sort (rn ≤ 2m+3) by the strict (key, pos) total order
+      i = 1
+      while (i < rn) {
+        val p = prP(i); val k = prK(i)
+        var j = i - 1
+        while (j >= 0 && better(k, p, prK(j), prP(j))) {
+          prP(j + 1) = prP(j); prK(j + 1) = prK(j); j -= 1
+        }
+        prP(j + 1) = p; prK(j + 1) = k
+        i += 1
+      }
+      var w = 0
+      if (bbP0 >= 0) { ns(w) = bbP0; ks(w) = bbK0; w += 1 }
+      if (bbP1 >= 0) { ns(w) = bbP1; ks(w) = bbK1; w += 1 }
+      val keep = math.min(cap, rn)
+      i = 0
+      while (i < keep) { ns(w) = prP(i); ks(w) = prK(i); w += 1; i += 1 }
+      adjLen(node)(layer) = w
     }
 
     private def insert(pos: Int): Unit = {
       val l = levelOf(ids(pos))
       topLayer(pos) = l
-      adj(pos) = Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int])
+      adjN(pos) = Array.tabulate(l + 1)(lay =>
+        new Array[Int](if (lay == 0) cap0 else capU))
+      adjK(pos) = Array.tabulate(l + 1)(lay =>
+        new Array[Double](if (lay == 0) cap0 else capU))
+      adjLen(pos) = new Array[Int](l + 1)
       if (entry < 0) { entry = pos; entryLevel = l; return }
+      stageQuery(pos)
       var ep = entry
+      var epk = keyQ(ep)
       var lc = entryLevel
-      while (lc > l) { ep = greedy(pos, ep, lc); lc -= 1 }
-      var eps: Seq[Int] = Seq(ep)
+      while (lc > l) { ep = greedy(ep, epk, lc); epk = greedyKey; lc -= 1 }
+      var curP = bufP1; var curK = bufK1; var curN = 1
+      curP(0) = ep; curK(0) = epk
       lc = math.min(l, entryLevel)
       while (lc >= 0) {
-        val w = searchLayer(pos, eps, efC, lc)
-        val sel = w.take(m)
+        val outP = if (curP eq bufP1) bufP2 else bufP1
+        val outK = if (curP eq bufP1) bufK2 else bufK1
+        val wN = searchLayer(curP, curK, curN, efC, lc, outP, outK)
+        val selN = math.min(m, wN)
         var j = 0
-        while (j < sel.length) {
-          val nb = sel(j)
-          connect(pos, nb, lc); connect(nb, pos, lc)
+        while (j < selN) {
+          val nb = outP(j)
+          val nk = outK(j) // key(pos,nb) — the kernel is symmetric
+          connect(pos, nb, nk, lc); connect(nb, pos, nk, lc)
           prune(nb, lc)
           j += 1
         }
-        eps = w.toSeq
+        curP = outP; curK = outK; curN = wN
         lc -= 1
       }
       // backbone: insertion-order chain at layer 0 (pruning-exempt)
-      connect(pos, pos - 1, 0)
-      connect(pos - 1, pos, 0)
+      val bk = keyQ(pos - 1)
+      connect(pos, pos - 1, bk, 0)
+      connect(pos - 1, pos, bk, 0)
       if (l > entryLevel) { entry = pos; entryLevel = l }
     }
   }
