@@ -77,13 +77,32 @@ object HnswIndex {
   private def metadataText(spark: SparkSession, p: Paths): String = {
     val path = new org.apache.hadoop.fs.Path(p.metadata)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    def once(): String = {
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    try once()
+    catch {
+      // writeMetadata swaps via delete+rename: a reader landing exactly
+      // on the swap instant sees file-absent (or a checksum sidecar
+      // mid-move); one re-read lands on the new bytes. A genuinely
+      // missing file rethrows the same error from the retry.
+      case _: java.io.FileNotFoundException |
+           _: org.apache.hadoop.fs.ChecksumException => once()
+    }
   }
 
   private def readMetadata(spark: SparkSession, p: Paths): Meta = {
     val text = metadataText(spark, p)
+    // terminal-brace sentinel: writeMetadata emits the whole object in
+    // one write (now behind an atomic rename besides), so bytes that
+    // don't close the object are a truncated/partial file — fail loudly
+    // instead of letting fieldOr default the pq geometry of a torn read
+    if (!text.trim.endsWith("}"))
+      throw new IllegalStateException(
+        s"metadata at ${p.metadata} is truncated (no terminal '}') — " +
+          "a writer crashed mid-write; rebuild the index")
     def field(name: String): Long = {
       val m = s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(text)
       m.map(_.group(1).toLong).getOrElse(
@@ -159,6 +178,12 @@ object HnswIndex {
     val metaP = new org.apache.hadoop.fs.Path(p.metadata)
     val fs = succ.getFileSystem(conf)
     if (!fs.exists(succ) || !fs.exists(metaP)) return // genuinely incomplete
+    // an update() staging dir means a mutation is IN FLIGHT right now
+    // (staged before the marker is deleted, removed before it returns) —
+    // a marker-less artifact in that window is mid-maintenance, not
+    // legacy; adopting it would publish a commit marker over files the
+    // concurrent writer is still replacing
+    if (fs.exists(new org.apache.hadoop.fs.Path(p.staging))) return
     if (metadataText(spark, p).contains("\"pq_m\"")) return // marker-era crash
     val meta = readMetadata(spark, p)
     writeMetadata(spark, p, meta.n, meta.nCells, meta.m,
@@ -220,7 +245,8 @@ object HnswIndex {
       cents)
     val useQuant = quantized || pqM > 0
     val buildInput = if (useQuant) snapToGrid(assigned) else assigned
-    val nodes = graphNodes(buildInput, m, efConstruction, seed)
+    val nodes = graphNodes(buildInput, m, efConstruction, seed,
+      hintCells = nCells)
     val stored =
       if (pqM > 0) {
         val (cellIds, centArr) = loadedCentroids(cents)
@@ -303,30 +329,66 @@ object HnswIndex {
       .drop("_v")
   }
 
-  /** One grouped pass: (cell_id, _id, _v) rows in, graph node rows out.
-    * Shared by [[build]] (all cells) and [[update]] (touched cells). */
+  /** One partitioned pass: (cell_id, _id, _v) rows in, graph node rows
+    * out. Shared by [[build]] (all cells) and [[update]] (touched
+    * cells).
+    *
+    * A cell build is a long CPU-bound task (10⁵-vector cells run ~20 s
+    * each), so the exchange layout decides wall-clock: the old
+    * lambda-keyed groupByKey always HASH-shuffled at the session
+    * width, where a handful of heavy cells birthday-collide into
+    * shared tasks and serialize (the r13 probe's 20-cell build lost
+    * ~2-3× to exactly this — and no hash width fixes it without
+    * exploding the shuffle-segment count for the many-small-cells
+    * regime). `hintCells > 0` RANGE-partitions on cell_id into one
+    * partition per cell instead: same-key rows never split across
+    * ranges, so each task builds ~one whole cell, at exactly hint
+    * partitions. The sampling pass range partitioning costs is noise
+    * next to the build. Rows arrive sorted by (cell_id, _id) — id
+    * order IS the canonical position order, so no per-group sort or
+    * materialized tuple array is needed. */
   private def graphNodes(assigned: DataFrame, m: Int, efConstruction: Int,
-      seed: Long): DataFrame = {
+      seed: Long, hintCells: Int = 0): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val mm = m
     val efc = efConstruction
     val sd = seed
-    assigned.select(col("cell_id").cast("int"), col("_id"), col("_v"))
+    val keyed = assigned.select(col("cell_id").cast("int"), col("_id"), col("_v"))
+    val spread =
+      if (hintCells <= 0)
+        keyed.repartition(col("cell_id"))
+      else keyed.repartitionByRange(math.max(1, hintCells), col("cell_id"))
+    spread
+      .sortWithinPartitions("cell_id", "_id")
       .as[(Int, Long, Seq[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val rows = it.toArray.sortBy(_._2) // id order = canonical positions
-        val dim = if (rows.isEmpty) 0 else rows.head._3.length
-        val b = new CellBuilder(dim, mm, efc, sd, rows.length)
-        var i = 0
-        while (i < rows.length) {
-          b.add(rows(i)._2, rows(i)._3.toArray); i += 1
-        }
-        b.buildAll()
-        rows.indices.iterator.map { pos =>
-          NodeRow(cell, b.ids(pos), rows(pos)._3, b.norms(pos),
-            b.topLayer(pos), b.adjSeq(pos))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[NodeRow] {
+          private var out: Iterator[NodeRow] = Iterator.empty
+          def hasNext: Boolean = out.hasNext || buf.hasNext
+          def next(): NodeRow = {
+            if (!out.hasNext) {
+              val cell = buf.head._1
+              val rows = mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+              while (buf.hasNext && buf.head._1 == cell) {
+                val r = buf.next()
+                rows += ((r._2, r._3))
+              }
+              val dim = if (rows.isEmpty) 0 else rows.head._2.length
+              val b = new CellBuilder(dim, mm, efc, sd, rows.length)
+              var i = 0
+              while (i < rows.length) {
+                b.add(rows(i)._1, rows(i)._2.toArray); i += 1
+              }
+              b.buildAll()
+              out = rows.indices.iterator.map { pos =>
+                NodeRow(cell, b.ids(pos), rows(pos)._2, b.norms(pos),
+                  b.topLayer(pos), b.adjSeq(pos))
+              }
+            }
+            out.next()
+          }
         }
       }
       .toDF()
@@ -406,7 +468,7 @@ object HnswIndex {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
           val nodes = graphNodes(spark.read.parquet(p.staging), meta.m,
-            meta.efConstruction, meta.seed)
+            meta.efConstruction, meta.seed, hintCells = touched.length)
           // PQ append re-encodes the touched cells with the PERSISTED
           // codebooks — no retrain, exactly how FAISS add()s to a
           // trained index (rebuild is where codebooks refit)
@@ -433,17 +495,33 @@ object HnswIndex {
     } finally fresh.unpersist()
   }
 
+  /** Write-temp + atomic rename: a concurrent reader (ensureAdopted's
+    * vintage sniff, a cold metaFor) sees the OLD bytes or the NEW bytes,
+    * never a truncate-then-write window — the torn read that could
+    * misclassify a marker-era artifact as legacy mid-update. */
   private def writeMetadata(spark: SparkSession, p: Paths, n: Long,
       nCells: Int, m: Int, efC: Int, seed: Long,
       pqM: Int = 0, pqK: Int = 256): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(p.metadata)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.metadata + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     out.write((s"""{"n_vectors": $n, "n_cells": $nCells, "m": $m, """ +
       s""""ef_construction": $efC, "seed": $seed, """ +
       s""""pq_m": $pqM, "pq_k": $pqK, "metric": "cosine"}""")
       .getBytes("UTF-8"))
     out.close()
+    // FileSystem-level rename keeps checksum sidecars consistent (a
+    // FileContext rename on a checksummed local fs moves only the data
+    // file and leaves the destination's stale .crc behind). The swap's
+    // only observable intermediate is file-ABSENT, which metadataText
+    // retries across — never a torn byte stream.
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(
+        s"could not publish metadata at ${p.metadata} (rename failed)")
   }
 
   // ------------------------------------------------------------- serving
@@ -518,22 +596,32 @@ object HnswIndex {
 
   /** The generation a search serves: the committed marker's mtime when
     * the artifact is published; during a maintenance window (marker
-    * deleted first, recreated last) the NEWEST RESIDENT generation — a
-    * serving loop keeps answering consistent old-generation results
-    * while update() mutates, and flips exactly once when the new marker
-    * lands (spec: "serve-during-update"). A generation that was never
-    * served (nothing resident) cannot be recovered mid-mutation — that
-    * is the incomplete-artifact refusal. */
-  private def servingGeneration(spark: SparkSession, p: Paths): Long = {
+    * deleted first, recreated last) the newest generation resident in
+    * THE SPECIFIC CACHE VARIANT the caller will serve from
+    * (`needKey`: `p.graph` for the float graph, [[pqCacheKey]] for a PQ
+    * form) — a serving loop keeps answering consistent old-generation
+    * results while update() mutates, and flips exactly once when the
+    * new marker lands (spec: "serve-during-update"). Accepting a
+    * generation resident only in a DIFFERENT variant would send the
+    * caller's loader to graph.parquet cold, under the concurrent
+    * partition overwrite — the torn old/new mix the guard exists to
+    * prevent. A generation that was never served in the needed form
+    * cannot be recovered mid-mutation — that is the refusal. */
+  private def servingGeneration(spark: SparkSession, p: Paths,
+      needKey: String, needFloat: Boolean): Long = {
     val mtime = markerMtime(spark, p)
     if (mtime >= 0) mtime
-    else graphCache.keys.filter(_._1 == p.graph).map(_._2).maxOption
-      .orElse(pqCache.keys.filter(k => k._1 == p.graph ||
-        k._1 == p.graph + "#store").map(_._2).maxOption)
-      .getOrElse(throw new IllegalStateException(
-        s"index at ${p.dir} is incomplete (no ${p.commitMarker}) and has no " +
-          "resident generation to serve — a writer crashed mid-mutation; " +
-          "rebuild from the corpus"))
+    else {
+      val resident =
+        if (needFloat) graphCache.keys.filter(_._1 == needKey).map(_._2).maxOption
+        else pqCache.keys.filter(_._1 == needKey).map(_._2).maxOption
+      resident.getOrElse(throw new IllegalStateException(
+        s"index at ${p.dir} is incomplete (no ${p.commitMarker}) and the " +
+          "serving form this call needs is not resident at any " +
+          "generation — a writer crashed mid-mutation, or the form was " +
+          "never served before the maintenance window; retry after the " +
+          "update commits or rebuild from the corpus"))
+    }
   }
 
   private def routingFor(spark: SparkSession, p: Paths,
@@ -733,6 +821,7 @@ object HnswIndex {
     }
     routingCache.keys.filter(_._1 == g).foreach(routingCache.remove)
     pqModelCache.keys.filter(_._1 == g).foreach(pqModelCache.remove)
+    metaCache.keys.filter(_._1 == g).foreach(metaCache.remove)
     lastQueryBroadcast.remove(g).foreach(_.destroy())
   }
 
@@ -746,6 +835,51 @@ object HnswIndex {
     * index are outside the bounded-batch serving contract). */
   private val lastQueryBroadcast =
     new TrieMap[String, org.apache.spark.broadcast.Broadcast[_]]
+
+  /** Shared serving-side routing step, used verbatim by [[search]] and
+    * [[searchPq]] (extracted so the two serving paths cannot drift):
+    * bound + collect the query batch, probe each query's nProbe nearest
+    * cells against the generation's routing model, invert to per-cell
+    * query-index lists. */
+  private final case class RoutedBatch(
+      qRows: Array[(Long, Array[Double])],
+      routing: Map[Int, Array[Int]],
+      probedCells: Seq[Int],
+      cents: Array[(Int, Array[Double])])
+
+  private def routeBatch(spark: SparkSession, p: Paths, gen: Long,
+      queries: DataFrame, nProbe: Int, maxQueries: Long,
+      caller: String): RoutedBatch = {
+    Guards.requireAtMost(queries, maxQueries, caller,
+      "serve in bounded batches — the query side of a graph search is " +
+        "collected for per-cell routing")
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col("query_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cents = routingFor(spark, p, gen)
+    val centVecs = cents.map(_._2)
+    val invNorms = centVecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    }
+    val routed = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < qRows.length) {
+      val cellPos = probeCellPositions(qRows(qi)._2, centVecs, invNorms, nProbe)
+      var j = 0
+      while (j < cellPos.length) {
+        routed.getOrElseUpdate(cents(cellPos(j))._1,
+          mutable.ArrayBuffer.empty) += qi
+        j += 1
+      }
+      qi += 1
+    }
+    val routing: Map[Int, Array[Int]] =
+      routed.map { case (c, b) => (c, b.toArray) }.toMap
+    RoutedBatch(qRows, routing, routing.keys.toSeq, cents)
+  }
 
   /** Search the persisted index: route each query to its nProbe nearest
     * cells (driver replay of the IVF probe kernel — the model is
@@ -761,38 +895,13 @@ object HnswIndex {
     val p = Paths(outDir)
     ensureAdopted(spark, p)
     // resolve ONE generation for routing + graph: either the committed
-    // marker's, or — mid-maintenance — the newest resident one
-    val gen = servingGeneration(spark, p)
-    Guards.requireAtMost(queries, maxQueries, "HnswIndex.search",
-      "serve in bounded batches — the query side of a graph search is " +
-        "collected for per-cell routing")
-    val qRows: Array[(Long, Array[Double])] = queries
-      .select(col("query_id"), col("qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val cents = routingFor(spark, p, gen)
-    val centVecs = cents.map(_._2)
-    val invNorms = centVecs.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      if (s > 0) 1.0 / math.sqrt(s) else 0.0
-    }
-    // per-query probe list -> per-cell query index lists
-    val routed = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
-    var qi = 0
-    while (qi < qRows.length) {
-      val cellPos = probeCellPositions(qRows(qi)._2, centVecs, invNorms, nProbe)
-      var j = 0
-      while (j < cellPos.length) {
-        routed.getOrElseUpdate(cents(cellPos(j))._1, mutable.ArrayBuffer.empty) += qi
-        j += 1
-      }
-      qi += 1
-    }
-    val routedImm: Map[Int, Array[Int]] = routed.map { case (c, b) => (c, b.toArray) }.toMap
-    val probedCells = routedImm.keys.toSeq
+    // marker's, or — mid-maintenance — the newest FLOAT-resident one
+    val gen = servingGeneration(spark, p, p.graph, needFloat = true)
+    val rb = routeBatch(spark, p, gen, queries, nProbe, maxQueries,
+      "HnswIndex.search")
+    val probedCells = rb.probedCells
     lastQueryBroadcast.remove(p.graph).foreach(_.destroy())
-    val bq = spark.sparkContext.broadcast((qRows, routedImm))
+    val bq = spark.sparkContext.broadcast((rb.qRows, rb.routing))
     lastQueryBroadcast.put(p.graph, bq)
     val kk = k
     val ef = efSearch
@@ -831,49 +940,29 @@ object HnswIndex {
     import spark.implicits._
     val p = Paths(outDir)
     ensureAdopted(spark, p)
-    val gen = servingGeneration(spark, p)
-    val meta = metaFor(spark, p, gen)
-    require(meta.pqM > 0,
-      s"index at $outDir carries no PQ codes — build(pqM > 0) or use search()")
-    require(window >= k, s"pq rerank: window $window must be >= k $k")
     // the on-disk rerank reads graph.parquet per batch, which a
     // concurrent update()'s dynamic partition overwrite may be
     // rewriting — fail fast rather than rerank against a torn old/new
     // mix; the resident-rerank form carries the full
     // serve-during-update guarantee (its store rides the
-    // generation-keyed cache)
+    // generation-keyed cache). Checked FIRST: mid-maintenance this is
+    // the actionable diagnosis whatever else is or isn't resident.
     require(residentRerank || markerMtime(spark, p) >= 0,
       s"index at $outDir is mid-maintenance and the disk-rerank form " +
         "reads the store per batch — serve with residentRerank = true " +
         "(generation-consistent) or retry after the update commits")
-    Guards.requireAtMost(queries, maxQueries, "HnswIndex.searchPq",
-      "serve in bounded batches — the query side of a graph search is " +
-        "collected for per-cell routing")
-    val qRows: Array[(Long, Array[Double])] = queries
-      .select(col("query_id"), col("qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val cents = routingFor(spark, p, gen)
-    val centVecs = cents.map(_._2)
-    val invNorms = centVecs.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      if (s > 0) 1.0 / math.sqrt(s) else 0.0
-    }
-    val routed = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
-    var qi = 0
-    while (qi < qRows.length) {
-      val cellPos = probeCellPositions(qRows(qi)._2, centVecs, invNorms, nProbe)
-      var j = 0
-      while (j < cellPos.length) {
-        routed.getOrElseUpdate(cents(cellPos(j))._1, mutable.ArrayBuffer.empty) += qi
-        j += 1
-      }
-      qi += 1
-    }
-    val routedImm: Map[Int, Array[Int]] = routed.map { case (c, b) => (c, b.toArray) }.toMap
-    val probedCells = routedImm.keys.toSeq
-    val centById: Map[Int, Array[Double]] = cents.toMap
+    val gen = servingGeneration(spark, p,
+      pqCacheKey(p, residentRerank), needFloat = false)
+    val meta = metaFor(spark, p, gen)
+    require(meta.pqM > 0,
+      s"index at $outDir carries no PQ codes — build(pqM > 0) or use search()")
+    require(window >= k, s"pq rerank: window $window must be >= k $k")
+    val rb = routeBatch(spark, p, gen, queries, nProbe, maxQueries,
+      "HnswIndex.searchPq")
+    val qRows = rb.qRows
+    val routedImm = rb.routing
+    val probedCells = rb.probedCells
+    val centById: Map[Int, Array[Double]] = rb.cents.toMap
     val model = pqModelCache.getOrElseUpdate((p.graph, gen), {
       pqModelCache.keys.filter(k2 => k2._1 == p.graph && k2._2 != gen)
         .foreach(pqModelCache.remove)

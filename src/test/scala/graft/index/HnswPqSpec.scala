@@ -210,6 +210,53 @@ class HnswPqSpec extends AnyFunSuite {
     HnswIndex.evict(dir)
   }
 
+  test("mid-maintenance: resident rerank refuses when ITS store variant was never resident") {
+    val dir = tmp("variant")
+    val emb = clusteredCorpus(1200, 16, 6).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 6, dir,
+      m = 4, efConstruction = 24, pqM = 4)
+    val q = queriesOf(emb, 8L).localCheckpoint(true)
+    // warm ONLY the codes-only variant (disk-rerank form): the #store
+    // variant the resident rerank needs is never resident
+    HnswIndex.searchPq(spark, dir, q, k = 5, efSearch = Int.MaxValue,
+      nProbe = 6, window = Int.MaxValue).collect()
+    val marker = new java.io.File(s"$dir/_graft_commit")
+    assert(marker.delete(), "commit marker should exist after build")
+    // accepting the codes-only generation here would send the #store
+    // loader to graph.parquet COLD, under the concurrent partition
+    // overwrite the maintenance window implies — it must refuse instead
+    val e = intercept[IllegalStateException] {
+      HnswIndex.searchPq(spark, dir, q, k = 5, efSearch = Int.MaxValue,
+        nProbe = 6, window = Int.MaxValue, residentRerank = true).collect()
+    }
+    assert(e.getMessage.contains("not resident"))
+    HnswIndex.evict(dir)
+  }
+
+  test("truncated metadata is refused loudly, not parsed as a pqM=0 index") {
+    val dir = tmp("torn")
+    val emb = clusteredCorpus(600, 16, 3).localCheckpoint(true)
+    HnswIndex.build(emb, "vec_id", "embedding", nCells = 3, dir,
+      m = 4, efConstruction = 24, pqM = 4)
+    // truncate metadata.json mid-object — the torn shape a crashed
+    // non-atomic writer would have left (pq fields cut off)
+    val metaFile = new java.io.File(s"$dir/metadata.json")
+    val full = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    val cut = full.substring(0, full.indexOf("\"pq_m\""))
+    java.nio.file.Files.write(metaFile.toPath, cut.getBytes("UTF-8"))
+    // the local fs keeps a checksum sidecar; drop it so the read sees
+    // the truncated bytes rather than a checksum error
+    new java.io.File(s"$dir/.metadata.json.crc").delete()
+    HnswIndex.evict(dir)
+    val q = queriesOf(emb, 4L).localCheckpoint(true)
+    val e = intercept[IllegalStateException] {
+      HnswIndex.searchPq(spark, dir, q, k = 5, efSearch = Int.MaxValue,
+        nProbe = 3, window = Int.MaxValue).collect()
+    }
+    assert(e.getMessage.contains("truncated"))
+    HnswIndex.evict(dir)
+  }
+
   test("the exact-store search() path still serves a pq artifact (int8 semantics)") {
     val dir = tmp("compat")
     val emb = clusteredCorpus(1200, 16, 6).localCheckpoint(true)
