@@ -357,8 +357,16 @@ object Merge {
     // — ranges on the trailing key columns split such a value across
     // tasks without reintroducing the file explosion, since each range
     // still spans ~one partition value.
+    // size the estimate from the UPDATES frame, not newData: on the
+    // survivors path newData is a union of left-anti joins whose
+    // sizeInBytes is a coarse upper bound (join estimates multiply), and
+    // an inflated estimate widens every small merge to the full shuffle
+    // width — re-shattering the small files the packing exists to avoid.
+    // updates' stats come straight from its source; on the pure-append
+    // path newData IS updates projected. Undercounting survivors only
+    // makes files larger than 64 MiB, never more numerous.
     val nPack = packCount(touched.size,
-      newData.queryExecution.optimizedPlan.stats.sizeInBytes,
+      updates.queryExecution.optimizedPlan.stats.sizeInBytes,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     newData.repartitionByRange(nPack, (partitionCol +: keyCols).map(col): _*)
       .write.mode("errorifexists").partitionBy(partitionCol).parquet(newDir)
