@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashes, TextFunctions => TF}
-import graft.ingest.{Layout, Merge}
+import graft.ingest.{Layout, Merge, WriterLease}
 import graft.operators.{Corpus, Dedup, TextAnalysis}
 
 /** Knobs of the composed curation run. Defaults match the constants the
@@ -45,7 +45,15 @@ case class CurateConfig(
       * the paths that PERSIST or apply the bank ([[CuratePipeline.run]],
       * the q123 derivation); a plain [[CuratePipeline.stages]] chain that
       * never derives the bank can turn it off to skip the fold. */
-    bankNormFp: Boolean = false)
+    bankNormFp: Boolean = false,
+    /** Merge-chain depth at which [[CuratePipeline.runIncremental]]
+      * flattens a layer (parameter layers compact; the shards data
+      * layer takes a metadata-only manifest checkpoint). Reads of a
+      * merged layer cost O(chain depth), so the default keeps the
+      * amortized parameter-layer rewrite under ~1/8 of layer bytes per
+      * batch; operators with many small batches can lower it to
+      * checkpoint more often. */
+    compactChainDepth: Int = CuratePipeline.CompactChainDepth)
 
 /** X129: the composed end-to-end curation RUN — the one product shape the
   * per-operator library did not have. The reference's signature entry
@@ -389,7 +397,8 @@ object CuratePipeline {
       /** Test seam (CrashRecoverySpec): abort right after the named
         * stage's commit — the exact state a driver kill between stage
         * commits leaves behind. Never set in production. */
-      crashAfterStage: Option[String] = None): DataFrame = {
+      crashAfterStage: Option[String] = None): DataFrame =
+      WriterLease.withLease(spark, base) {
     // run() always persists the norm bank — carry the fp on the exact
     // layer so the bank derivation is a column select, not a re-hash
     val cfg = cfg0.copy(bankNormFp = true)
@@ -492,7 +501,8 @@ object CuratePipeline {
     * genuinely NEW text instead trips the id-disjointness guard (the J5
     * contract — ids are immutable once banked). */
   def runIncremental(spark: SparkSession, deltaDocs: DataFrame, base: String,
-      cfg: CurateConfig = CurateConfig()): DataFrame = {
+      cfg: CurateConfig = CurateConfig()): DataFrame =
+      WriterLease.withLease(spark, base) {
     val frozen = FrozenParams(
       // pruned to the delta's fp buckets — reads a bounded fraction of
       // the bank, not all of it (see [[prunedNormBank]])
@@ -559,22 +569,22 @@ object CuratePipeline {
     // (r12 verdict #3). Small-file packing of the shards layer remains
     // Layout.compact — a DATA maintenance job on the operator's own
     // cadence, no longer coupled to chain depth.
-    if (Merge.chainDepth(spark, base, "curated/shards") >= CompactChainDepth)
+    if (Merge.chainDepth(spark, base, "curated/shards") >= cfg.compactChainDepth)
       Merge.checkpoint(spark, base, "curated/shards")
     Seq((Frozen.NearDupIndex, Seq("batch")),
       (Frozen.NormBank, Seq("bucket")),
       (Frozen.BenchGrams, Seq("batch"))).foreach { case (layer, parts) =>
-      if (Merge.chainDepth(spark, base, layer) >= CompactChainDepth)
+      if (Merge.chainDepth(spark, base, layer) >= cfg.compactChainDepth)
         Layout.compact(spark, base, layer, partitionCols = parts)
     }
 
     accounting(st.map { case (n, df) => (n, if (n == "shards") shardDelta else df) })
   }
 
-  /** Merge-chain depth at which [[runIncremental]] flattens a layer
-    * (Layout.compact) — reads of a merged layer cost O(chain depth), so
-    * unbounded append-only operation would creep O(batches). 8 keeps the
-    * amortized rewrite under ~1/8 of layer bytes per batch. */
+  /** Default for [[CurateConfig.compactChainDepth]] — reads of a merged
+    * layer cost O(chain depth), so unbounded append-only operation would
+    * creep O(batches). 8 keeps the amortized parameter-layer rewrite
+    * under ~1/8 of layer bytes per batch. */
   val CompactChainDepth = 8
 
   /** The frozen corpus-fitted parameters the incremental path applies —

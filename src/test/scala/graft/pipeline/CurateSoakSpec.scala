@@ -35,7 +35,12 @@ class CurateSoakSpec extends AnyFunSuite {
 
   test("ten sequential delta batches: linear bank growth, flat semantics, mid-sequence resubmit no-op") {
     val base = Files.createTempDirectory("graft_curate_soak").toString
-    CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(25)) >= 10), base)
+    // flatten at depth 4 so the ten-batch soak crosses TWO shard
+    // manifest checkpoints with merges stacked between them (r13 verdict
+    // #7) — the second checkpoint generation is where O(batches) creep
+    // or a protected-version bug would first show
+    val soakCfg = CurateConfig(compactChainDepth = 4)
+    CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(25)) >= 10), base, soakCfg)
 
     def versionsOf(layer: String) =
       Layout.committedVersions(spark, base, layer).last
@@ -57,7 +62,7 @@ class CurateSoakSpec extends AnyFunSuite {
         .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getAbsolutePath, f.lastModified())).toMap
     }
-    var sawShardCheckpoint = false
+    var shardCheckpoints = 0
 
     (0 until 10).foreach { k =>
       val batch = batchDocs(k)
@@ -67,7 +72,7 @@ class CurateSoakSpec extends AnyFunSuite {
       val shardFilesBefore = shardFiles()
       val shardDepthBefore = Merge.chainDepth(spark, base, "curated/shards")
 
-      val acc = CuratePipeline.runIncremental(spark, batch, base)
+      val acc = CuratePipeline.runIncremental(spark, batch, base, soakCfg)
         .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
 
       // accounting sanity, every batch
@@ -105,7 +110,7 @@ class CurateSoakSpec extends AnyFunSuite {
         CuratePipeline.Frozen.NormBank, CuratePipeline.Frozen.BenchGrams)
         .foreach { l =>
           val d = Merge.chainDepth(spark, base, l)
-          assert(d < CuratePipeline.CompactChainDepth,
+          assert(d < soakCfg.compactChainDepth,
             s"batch $k: $l merge chain depth $d not bounded")
         }
 
@@ -125,7 +130,7 @@ class CurateSoakSpec extends AnyFunSuite {
       if (Merge.chainDepth(spark, base, "curated/shards") < shardDepthBefore) {
         // the flatten fired this batch: depth reset by a manifest
         // checkpoint, not a rewrite
-        sawShardCheckpoint = true
+        shardCheckpoints += 1
         assert(Merge.chainDepth(spark, base, "curated/shards") == 0,
           s"batch $k: flatten did not reset the shards chain")
         val ckDir = Layout.versionedDir(base, "curated/shards",
@@ -139,7 +144,7 @@ class CurateSoakSpec extends AnyFunSuite {
         val vIdx = versionsOf(CuratePipeline.Frozen.NearDupIndex)
         val vBank = versionsOf(CuratePipeline.Frozen.NormBank)
         val vShards = versionsOf("curated/shards")
-        val acc2 = CuratePipeline.runIncremental(spark, batchDocs(2), base)
+        val acc2 = CuratePipeline.runIncremental(spark, batchDocs(2), base, soakCfg)
           .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
         CuratePipeline.StageNames.drop(1).foreach { s =>
           assert(acc2(s) == 0L, s"resubmitted batch leaked ${acc2(s)} into $s")
@@ -151,10 +156,11 @@ class CurateSoakSpec extends AnyFunSuite {
       }
     }
 
-    // the soak must actually exercise the flatten path, or the
-    // metadata-only assertions above never ran against it
-    assert(sawShardCheckpoint,
-      "ten batches never tripped the shards chain-depth flatten")
+    // the soak must cross TWO checkpoint generations, or the
+    // metadata-only and stacked-merge assertions above never ran against
+    // a checkpoint-on-checkpoint chain
+    assert(shardCheckpoints >= 2,
+      s"soak crossed only $shardCheckpoints shard checkpoints — need 2+")
 
     // shards layer: key-consistent and row count == full + Σ deltas
     val shards = Layout.loadLatest(spark, base, "curated/shards")
@@ -165,5 +171,16 @@ class CurateSoakSpec extends AnyFunSuite {
     // the bank's fps stay globally distinct across all ten appends
     val bank = Layout.loadLatest(spark, base, CuratePipeline.Frozen.NormBank)
     assert(bank.groupBy("norm_fp").count().filter(col("count") > 1).count() == 0)
+
+    // vacuum safety across BOTH checkpoint generations: every version
+    // either manifest's chain references is protected — an aggressive
+    // vacuum (retention 0) must not change what the head resolves to
+    val before = Layout.loadLatest(spark, base, "curated/shards")
+      .orderBy("doc_id", "copy").collect().toSeq
+    Layout.vacuum(spark, base, "curated/shards", retentionMs = 0L)
+    val after = Layout.loadLatest(spark, base, "curated/shards")
+      .orderBy("doc_id", "copy").collect().toSeq
+    assert(after == before,
+      "vacuum reclaimed a version a checkpoint manifest still references")
   }
 }
