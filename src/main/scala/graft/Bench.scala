@@ -1023,7 +1023,10 @@ object Bench {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(anchorFile),
           (fullLine + "\n").getBytes("UTF-8"))
-        System.err.println(s"[bench] all phases canary+steal clean — anchor written to $anchorFile")
+        System.err.println(s"[bench] all phases canary+steal clean — anchor " +
+          s"written to $anchorFile (commit it: the anchor is the tracked " +
+          "detail record SCALE.md cites; an uncommitted anchor is just a " +
+          "scratch file the next run overwrites)")
       } catch { case e: Exception =>
         System.err.println(s"[bench] could not write $anchorFile: $e") }
     }

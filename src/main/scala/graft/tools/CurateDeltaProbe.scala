@@ -19,6 +19,36 @@ object CurateDeltaProbe {
     val spark = GraftSession.create()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+    // batch-size amortization ladder (r13 verdict #4): the bench's
+    // 64 rows/s at a 500-doc microbatch is per-job fixed overhead, not
+    // the path's rate — run sequential 500 / 5,000 / remainder batches
+    // against ONE persisted lake and put the fixed-overhead knee on
+    // record. Usage: runMain graft.tools.CurateDeltaProbe <sfDir> ladder
+    if (args.lift(1).contains("ladder")) {
+      val base = java.nio.file.Files.createTempDirectory("graft_probe_ladder").toString
+      val t0 = System.nanoTime()
+      CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(5)) < 4), base)
+      println(f"PROBE ladder full_run ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val pool = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val ids = pool.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val sizes = Seq(500, 5000, ids.length - 5500).filter(_ > 0)
+      var off = 0
+      sizes.foreach { n =>
+        val batch = pool
+          .filter(col("doc_id").between(ids(off), ids(off + n - 1)))
+          .localCheckpoint(true)
+        val tb = System.nanoTime()
+        CuratePipeline.runIncremental(spark, batch, base)
+        val sec = (System.nanoTime() - tb) / 1e9
+        println(f"PROBE ladder batch=$n%6d sec=$sec%7.2f " +
+          f"rows_per_s=${(n / sec).toLong}")
+        off += n
+      }
+      spark.stop()
+      return
+    }
+
     val base = java.nio.file.Files.createTempDirectory("graft_probe_lake").toString
     CuratePipeline.run(spark, docs.filter(pmod(col("doc_id"), lit(10)) < 8), base)
     CuratePipeline.runIncremental(spark, docs.filter(pmod(col("doc_id"), lit(10)) === 8), base)

@@ -110,6 +110,14 @@ object HnswScaleProbe {
     grid("pq_rr", (ef, np) => HnswIndex.searchPq(spark, dirP, queries, k, ef, np,
         window = 60, residentRerank = true),
       Seq(2), Seq(96, 256, 512))
+    // r13 task #3a: the resident-rerank window/recall surface — where
+    // does the exact-rerank window push recall past 0.9, and at what
+    // per-query cost (B/vec residency is fixed; the window only widens
+    // the in-cell rerank set)
+    for (wnd <- Seq(90, 120, 180, 240))
+      grid(s"pqw$wnd", (ef, np) => HnswIndex.searchPq(spark, dirP, queries, k, ef, np,
+          window = wnd, residentRerank = true),
+        Seq(2), Seq(256))
     grid("pq_io", (ef, np) => HnswIndex.searchPq(spark, dirP, queries, k, ef, np, window = 60),
       Seq(2), Seq(256))
     // scan rows: ef column is moot (every in-cell candidate is scored —
@@ -138,6 +146,19 @@ object HnswScaleProbe {
     }
     println(f"PROBE sims ${"scan"}%7s ${avgCellN}%8.0f ${avgCellN}%8.0f ${1.0}%8.4f")
     Seq(dirF, dirI, dirP).foreach(HnswIndex.evict)
+
+    // r13 task #3b: the production-cell recall ceiling above m=16 — the
+    // reference's FAISS artifact runs M=32 (faiss_builder.py:50-53);
+    // build + serving grid at m=24 and m=32 map where graph quality
+    // stops binding recall at 10⁵-vector cells
+    for (hm <- Seq(24, 32)) {
+      val dirM = timedBuild(s"fl_m$hm") { d =>
+        HnswIndex.build(emb, "vec_id", "embedding", nCells, d, m = hm,
+          efConstruction = gEfc) }
+      grid(s"fl_m$hm", (ef, np) => HnswIndex.search(spark, dirM, queries, k, ef, np),
+        Seq(2), Seq(128, 256, 512))
+      HnswIndex.evict(dirM)
+    }
     spark.stop()
   }
 }
