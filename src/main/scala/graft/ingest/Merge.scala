@@ -152,9 +152,15 @@ object Merge {
       val eff = effectiveDirs(spark, base, layer, version)
       require(eff.nonEmpty, s"merged v$version of $layer resolves to zero partitions")
       val byRoot = eff.values.toSeq.groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      // allowMissingColumns: after an additive schema-evolution merge
+      // the chain's older roots are legitimately NARROWER than the head
+      // — their rows read as null in the evolved columns (the standard
+      // additive-evolution read semantics of a real table format).
+      // Within one root the schema is uniform, so a genuinely torn
+      // write still fails on the per-root read, not silently here.
       byRoot.toSeq.sortBy(_._1).map { case (root, dirs) =>
         spark.read.option("basePath", root).parquet(dirs.sorted: _*)
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -265,7 +271,15 @@ object Merge {
   def merge(spark: SparkSession, base: String, layer: String,
       updates: DataFrame, keyCols: Seq[String], partitionCol: String,
       deleteKeys: Option[DataFrame] = None,
-      maxTouchedPartitions: Int = 10000): String = {
+      maxTouchedPartitions: Int = 10000,
+      /** Additive schema evolution: `updates` may carry columns the
+        * layer does not have yet — the merged version widens the layer,
+        * survivors and inherited partitions read as null in the new
+        * columns (Delta's mergeSchema semantics at partition-COW
+        * granularity). Dropping or retyping columns stays refused:
+        * survivors are projected to updates' shape before the union, so
+        * a narrower frame would silently destroy data. */
+      allowSchemaEvolution: Boolean = false): String = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(updates.schema(partitionCol).dataType == StringType,
       s"merge partitions on a string column; '$partitionCol' is " +
@@ -320,13 +334,21 @@ object Merge {
       } else readResolved(spark, base, layer, vCur).columns.toSeq
     // a narrower updates frame would silently DROP the missing columns
     // from every rewritten row (survivors are projected to updates'
-    // shape before the union) — refuse instead
-    require(updates.columns.toSet == layerColumns.toSet,
+    // shape before the union) — refuse always; EXTRA columns are the
+    // additive-evolution case and need the explicit flag
+    require(layerColumns.toSet.subsetOf(updates.columns.toSet),
       s"merge updates schema must match the layer: missing " +
-        s"${layerColumns.toSet.diff(updates.columns.toSet).mkString(",")}; extra " +
-        s"${updates.columns.toSet.diff(layerColumns.toSet).mkString(",")}")
+        s"${layerColumns.toSet.diff(updates.columns.toSet).mkString(",")}" +
+        (if (allowSchemaEvolution) "" else s"; extra " +
+          s"${updates.columns.toSet.diff(layerColumns.toSet).mkString(",")}"))
+    require(allowSchemaEvolution || updates.columns.toSet == layerColumns.toSet,
+      s"merge updates carry columns the layer lacks (" +
+        s"${updates.columns.toSet.diff(layerColumns.toSet).mkString(",")}) — " +
+        "pass allowSchemaEvolution = true to widen the layer additively")
+    val outCols: Seq[String] =
+      layerColumns ++ updates.columns.filterNot(layerColumns.contains)
     val newData =
-      if (pureAppend) updates.select(layerColumns.map(col): _*)
+      if (pureAppend) updates.select(outCols.map(col): _*)
       else {
         // survivors of the touched partitions: partition pruning keeps
         // this read to the touched dirs only
@@ -338,7 +360,14 @@ object Merge {
         }
         val survivors = afterDeletes.join(
           updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-        survivors.select(updates.columns.map(col): _*).unionByName(updates)
+        // evolution: survivors gain the new columns as TYPED nulls
+        val widened = outCols.foldLeft(survivors)((df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c,
+            org.apache.spark.sql.functions.lit(null)
+              .cast(updates.schema(c).dataType)))
+        widened.select(outCols.map(col): _*)
+          .unionByName(updates.select(outCols.map(col): _*))
       }
 
     val vNew = Layout.latestVersion(spark, base, layer).getOrElse(0) + 1

@@ -239,6 +239,49 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("payload"))
   }
 
+  test("additive schema evolution: extra updates columns widen the layer; old rows read null") {
+    val base = freshLayer()
+    // extra column WITHOUT the flag: refused with the actionable message
+    val wide = Seq(("ep1", 1L, "a-v2", 0.9))
+      .toDF("episode_id", "row_id", "payload", "score")
+    val e = intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized", wide, Seq("row_id"), "episode_id")
+    }
+    assert(e.getMessage.contains("allowSchemaEvolution"))
+    // with the flag: the merged head carries the new column — updated
+    // rows with values, survivors and INHERITED partitions as null
+    Merge.merge(spark, base, "normalized", wide, Seq("row_id"), "episode_id",
+      allowSchemaEvolution = true)
+    val out = Layout.loadLatest(spark, base, "normalized")
+    assert(out.columns.toSet == Set("episode_id", "row_id", "payload", "score"))
+    val rows = out.select("row_id", "payload", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set(
+      (1L, "a-v2", Some(0.9)),  // the evolved update
+      (2L, "b-v1", None),       // survivor in the touched partition
+      (3L, "c-v1", None), (4L, "d-v1", None), // inherited ep2
+      (5L, "e-v1", None)))      // inherited ep3
+    // a FOLLOW-UP merge at the evolved schema works without the flag,
+    // and dropping the evolved column again is refused
+    Merge.merge(spark, base, "normalized",
+      Seq(("ep3", 5L, "e-v3", 0.5)).toDF("episode_id", "row_id", "payload", "score"),
+      Seq("row_id"), "episode_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.merge(spark, base, "normalized",
+        Seq(("ep1", 2L, "b-v3")).toDF("episode_id", "row_id", "payload"),
+        Seq("row_id"), "episode_id")
+    }
+    assert(e2.getMessage.contains("score"))
+    // compact flattens the evolved chain; the widened schema survives
+    Layout.compact(spark, base, "normalized", partitionCols = Seq("episode_id"))
+    val flat = Layout.loadLatest(spark, base, "normalized")
+    assert(flat.columns.toSet == Set("episode_id", "row_id", "payload", "score"))
+    assert(flat.filter(col("row_id") === 5L).select("score")
+      .collect().head.getDouble(0) == 0.5)
+    assert(flat.count() == 5)
+  }
+
   test("unsafe partition values and non-string partition columns are refused") {
     val base = freshLayer()
     intercept[IllegalArgumentException] {
