@@ -1375,8 +1375,10 @@ object HnswIndex {
     private val capU = m + 1
     // float backing store: the kernel is memory-latency/bandwidth bound
     // (169 ns/sim all-in at 10⁵×64 doubles, 20 concurrent cells saturate
-    // ~60 GB/s on the r13 probe) — float rows halve the lines per pair;
-    // products still accumulate in double
+    // ~60 GB/s on the r13 probe) — float rows halve the lines per pair.
+    // The kernel accumulates in FLOAT too (double-convert variants
+    // measured slower); ~1e-7 relative error on unit-vector dots, which
+    // only perturbs near-tied edge choices.
     private val vecs = new Array[Float](capacity * dim)
     private var count = 0
     private var entry = -1
@@ -1447,24 +1449,22 @@ object HnswIndex {
       math.min(32, math.floor(-math.log(u) * mL).toInt)
     }
 
-    /** Dot of two UNIT rows = cosine. Four independent accumulators
-      * break the serial FP-add dependency chain (the strict one-acc loop
-      * was latency-bound at ~dim·4 cycles per pair); reassociation
-      * changes rounding in the last bits, which only perturbs which
-      * near-tied edges the graph keeps — search results stay gated by
-      * the exhaustive-beam oracles (q124/q125) and the recall specs.
+    /** Dot of two UNIT rows = cosine. Eight independent float
+      * accumulators break the serial FP-add dependency chain (the
+      * strict one-acc loop was latency-bound at ~dim·4 cycles per
+      * pair); reassociation and float accumulation change rounding in
+      * the last bits, which only perturbs which near-tied edges the
+      * graph keeps — search results stay gated by the exhaustive-beam
+      * oracles (q124/q125) and the recall specs.
       *
       * Every key computed during insert(pos) is sim(pos, ·), so the
       * query row is staged once per insert into the L1-resident qBuf
       * and the kernel reads one hot small array + one cold row instead
       * of two indexed slices of the 10⁵×dim backing array. */
     private val qBuf = new Array[Float](dim)
-    private var qPos = -1
 
-    private def stageQuery(pos: Int): Unit = {
+    private def stageQuery(pos: Int): Unit =
       System.arraycopy(vecs, pos * dim, qBuf, 0, dim)
-      qPos = pos
-    }
 
     private[index] var statSims = 0L
     private[index] var statAdmits = 0L

@@ -43,7 +43,7 @@ object Merge {
   val ManifestMarker = "_graft_manifest.json"
 
   final case class MergeInfo(baseVersion: Int, partitionCol: String,
-      affected: Seq[String])
+      affected: Seq[String], evolved: Boolean = false)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,6 +58,7 @@ object Merge {
     val json = new ObjectMapper().createObjectNode()
     json.put("base_version", info.baseVersion)
     json.put("partition_col", info.partitionCol)
+    if (info.evolved) json.put("evolved", true)
     val arr = json.putArray("affected")
     info.affected.foreach(arr.add)
     val out = fs(spark, dir).create(new Path(dir, MergeMarker), false)
@@ -66,13 +67,25 @@ object Merge {
   }
 
   private[ingest] def writeManifestMarker(spark: SparkSession, dir: String,
-      manifest: Map[String, String]): Unit = {
+      manifest: Map[String, String], evolved: Boolean = false): Unit = {
     val json = new ObjectMapper().createObjectNode()
+    if (evolved) json.put("evolved", true)
     val m = json.putObject("manifest")
     manifest.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
     val out = fs(spark, dir).create(new Path(dir, ManifestMarker), false)
     out.write(json.toString.getBytes("UTF-8"))
     out.close()
+  }
+
+  private def manifestEvolved(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, ManifestMarker)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) false
+    else {
+      val in = f.open(p)
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      Option(node.get("evolved")).exists(_.asBoolean(false))
+    }
   }
 
   /** Structural parse of the manifest marker: partition-dir name →
@@ -101,7 +114,8 @@ object Merge {
       Some(MergeInfo(
         node.get("base_version").asInt(),
         node.get("partition_col").asText(),
-        node.get("affected").elements().asScala.map(_.asText()).toSeq))
+        node.get("affected").elements().asScala.map(_.asText()).toSeq,
+        evolved = Option(node.get("evolved")).exists(_.asBoolean(false))))
     }
   }
 
@@ -152,15 +166,31 @@ object Merge {
       val eff = effectiveDirs(spark, base, layer, version)
       require(eff.nonEmpty, s"merged v$version of $layer resolves to zero partitions")
       val byRoot = eff.values.toSeq.groupBy(p => p.substring(0, p.lastIndexOf('/')))
-      // allowMissingColumns: after an additive schema-evolution merge
-      // the chain's older roots are legitimately NARROWER than the head
-      // — their rows read as null in the evolved columns (the standard
-      // additive-evolution read semantics of a real table format).
-      // Within one root the schema is uniform, so a genuinely torn
-      // write still fails on the per-root read, not silently here.
+      // tolerate missing columns ONLY when this chain actually evolved
+      // (some link's marker declares it): evolved chains legitimately
+      // carry NARROWER older roots, whose rows read as null in the
+      // evolved columns — the standard additive-evolution semantics of
+      // a real table format. On a never-evolved chain a root-level
+      // column mismatch is corruption and must keep failing loudly,
+      // not silently null-fill into the next compaction.
+      val tolerant = chainEvolved(spark, base, layer, version)
       byRoot.toSeq.sortBy(_._1).map { case (root, dirs) =>
         spark.read.option("basePath", root).parquet(dirs.sorted: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }.reduce(_.unionByName(_, allowMissingColumns = tolerant))
+    }
+  }
+
+  /** Whether any link of a version's inheritance chain declares an
+    * additive schema evolution (merge markers carry `evolved`; a
+    * manifest checkpoint of an evolved chain carries it forward). */
+  private[ingest] def chainEvolved(spark: SparkSession, base: String,
+      layer: String, version: Int): Boolean = {
+    val dir = Layout.versionedDir(base, layer, version)
+    if (manifestInfo(spark, dir).nonEmpty) manifestEvolved(spark, dir)
+    else mergeInfo(spark, dir) match {
+      case None => false
+      case Some(info) =>
+        info.evolved || chainEvolved(spark, base, layer, info.baseVersion)
     }
   }
 
@@ -236,7 +266,8 @@ object Merge {
     val vNew = Layout.latestVersion(spark, base, layer).getOrElse(0) + 1
     val newDir = Layout.versionedDir(base, layer, vNew)
     fs(spark, newDir).mkdirs(new Path(newDir))
-    writeManifestMarker(spark, newDir, manifest)
+    writeManifestMarker(spark, newDir, manifest,
+      evolved = chainEvolved(spark, base, layer, vCur))
     // commit attests the effective row count across the referenced dirs —
     // the checkpoint references exactly vCur's effective data, so vCur's
     // attested count carries over without re-walking any footer
@@ -386,21 +417,33 @@ object Merge {
     // — ranges on the trailing key columns split such a value across
     // tasks without reintroducing the file explosion, since each range
     // still spans ~one partition value.
-    // size the estimate from the UPDATES frame, not newData: on the
-    // survivors path newData is a union of left-anti joins whose
-    // sizeInBytes is a coarse upper bound (join estimates multiply), and
-    // an inflated estimate widens every small merge to the full shuffle
-    // width — re-shattering the small files the packing exists to avoid.
-    // updates' stats come straight from its source; on the pure-append
-    // path newData IS updates projected. Undercounting survivors only
-    // makes files larger than 64 MiB, never more numerous.
+    // size the estimate from the UPDATES frame's stats PLUS the actual
+    // on-disk bytes of the partitions being rewritten, not from newData:
+    // the survivors union's sizeInBytes is a coarse upper bound (join
+    // estimates multiply), and an inflated estimate widened every small
+    // merge to the full shuffle width — re-shattering the small files
+    // the packing exists to avoid. updates' stats come straight from
+    // its source; the replaced dirs' file lengths are exact (an O(touched
+    // dirs) listing the attestation below repeats anyway) and keep a
+    // tiny upsert into a survivor-heavy partition writing its rewrite in
+    // parallel instead of one giant single-task file.
+    val replacedBytes: Long =
+      if (pureAppend) 0L
+      else affectedDirNames.flatMap(effCur.get).map { d =>
+        val f = fs(spark, d)
+        val it = f.listFiles(new Path(d), true)
+        var bytes = 0L
+        while (it.hasNext) bytes += it.next().getLen
+        bytes
+      }.sum
     val nPack = packCount(touched.size,
-      updates.queryExecution.optimizedPlan.stats.sizeInBytes,
+      updates.queryExecution.optimizedPlan.stats.sizeInBytes + replacedBytes,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     newData.repartitionByRange(nPack, (partitionCol +: keyCols).map(col): _*)
       .write.mode("errorifexists").partitionBy(partitionCol).parquet(newDir)
 
-    writeMarker(spark, newDir, MergeInfo(vCur, partitionCol, affectedDirNames))
+    writeMarker(spark, newDir, MergeInfo(vCur, partitionCol, affectedDirNames,
+      evolved = outCols.size > layerColumns.size))
     // commit attests the EFFECTIVE row count. When the previous version's
     // marker carries one, derive it in O(touched dirs): prior count −
     // replaced dirs' footers + this version's local footers. Footer-

@@ -32,18 +32,22 @@ object CurateDeltaProbe {
       println(f"PROBE ladder full_run ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       val pool = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
       val ids = pool.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
-      val sizes = Seq(500, 5000, ids.length - 5500).filter(_ > 0)
       var off = 0
-      sizes.foreach { n =>
-        val batch = pool
-          .filter(col("doc_id").between(ids(off), ids(off + n - 1)))
-          .localCheckpoint(true)
-        val tb = System.nanoTime()
-        CuratePipeline.runIncremental(spark, batch, base)
-        val sec = (System.nanoTime() - tb) / 1e9
-        println(f"PROBE ladder batch=$n%6d sec=$sec%7.2f " +
-          f"rows_per_s=${(n / sec).toLong}")
-        off += n
+      // each rung takes what the pool can still supply — a small sf
+      // trims or drops rungs instead of indexing past the pool
+      Seq(500, 5000, Int.MaxValue).foreach { want =>
+        val n = math.min(want, ids.length - off)
+        if (n > 0) {
+          val batch = pool
+            .filter(col("doc_id").between(ids(off), ids(off + n - 1)))
+            .localCheckpoint(true)
+          val tb = System.nanoTime()
+          CuratePipeline.runIncremental(spark, batch, base)
+          val sec = (System.nanoTime() - tb) / 1e9
+          println(f"PROBE ladder batch=$n%6d sec=$sec%7.2f " +
+            f"rows_per_s=${(n / sec).toLong}")
+          off += n
+        }
       }
       spark.stop()
       return

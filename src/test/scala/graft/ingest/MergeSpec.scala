@@ -273,6 +273,21 @@ class MergeSpec extends AnyFunSuite {
         Seq("row_id"), "episode_id")
     }
     assert(e2.getMessage.contains("score"))
+    // the evolution is DECLARED on the merge marker (tolerant reads are
+    // gated on it — a never-evolved chain keeps failing loudly on a
+    // root-level column mismatch), and the chain stays marked through
+    // later non-evolving merges and a metadata-only checkpoint
+    val vs = Layout.committedVersions(spark, base, "normalized")
+    val markers = vs.flatMap(v =>
+      Merge.mergeInfo(spark, Layout.versionedDir(base, "normalized", v)))
+    assert(markers.count(_.evolved) == 1, s"evolved flags: $markers")
+    assert(Merge.chainEvolved(spark, base, "normalized", vs.last))
+    Merge.checkpoint(spark, base, "normalized")
+    val vCk = Layout.committedVersions(spark, base, "normalized").last
+    assert(Merge.chainEvolved(spark, base, "normalized", vCk),
+      "checkpoint dropped the chain's evolved declaration")
+    assert(Layout.loadLatest(spark, base, "normalized")
+      .filter(col("row_id") === 2L).select("score").collect().head.isNullAt(0))
     // compact flattens the evolved chain; the widened schema survives
     Layout.compact(spark, base, "normalized", partitionCols = Seq("episode_id"))
     val flat = Layout.loadLatest(spark, base, "normalized")
