@@ -183,7 +183,9 @@ object WriterLease {
     val fs = fsOf(spark, p)
     val stop = new java.util.concurrent.CountDownLatch(1)
     val beat = new Thread(() => {
-      val interval = math.max(ttlMs / 4, 5000L)
+      // ttl/4, floored at 1 s (don't spin on micro-TTLs) and capped at
+      // ttl/2 (at least one refresh must land before staleness)
+      val interval = math.min(math.max(ttlMs / 4, 1000L), math.max(ttlMs / 2, 1L))
       while (!stop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS))
         refresh(fs, p, lease.token)
     }, s"graft-writer-lease-heartbeat")

@@ -61,6 +61,24 @@ class WriterLeaseSpec extends AnyFunSuite {
     WriterLease.release(spark, WriterLease.acquire(spark, base))
   }
 
+  test("the heartbeat keeps a live long-running writer's lease unbreakable past the TTL") {
+    val base = Files.createTempDirectory("graft_lease_beat").toString
+    val t = new Thread(() => WriterLease.withLease(spark, base, ttlMs = 2000L) {
+      Thread.sleep(6000) // run 3x the TTL; the ttl/4 heartbeat re-touches
+    })
+    t.start()
+    try {
+      Thread.sleep(3000) // well past the raw TTL
+      // a second writer must STILL be refused: the heartbeat has kept
+      // the lease fresh, so it is not breakable despite age > ttl
+      val e = intercept[IllegalStateException](
+        WriterLease.acquire(spark, base, ttlMs = 2000L))
+      assert(e.getMessage.contains("another writer holds the lease"))
+    } finally t.join()
+    // after the body finishes the lease is released; acquire succeeds
+    WriterLease.release(spark, WriterLease.acquire(spark, base))
+  }
+
   test("a crashed writer's stale lease breaks after the TTL; a live one is honored") {
     val base = Files.createTempDirectory("graft_lease_ttl").toString
     val held = WriterLease.acquire(spark, base)
