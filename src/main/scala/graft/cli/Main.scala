@@ -260,10 +260,13 @@ object Main {
         }
 
       case "merge" =>
-        // upsert a parquet directory of updates into a layer by key
+        // upsert a parquet directory of updates into a layer by key;
+        // --evolve permits ADDITIVE new columns (older partitions read
+        // null in them — Delta's mergeSchema at partition-COW grain)
         val Array(_, base, layer, updatesPath, keyCol, partCol) = args.take(6)
         val dir = graft.ingest.Merge.merge(spark, base, layer,
-          spark.read.parquet(updatesPath), Seq(keyCol), partCol)
+          spark.read.parquet(updatesPath), Seq(keyCol), partCol,
+          allowSchemaEvolution = args.contains("--evolve"))
         println(s"merged $updatesPath into $layer -> $dir")
 
       case "diff" =>
@@ -393,13 +396,15 @@ object Main {
       |  snapshot <lakeDir> <snapshotsDir> <version>
       |  curate <documentsParquet> <outDir>
       |  curate-apply <documentsParquet> <lakeDir> [--resume]
+      |      (holds the lake's single-writer lease; a concurrent
+      |       curate-apply on the same lake fails fast)
       |  curate-delta <documentsParquet> <lakeDir>
       |  lake-status <lakeDir>
       |  compact <lakeDir> <layer> [sortCol]
       |  vacuum <lakeDir> <layer>
       |  rollback <lakeDir> <layer> <keepVersion>
       |  versions <lakeDir> <layer>
-      |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol>
+      |  merge <lakeDir> <layer> <updatesParquet> <keyCol> <partitionCol> [--evolve]
       |  diff <lakeDir> <layer> <fromV> <toV> <keyCol>
       |  index-build <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--int8] [--pq-m n] [--pq-k n] [--m n] [--ef-construction n] [--id-col c] [--vec-col c]
       |  index-update <vectorsParquet> <indexDir> [--kind ivf|hnsw] [--cells n] [--id-col c] [--vec-col c]

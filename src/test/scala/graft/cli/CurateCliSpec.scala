@@ -27,6 +27,25 @@ class CurateCliSpec extends AnyFunSuite {
     }
   }
 
+  test("merge --evolve widens a layer from the CLI; without the flag extra columns refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft_cli_merge").toString
+    graft.ingest.Layout.writeVersioned(
+      Seq(("ep1", 1L, "a"), ("ep2", 2L, "b")).toDF("episode_id", "row_id", "payload"),
+      lake, "normalized", partitionCols = Seq("episode_id"))
+    val upd = Files.createTempDirectory("graft_cli_upd").toString + "/u"
+    Seq(("ep1", 1L, "a2", 0.7)).toDF("episode_id", "row_id", "payload", "score")
+      .write.parquet(upd)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("merge", lake, "normalized", upd, "row_id", "episode_id"))
+    }
+    Main.run(spark, Array("merge", lake, "normalized", upd, "row_id", "episode_id", "--evolve"))
+    val out = graft.ingest.Layout.loadLatest(spark, lake, "normalized")
+    assert(out.columns.contains("score"))
+    assert(out.filter(col("row_id") === 2L).select("score").collect().head.isNullAt(0))
+  }
+
   test("curate-apply then curate-delta drive the composed run end to end") {
     import org.apache.spark.sql.functions._
     val lake = Files.createTempDirectory("graft_curate_lake").toString
