@@ -987,8 +987,31 @@ object Bench {
       // steal bound (clean ⇔ steal ≤ max(2, 5% of wall)) from the record
       walls.map { case (k, v) => f""""$k":${v.round}""" }
         .mkString(""","phase_wall_s":{""", ",", "}") + retriesJson
+    // Self-defending record (r14 verdict #1): when the kept attempts are
+    // NOT canary+steal clean, the top-level JSON says so machine-readably
+    // and carries the tracked anchor's total inline — so a round-over-round
+    // diff of BENCH_rN.json files never manufactures a phantom regression
+    // out of driver co-tenancy (r14's official 73.7 s vs its own clean
+    // 61.6 s anchor). "Clean" is the same per-phase bound the retry gate
+    // and the anchor writer apply.
+    val phasesClean = steals.nonEmpty &&
+      steals.forall { case (name, s) =>
+        s >= 0 && s <= math.max(2.0, 0.05 * walls.getOrElse(name, 0.0)) } &&
+      canaryGateMs.forall(g => canaries.values.forall(c => c >= 0 && c <= g))
+    val anchorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH.anchor.json")
+    val contendedJson = if (phasesClean) "" else {
+      val anchorTotal =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(anchorFile)), "UTF-8")
+          """"value":([0-9.]+)""".r.findFirstMatchIn(txt)
+            .map(m => s""","anchor_total":${m.group(1)}""").getOrElse("")
+        } catch { case _: Exception => "" }
+      s""","contended":true$anchorTotal,"anchor":"$anchorFile""""
+    }
     val phases = ingestJson + annJson + annPrunedJson + annPqJson + hnswJson +
-      curateDeltaJson + qaJson + streamingJson + phasesNote + stealJson
+      curateDeltaJson + qaJson + streamingJson + phasesNote + stealJson +
+      contendedJson
 
     // Full artifact (long query names) goes to a FILE: round-5's official
     // record lost q01-q15 because the driver captures only the LAST
@@ -1014,12 +1037,7 @@ object Bench {
     // ever called clean) while letting a 20-s phase run 10× dirtier
     // proportionally. Canary within the gate remains the primary
     // single-thread cleanliness signal.
-    val phasesClean = steals.nonEmpty &&
-      steals.forall { case (name, s) =>
-        s >= 0 && s <= math.max(2.0, 0.05 * walls.getOrElse(name, 0.0)) } &&
-      canaryGateMs.forall(g => canaries.values.forall(c => c >= 0 && c <= g))
     if (phasesClean && !skipPhases) {
-      val anchorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH.anchor.json")
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(anchorFile),
           (fullLine + "\n").getBytes("UTF-8"))
@@ -1058,7 +1076,7 @@ object Bench {
     // ~100 chars of the driver's tail capture after ours.
     val minimal =
       s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$msArray,""" +
-        s""""queries_key_order":"name asc","sf":"$sfDir"$retriesJson,""" +
+        s""""queries_key_order":"name asc","sf":"$sfDir"$retriesJson$contendedJson,""" +
         s""""trimmed":"phase maps in detail file","detail":"$outFile"}"""
     val out =
       if (line(true).length <= 1800) line(true)

@@ -30,6 +30,22 @@ object HashKernels {
     acc
   }
 
+  /** The independent second factor (mul 137, mod 998244353) — same value
+    * as graft.functions.Hashes.polyHash2's HOF formulation. */
+  def polyHash2(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * graft.functions.Hashes.PolyMul2 + cp) %
+        graft.functions.Hashes.PolyMod2
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** polyHash per element of an array<string>. */
   def polyHashArray(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -124,6 +140,34 @@ object HashKernels {
     }
     c
   }
+
+  /** Count of `needles` members present in the ASCENDING-sorted
+    * `haystack` — binary search per needle, O(n·log m), for the
+    * asymmetric case [[sortedIntersectCount]]'s two-pointer merge
+    * handles badly: probing per-doc gram sets (tens-hundreds of hashes)
+    * against one benchmark-sized array (10⁴-10⁶ hashes) must not walk
+    * the whole haystack per row. Needles sorted ascending too, so the
+    * search window's low bound only moves forward (duplicate needles,
+    * possible only via hash collision, each count like the merge
+    * would). */
+  def sortedMemberCount(needles: ArrayData, haystack: ArrayData): Long = {
+    val n = needles.numElements(); val m = haystack.numElements()
+    var c = 0L
+    var lo0 = 0
+    var i = 0
+    while (i < n && lo0 < m) {
+      val v = needles.getLong(i)
+      var lo = lo0; var hi = m // search [lo, hi)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (haystack.getLong(mid) < v) lo = mid + 1 else hi = mid
+      }
+      if (lo < m && haystack.getLong(lo) == v) { c += 1; lo0 = lo + 1 }
+      else lo0 = lo
+      i += 1
+    }
+    c
+  }
 }
 
 /** polyHash as a codegen-friendly expression (the `aggregate` HOF version
@@ -134,6 +178,17 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     HashKernels.polyHash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** The 137/998244353 second-factor fold (packed-fingerprint partner of
+  * [[PolyHashExpr]]). */
+case class PolyHash2Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.polyHash2(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.polyHash2($c)")
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
@@ -196,6 +251,21 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of left's members present in the sorted right array — the
+  * binary-search sibling of [[SortedIntersectCountExpr]] for
+  * needle ≪ haystack cardinalities (decontamination probes). */
+case class SortedMemberCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    HashKernels.sortedMemberCount(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.HashKernels.sortedMemberCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Shared helpers for temp-function builders. */
 object ExprArgs {
   /** Evaluate a plan-time-constant integer argument. Accepts any foldable
@@ -223,6 +293,8 @@ object HashFunctions {
     reg.createOrReplaceTempFunction("graft_poly_hash_array", e => PolyHashArrayExpr(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       e => SortedIntersectCountExpr(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_member_count",
+      e => SortedMemberCountExpr(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash_bits",
       e => SimhashBitsExpr(e(0), ExprArgs.litInt(e(1), "graft_simhash_bits")), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_chain",
@@ -238,6 +310,8 @@ object HashFunctions {
   def poly_hash_array(c: Column): Column = call_function("graft_poly_hash_array", c)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_count", a, b)
+  def sorted_member_count(needles: Column, haystack: Column): Column =
+    call_function("graft_sorted_member_count", needles, haystack)
   def simhash_bits(hs: Column, bits: Int): Column =
     call_function("graft_simhash_bits", hs, org.apache.spark.sql.functions.lit(bits))
   def gram_chain(hs: Column, k: Int): Column =

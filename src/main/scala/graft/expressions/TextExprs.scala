@@ -52,6 +52,62 @@ object TextKernels {
     while (m.find()) c += 1
     c
   }
+
+  /** Java-regex `\s` over raw UTF-8 bytes: the six ASCII whitespace
+    * chars (regex \s is ASCII-only without UNICODE_CHARACTER_CLASS);
+    * multi-byte UTF-8 code units have the high bit set, so a byte test
+    * can never split inside a character. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Number of whitespace-separated tokens — bit-equal to
+    * `size(filter(split(s, "\\s+"), t -> length(t) > 0))` (the maximal
+    * non-whitespace runs) with ZERO allocation: the HOF chain builds the
+    * split array, a lambda frame per element and the filtered copy, and
+    * `ArrayFilter` is CodegenFallback (interpreted per row). This is the
+    * hottest scalar in the text battery (every n_tok / token-stat path). */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var i = 0; var c = 0; var in = false
+    while (i < n) {
+      val ws = isWs(s.getByte(i))
+      if (!ws && !in) { c += 1; in = true }
+      else if (ws) in = false
+      i += 1
+    }
+    c
+  }
+
+  /** Whitespace tokens, empties dropped — element-equal to
+    * `filter(split(s, "\\s+"), t -> length(t) > 0)`. One byte pass; each
+    * token is a zero-copy slice of one shared byte array. */
+  def tokensWs(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes // one copy; slices share it
+    val n = bytes.length
+    // count first: exact-size output array, no growable buffer
+    var i = 0; var c = 0; var in = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !in) { c += 1; in = true }
+      else if (ws) in = false
+      i += 1
+    }
+    if (c == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](c)
+    var k = 0; var start = 0
+    i = 0; in = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !in) { start = i; in = true }
+      else if (ws && in) {
+        out(k) = UTF8String.fromBytes(bytes, start, i - start); k += 1
+        in = false
+      }
+      i += 1
+    }
+    if (in) { out(k) = UTF8String.fromBytes(bytes, start, n - start); k += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 object ShingleKernels {
@@ -184,6 +240,24 @@ case class CharHistExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class TokensWsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokensWs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.tokensWs($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class XxSortedHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -229,5 +303,19 @@ object TextExprs {
   def char_hist(s: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(CharHistExpr(ColumnShim.expression(s)))
+  }
+
+  /** Eagerly-bound zero-alloc token count (no registry — every text
+    * operator calls this through [[graft.functions.TextFunctions]]
+    * without a session in hand). */
+  def token_count(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(TokenCountExpr(ColumnShim.expression(s)))
+  }
+
+  /** Eagerly-bound single-pass whitespace tokenizer (see [[token_count]]). */
+  def tokens_ws(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(TokensWsExpr(ColumnShim.expression(s)))
   }
 }

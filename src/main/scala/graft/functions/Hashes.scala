@@ -38,20 +38,24 @@ object Hashes {
 
   /** Fold characters: acc = (acc * 131 + code) % 1e9+7, acc0 = 0.
     * Empty-safe: empty string hashes to 0. Works on code points (ASCII
-    * and BMP); the oracle side uses DuckDB `unicode()` identically. */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(filter(split(s, ""), c => length(c) > 0), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * PolyMul + c) % PolyMod)
+    * and BMP); the oracle side uses DuckDB `unicode()` identically.
+    *
+    * Codegen kernel (eagerly bound — no registry): the previous
+    * aggregate(transform(filter(split(s,"")))) HOF formulation
+    * interpreted three lambda frames PER CHARACTER of every hashed
+    * string; [[graft.expressions.HashKernels.polyHash]] is one static
+    * call per row with identical values (KernelProps pins equality). */
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.expressions.PolyHashExpr(ColumnShim.expression(s)))
+  }
 
   /** The independent second factor: acc = (acc * 137 + code) % 998244353.
     * Same fold shape as [[polyHash]], different multiplier and modulus. */
-  def polyHash2(s: Column): Column =
-    aggregate(
-      transform(filter(split(s, ""), c => length(c) > 0), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * PolyMul2 + c) % PolyMod2)
+  def polyHash2(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.expressions.PolyHash2Expr(ColumnShim.expression(s)))
+  }
 
   /** SQL (DuckDB) rendering of [[polyHash]] over an arbitrary expression —
     * the single source of truth for oracle parity. */

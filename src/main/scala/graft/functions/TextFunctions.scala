@@ -16,11 +16,17 @@ object TextFunctions {
   def normalizeWs(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped. Codegen single-pass kernel —
+    * element-equal to `filter(split(text, "\\s+"), t -> length(t) > 0)`,
+    * whose `ArrayFilter` HOF is CodegenFallback (interpreted per row,
+    * one lambda frame per element plus the filtered copy). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    graft.expressions.TextExprs.tokens_ws(text)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without materializing the token array at all (one byte
+    * pass, zero allocation) — the hottest scalar in the text battery. */
+  def tokenCount(text: Column): Column =
+    graft.expressions.TextExprs.token_count(text)
 
   /** A small, conventional English stopword list (public knowledge; the
     * reference ships its own ~120-word list — semantics, not contents,

@@ -82,15 +82,25 @@ object HnswIndex {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-    try once()
-    catch {
-      // writeMetadata swaps via delete+rename: a reader landing exactly
-      // on the swap instant sees file-absent (or a checksum sidecar
-      // mid-move); one re-read lands on the new bytes. A genuinely
-      // missing file rethrows the same error from the retry.
-      case _: java.io.FileNotFoundException |
-           _: org.apache.hadoop.fs.ChecksumException => once()
+    // The local scheme publishes via ATOMIC_MOVE (no file-absent window);
+    // non-local schemes still swap via delete+rename, so a reader landing
+    // exactly on the swap instant can see file-absent (or a checksum
+    // sidecar mid-move). Bounded backoff-retry instead of one immediate
+    // re-read: a single retry can still land inside the same window under
+    // a slow writer. A genuinely missing file rethrows from the last try.
+    var attempt = 0
+    var result: Option[String] = None
+    while (result.isEmpty) {
+      try result = Some(once())
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.hadoop.fs.ChecksumException) =>
+          attempt += 1
+          if (attempt >= 4) throw e
+          Thread.sleep(25L * attempt)
+      }
     }
+    result.get
   }
 
   private def readMetadata(spark: SparkSession, p: Paths): Meta = {
@@ -507,21 +517,41 @@ object HnswIndex {
     val tmp = new org.apache.hadoop.fs.Path(
       p.metadata + ".tmp-" + java.util.UUID.randomUUID().toString)
     val fs = path.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    out.write((s"""{"n_vectors": $n, "n_cells": $nCells, "m": $m, """ +
+    val body = (s"""{"n_vectors": $n, "n_cells": $nCells, "m": $m, """ +
       s""""ef_construction": $efC, "seed": $seed, """ +
-      s""""pq_m": $pqM, "pq_k": $pqK, "metric": "cosine"}""")
-      .getBytes("UTF-8"))
-    out.close()
-    // FileSystem-level rename keeps checksum sidecars consistent (a
-    // FileContext rename on a checksummed local fs moves only the data
-    // file and leaves the destination's stale .crc behind). The swap's
-    // only observable intermediate is file-ABSENT, which metadataText
-    // retries across — never a torn byte stream.
-    fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new IllegalStateException(
-        s"could not publish metadata at ${p.metadata} (rename failed)")
+      s""""pq_m": $pqM, "pq_k": $pqK, "metric": "cosine"}""").getBytes("UTF-8")
+    if (fs.getUri.getScheme == "file") {
+      // Local scheme: NIO rename-over with ATOMIC_MOVE — no file-absent
+      // window at all, and a crash between any two steps leaves either
+      // the old or the new bytes in place (the delete+rename form could
+      // crash after the delete and leave the index permanently
+      // metadata-less). The tmp is written via NIO (no .crc sidecar);
+      // any stale destination sidecar from an older FileSystem-written
+      // vintage is dropped first so a post-swap fs.open doesn't validate
+      // new bytes against an old checksum (no sidecar ⇒ no validation).
+      val dst = java.nio.file.Paths.get(path.toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      Option(dst.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(tmpNio, body)
+      val crc = dst.resolveSibling("." + dst.getFileName.toString + ".crc")
+      java.nio.file.Files.deleteIfExists(crc)
+      java.nio.file.Files.move(tmpNio, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(tmp, true)
+      out.write(body)
+      out.close()
+      // FileSystem-level rename keeps checksum sidecars consistent (a
+      // FileContext rename on a checksummed local fs moves only the data
+      // file and leaves the destination's stale .crc behind). The swap's
+      // only observable intermediate is file-ABSENT, which metadataText
+      // retries across (bounded backoff) — never a torn byte stream.
+      fs.delete(path, false)
+      if (!fs.rename(tmp, path))
+        throw new IllegalStateException(
+          s"could not publish metadata at ${p.metadata} (rename failed)")
+    }
   }
 
   // ------------------------------------------------------------- serving

@@ -357,8 +357,14 @@ object Merge {
     // read (one listing per chain root × partition dir) is skipped
     // entirely; the schema check reads a single partition dir instead
     val pureAppend = deleteKeys.isEmpty && !affectedDirNames.exists(effCur.contains)
+    // On an EVOLVED chain the single-dir sample is unsafe: the sampled
+    // dir can be a pre-evolution narrow partition, spuriously refusing a
+    // valid pure append that carries the evolved head schema (and the
+    // new marker's evolved flag would derive from the narrow dir). The
+    // resolved read carries the chain's widened schema; never-evolved
+    // chains keep the one-dir fast path.
     val layerColumns: Seq[String] =
-      if (pureAppend) {
+      if (pureAppend && !chainEvolved(spark, base, layer, vCur)) {
         val path = effCur(effCur.keys.min)
         val root = path.substring(0, path.lastIndexOf('/'))
         spark.read.option("basePath", root).parquet(path).columns.toSeq

@@ -132,6 +132,15 @@ object WriterLease {
         s"lease breaks after ${ttlMs / 1000} s)")
     sweepOldTombstones(fs, p)
     if (tryCreate(fs, p, token)) return Lease(base, token)
+    // Read the holder body BEFORE the staleness stat: the tombstone must
+    // be keyed on content observed while the lease was stale. The old
+    // order (stat, then read) raced a faster breaker B — B retires the
+    // stale lease and installs its fresh one between our two steps, we
+    // read B's NEW token as the "stale body", our tombstone name doesn't
+    // exist yet, and we'd retire B's live lease. Body-first closes it:
+    // if a successor replaced the file between our read and our stat,
+    // the stat sees the successor's FRESH mtime and we bail to held().
+    val staleBody = holderOf(fs, p).getOrElse("")
     val stale =
       try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > ttlMs
       catch { case _: java.io.IOException => true } // vanished: retry create
@@ -140,7 +149,6 @@ object WriterLease {
     // and a successor's FRESH lease can never be retired by a slow
     // breaker of the old generation (its tombstone already exists, and
     // the retire op fails on an existing tombstone)
-    val staleBody = holderOf(fs, p).getOrElse("")
     val tomb = tombName(p, staleBody)
     if (fs.getUri.getScheme == "file") {
       // hard-link creation is atomic and FAILS if the link name exists
@@ -169,12 +177,20 @@ object WriterLease {
     if (holderOf(fs, p).contains(lease.token)) fs.delete(p, false)
   }
 
-  /** Touch the lease mtime if we still hold it (heartbeat body). */
+  /** Touch the lease mtime if we still hold it (heartbeat body).
+    * Catches NonFatal, not just IOException: a RuntimeException from
+    * fs.setTimes (e.g. UnsupportedOperationException on an object-store
+    * FileSystem) would otherwise kill the daemon heartbeat thread and
+    * silently make a live long-running writer breakable after the TTL. */
   private def refresh(fs: FileSystem, p: Path, token: String): Unit =
     try {
       if (holderOf(fs, p).contains(token))
         fs.setTimes(p, System.currentTimeMillis(), -1)
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[writer-lease] heartbeat refresh failed " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}) — will retry " +
+        "next interval")
+    }
 
   def withLease[T](spark: SparkSession, base: String,
       ttlMs: Long = DefaultTtlMs)(body: => T): T = {

@@ -50,26 +50,35 @@ object Corpus {
       benchMod: Int = 20,
       n: Int = 3,
       contamFrac: Double = 0.2): DataFrame = {
+    // r15 shape: map-only probe. Each doc's distinct grams hash-sort once
+    // (codegen kernel), the benchmark gram set collapses to ONE sorted
+    // hash array broadcast to every task, and the per-doc overlap is a
+    // binary-search membership count (O(|doc grams|·log |bench|)) — the
+    // q27 langid exact-set-intersection device. Replaces the exploded
+    // semi-join form, whose per-doc match counts shuffled on doc_id and
+    // joined back onto the corpus (two corpus-wide exchanges); now the
+    // only shuffle left is the final (lang) aggregation.
+    graft.expressions.TextExprs.register(docs.sparkSession)
+    graft.expressions.HashFunctions.register(docs.sparkSession)
+    import graft.expressions.{HashFunctions => HF, TextExprs => TE}
     val base = docs
       .select(col("doc_id"), col("lang"), toks.as("tk"))
       .select(col("doc_id"), col("lang"),
-        array_distinct(TF.wordShinglesOfTokens(col("tk"), n)).as("grams"))
+        TE.distinct_word_ngrams(col("tk"), n).as("grams"))
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
 
-    val exploded = base.select(col("doc_id"), col("lang"), isBench.as("b"),
-      explode(col("grams")).as("g"))
-    val benchGrams = exploded.filter(col("b")).select("g").distinct()
-
-    val matched = exploded.filter(!col("b"))
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    val benchArr = base.filter(isBench)
+      .select(explode(col("grams")).as("g")).distinct()
+      .agg(TE.xx_sorted_hash(collect_list(col("g"))).as("_barr"))
 
     val perDoc = base.filter(!isBench)
-      .select(col("doc_id"), col("lang"), size(col("grams")).as("n_grams"))
-      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), size(col("grams")).as("n_grams"),
+        TE.xx_sorted_hash(col("grams")).as("_gh"))
+      .crossJoin(broadcast(benchArr))
       .withColumn("frac",
         when(col("n_grams") === 0, lit(0.0))
-          .otherwise(coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_grams")))
+          .otherwise(HF.sorted_member_count(col("_gh"), col("_barr")).cast("double")
+            / col("n_grams")))
 
     perDoc.groupBy("lang")
       .agg(

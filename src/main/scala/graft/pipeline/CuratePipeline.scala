@@ -124,11 +124,19 @@ object CuratePipeline {
     * downstream carries it). */
   private def exactStage(docs: DataFrame, bankFp: Boolean): DataFrame = {
     val keyed = docs.withColumn("_norm", TF.normalizeWs(col("text")))
-    val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val kept = keyed.join(keep, Seq("doc_id"), "left_semi")
-    (if (bankFp) kept.withColumn("norm_fp", normFp(col("_norm"))) else kept)
-      .drop("_norm")
+    // ONE corpus exchange (r15): min_by(struct(<row>), doc_id) keeps the
+    // min-id member's full row per normalized text, with map-side
+    // partials collapsing duplicate norms before the shuffle. The
+    // previous agg + semi-join-back form shuffled the corpus twice at
+    // scale: once to group (norm, id), then the full rows again on
+    // doc_id for the semi-join (broadcastable only at toy scale).
+    val cols = docs.columns.toSeq
+    val kept = keyed.groupBy("_norm")
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("_r"))
+    val restored = kept.select(
+      (cols.map(c => col("_r." + c).as(c)) ++
+        (if (bankFp) Seq(normFp(col("_norm")).as("norm_fp")) else Nil)): _*)
+    restored
   }
 
   /** Capped banded MinHash pairs + quality-priority representative keep
@@ -143,39 +151,46 @@ object CuratePipeline {
     * overlap with the benchmark's gram set reaches `contamFrac` — the
     * apply form of [[Corpus.decontaminationStats]]/q57's counting.
     *
-    * Shape (r12): grams are consumed in ONE exploded pass that counts
-    * total and benchmark-matching grams per doc in the same aggregate —
-    * (doc_id, _n_grams, _m) is all that survives, so nothing corpus×gram
-    * sized is ever materialized (the r11 form checkpointed the full
-    * corpus WITH its grams array — a second full-text barrier — because
-    * the grams column had two consumers). `explode_outer` keeps zero-
-    * gram docs in the stats (and, unlike `explode`, makes Catalyst infer
-    * no `size(grams) > 0` pushdown filter, so the shingle chain is
-    * evaluated exactly once per row). */
+    * Shape (r15): MAP-ONLY over `prev`. The benchmark gram set collapses
+    * to ONE sorted-xxhash64-array row ([[benchGramArr]] — bounded by
+    * benchmark size, broadcast to every task), each doc's distinct grams
+    * hash-sort once, and the overlap count is a codegen binary-search
+    * probe (`sorted_member_count`, O(|doc grams|·log |bench|)). This
+    * removes the r12 shape's two corpus-wide exchanges per evaluation —
+    * the gram-stats partial aggregation AND the prev ⋈ stats join-back —
+    * leaving decontamination with no shuffle at all (the same
+    * hash-encoded exact-set-intersection device the q27 langid classify
+    * path uses; collisions need two distinct grams to share an xxhash64
+    * value, ~n²/2⁶⁴, and the q122/q123/q57 oracle hashes pin the
+    * equality on the test corpora). */
   private def decontamStage(raw: DataFrame, prev: DataFrame,
       cfg: CurateConfig): DataFrame = {
+    graft.expressions.TextExprs.register(prev.sparkSession)
+    graft.expressions.HashFunctions.register(prev.sparkSession)
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    // the benchmark gram set stays a barrier: bounded by benchmark size,
-    // consumed as a broadcast build side
-    val benchGrams = benchGramSet(raw, cfg).localCheckpoint(true)
-    // the stats frame is the barrier (3 narrow columns per doc — cheap
-    // to hold), so the gram explode runs exactly once even though the
-    // decontam OUTPUT is recomputed per consumer (it is just
-    // prev ⋈ stats + filter)
-    val gramStats = withGrams_(prev, cfg)
-      .select(col("doc_id"), explode_outer(col("_grams")).as("g"))
-      .join(broadcast(benchGrams.withColumn("_hit", lit(1))), Seq("g"), "left")
-      .groupBy("doc_id").agg(
-        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("_n_grams"),
-        count(col("_hit")).as("_m"))
-      .localCheckpoint(true)
-    prev.join(gramStats, Seq("doc_id"), "left")
+    val benchArr = benchGramArr(benchGramSet(raw, cfg))
+    withGrams_(prev, cfg)
+      .withColumn("_gh", graft.expressions.TextExprs.xx_sorted_hash(col("_grams")))
+      .drop("_grams")
+      .crossJoin(broadcast(benchArr))
       .filter(!isBench &&
-        when(coalesce(col("_n_grams"), lit(0L)) === 0, lit(0.0))
-          .otherwise(coalesce(col("_m"), lit(0L)).cast("double") / col("_n_grams"))
+        when(col("_n_grams") === 0, lit(0.0))
+          .otherwise(graft.expressions.HashFunctions
+            .sorted_member_count(col("_gh"), col("_barr")).cast("double")
+            / col("_n_grams"))
           < cfg.contamFrac)
-      .drop("_n_grams", "_m")
+      .drop("_n_grams", "_gh", "_barr")
   }
+
+  /** The benchmark gram set as ONE sorted-hash-array row (eager: tiny —
+    * one array bounded by benchmark size — and consumed by every
+    * decontam evaluation; lazy, each consumer would re-derive the
+    * benchmark explode). */
+  private def benchGramArr(benchGrams: DataFrame): DataFrame =
+    benchGrams
+      .agg(graft.expressions.TextExprs.xx_sorted_hash(
+        collect_list(col("g"))).as("_barr"))
+      .localCheckpoint(true)
 
   /** Deterministic shard routing of (doc, copy) via the q110 Knuth
     * multiplicative device — copies of an upsampled doc spread across
@@ -353,12 +368,17 @@ object CuratePipeline {
     * makes Catalyst re-run the split once per shingle (O(tokens²) per
     * doc; the decontam stage measured 10.7 s of q122's 16 s at sf0.1
     * before this, 0.4 s after). */
-  private def withGrams_(frame: DataFrame, cfg: CurateConfig): DataFrame =
+  private def withGrams_(frame: DataFrame, cfg: CurateConfig): DataFrame = {
+    graft.expressions.TextExprs.register(frame.sparkSession)
     frame.withColumn("_tk", TF.tokens(col("text")))
       .withColumn("_grams",
-        array_distinct(TF.wordShinglesOfTokens(col("_tk"), cfg.contamN)))
+        // single-pass codegen shingle kernel (the transform+slice+
+        // concat_ws HOF chain interprets a lambda per shingle — measured
+        // 2-3× slower on the q57 probe r15)
+        graft.expressions.TextExprs.distinct_word_ngrams(col("_tk"), cfg.contamN))
       .withColumn("_n_grams", size(col("_grams")))
       .drop("_tk")
+  }
 
   private[graft] def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
     withGrams_(raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0), cfg)
@@ -624,16 +644,17 @@ object CuratePipeline {
       cfg: CurateConfig = CurateConfig()): Seq[(String, DataFrame)] = {
     val raw = withTok(deltaDocs)
 
-    // exact vs the banked 8-byte norm fingerprints + within-batch
+    // exact vs the banked 8-byte norm fingerprints + within-batch.
+    // Same one-exchange min_by(struct) keep as the batch exactStage;
+    // norm_fp stays on the frame (already computed for the anti-join):
+    // [[runIncremental]] banks it without re-hashing the delta text
     val keyed = raw.withColumn("_norm", TF.normalizeWs(col("text")))
       .withColumn("norm_fp", normFp(col("_norm")))
       .join(frozen.bankedNorms, Seq("norm_fp"), "left_anti")
-    val keep = keyed.groupBy("_norm").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    // norm_fp stays on the frame (already computed for the anti-join):
-    // [[runIncremental]] banks it without re-hashing the delta text
-    val exactDelta = keyed.join(keep, Seq("doc_id"), "left_semi")
-      .drop("_norm")
+    val exCols = raw.columns.toSeq :+ "norm_fp"
+    val exactDelta = keyed.groupBy("_norm")
+      .agg(min_by(struct(exCols.map(col): _*), col("doc_id")).as("_r"))
+      .select(exCols.map(c => col("_r." + c).as(c)): _*)
       .localCheckpoint(true)
 
     // neardup vs banked index + within-batch best-keep.
@@ -662,32 +683,40 @@ object CuratePipeline {
     // quality gate (map-only, identical rule)
     val qualityDelta = neardupDelta.filter(TextAnalysis.gopherRulePass(
       col("text"), cfg.gopherMinWords, cfg.gopherMaxWords, cfg.gopherMinStops))
-      .localCheckpoint(true)
 
     // decontam vs banked grams ∪ this batch's benchmark members — the
-    // same one-pass gram-stats shape as the batch stage: nothing
-    // corpus×gram sized is materialized
+    // same map-only sorted-hash probe as the batch stage (see
+    // [[decontamStage]]): the combined gram set collapses to one sorted
+    // hash array, the delta never shuffles
+    graft.expressions.TextExprs.register(raw.sparkSession)
+    graft.expressions.HashFunctions.register(raw.sparkSession)
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    val allBench = frozen.benchGrams.unionByName(benchGramSet(raw, cfg))
-      .distinct().localCheckpoint(true)
-    val gramStats = withGrams_(qualityDelta, cfg)
-      .select(col("doc_id"), explode_outer(col("_grams")).as("g"))
-      .join(broadcast(allBench.withColumn("_hit", lit(1))), Seq("g"), "left")
-      .groupBy("doc_id").agg(
-        sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("_n_grams"),
-        count(col("_hit")).as("_m"))
-    val decontamDelta = qualityDelta.join(gramStats, Seq("doc_id"), "left")
+    val allBenchArr = benchGramArr(
+      frozen.benchGrams.unionByName(benchGramSet(raw, cfg)).distinct())
+    val decontamDelta = withGrams_(qualityDelta, cfg)
+      .withColumn("_gh", graft.expressions.TextExprs.xx_sorted_hash(col("_grams")))
+      .drop("_grams")
+      .crossJoin(broadcast(allBenchArr))
       .filter(!isBench &&
-        when(coalesce(col("_n_grams"), lit(0L)) === 0, lit(0.0))
-          .otherwise(coalesce(col("_m"), lit(0L)).cast("double") / col("_n_grams"))
+        when(col("_n_grams") === 0, lit(0.0))
+          .otherwise(graft.expressions.HashFunctions
+            .sorted_member_count(col("_gh"), col("_barr")).cast("double")
+            / col("_n_grams"))
           < cfg.contamFrac)
-      .drop("_n_grams", "_m")
-      .localCheckpoint(true)
+      .drop("_n_grams", "_gh", "_barr")
 
-    // curriculum against the frozen bounds
+    // curriculum against the frozen bounds. The grouped bounds/alloc
+    // frames checkpoint EAGERLY even though they are tiny (≤ langs×10 /
+    // one row per source): in the q123 oracle path frozen.bounds/alloc
+    // re-derive from the FULL side's chain, and with the tail stages now
+    // lazy each would otherwise be re-derived once per accounting
+    // consumer (bounds appears in the curriculum, mixture and shards
+    // prefixes — 3 full-side decontam re-derivations). runIncremental's
+    // loaded-layer frozen frames pay one sub-100 ms job each.
     val bounds = frozen.bounds
       .filter(col("decile") < 10)
       .groupBy("lang").agg(sort_array(collect_list(col("hi"))).as("_bs"))
+      .localCheckpoint(true)
     val curriculumDelta = decontamDelta
       .withColumn("_score", TextAnalysis.qualityScore(col("text")))
       .join(broadcast(bounds), Seq("lang"), "left")
@@ -696,10 +725,10 @@ object CuratePipeline {
       .filter(pmod(Hashes.polyHash(col("doc_id").cast("string")),
         lit(10)) < col("_decile"))
       .drop("_score", "_bs", "_decile")
-      .localCheckpoint(true)
 
     // mixture with the frozen epochs (unseen sources: 1.0)
     val alloc = frozen.alloc.select(col("source"), col("epochs").as("_e"))
+      .localCheckpoint(true)
     val mixtureDelta = curriculumDelta.join(broadcast(alloc), Seq("source"), "left")
       .withColumn("_e", coalesce(col("_e"), lit(1.0)))
       .withColumn("copy", explode(sequence(lit(1), greatest(
@@ -709,21 +738,25 @@ object CuratePipeline {
           col("copy").cast("string"))), lit(1000003L)).cast("double") / 1000003.0)
           < col("_e") - floor(col("_e")))
       .drop("_e")
-      .localCheckpoint(true)
 
-    // each tail stage above checkpoints eagerly AND feeds the next stage
-    // its CHECKPOINTED form — r11 checkpointed only the returned frames
-    // while building each next stage from the raw val, so the mixture
-    // checkpoint re-derived the curriculum chain (including the frozen
-    // bounds' full-side window pass), shards re-derived both, and the
-    // accounting union re-derived the frozen frames once per consumer
-    // (measured 8-9.5 s of the 11.5 s q123 at sf0.1 — the single
-    // largest cost in the incremental path)
+    // Barrier diet (r15): only the EXPENSIVE delta frames checkpoint —
+    // exact (banked-norm anti-join), the flagged pair scoring, neardup
+    // (incremental index probe) — plus the tiny allBench/bounds/alloc
+    // parameter frames above. The five tail stages (quality gate,
+    // decontam join, curriculum filter, mixture explode, shard hash) are
+    // maps/broadcast-joins over a delta-sized frame; re-deriving them
+    // from the neardup checkpoint per accounting consumer costs less
+    // than one eager localCheckpoint JOB each (r14 shape: nine barrier
+    // jobs ≈ 4.1 s of q123's 9.6 s at sf0.1 for a 50-doc delta — fixed
+    // job latency, not data). Every expensive input they touch is
+    // already a checkpoint or a broadcast, so nothing full-side is
+    // re-derived (the r11 regression this section used to guard
+    // against came from the frozen frames, now pinned above).
     Seq("raw" -> raw, "exact" -> exactDelta, "neardup" -> neardupDelta,
       "quality" -> qualityDelta,
       "decontam" -> decontamDelta,
       "curriculum" -> curriculumDelta,
       "mixture" -> mixtureDelta,
-      "shards" -> shardStage(mixtureDelta, cfg).localCheckpoint(true))
+      "shards" -> shardStage(mixtureDelta, cfg))
   }
 }

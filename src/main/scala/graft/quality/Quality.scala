@@ -333,73 +333,43 @@ object Quality {
     def timed[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body
-      timings(name) = (System.nanoTime() - t0) / 1e9
+      // categories now run concurrently — writes synchronized
+      timings.synchronized { timings(name) = (System.nanoTime() - t0) / 1e9 }
       r
     }
     val sp = spans.cache()
     val bt = beats.cache()
     try {
-      val cov = timed("coverage") { coverage(sp, episodes)
-        .agg(avg(col("coverage_pct"))).first().getDouble(0) }
-      m("coverage_pct") = cov
-
-      // corpus-level gap/overlap % of total episode time
-      val (epDur, gaps) = timed("gaps") {
-        val d = episodes.agg(coalesce(sum(col("episode_duration")), lit(0.0)))
-          .first().getDouble(0)
-        val g = gapMetrics(sp).agg(
-          coalesce(sum(col("total_gap_s")), lit(0.0)).as("gap_s"),
-          coalesce(sum(col("total_overlap_s")), lit(0.0)).as("overlap_s")).first()
-        (d, g)
+      // The seven categories are INDEPENDENT jobs over the same two
+      // cached inputs — run them from a small thread pool so the next
+      // category's tasks back-fill executors freed by the current one's
+      // stragglers (optimization guide §2.6: actions are only sequential
+      // because driver code calls them sequentially). Each category's
+      // own wall time is still recorded (now overlapping, so the
+      // category map sums to MORE than the assessment wall — that is the
+      // point). The caches are populated once, sequentially, BEFORE the
+      // fan-out so the concurrent first actions don't race to compute
+      // the same cache blocks. Parallelism 4: enough to overlap the
+      // long categories (embedding/near_dup/coverage), not so many that
+      // they fight for executor cores mid-stage.
+      sp.count(); bt.count()
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def timedF[A](name: String)(body: => A): Future[A] = Future {
+        sp.sparkSession.sparkContext.setJobDescription(s"quality: $name")
+        timed(name)(body)
       }
-      val gapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("gap_s") / epDur else 0.0
-      val overlapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("overlap_s") / epDur else 0.0
-      m("gap_pct") = gapPct
-      m("overlap_pct") = overlapPct
 
-      // one fused aggregation job for every single-row span metric
-      val spanRow = timed("distribution") { sp.agg(
-        count(lit(1)).as("n"),
-        round(lit(100.0) * sum(when(
-          col("duration") >= t.spanLengthMin && col("duration") <= t.spanLengthMax, 1)
-          .otherwise(0)) / count(lit(1)), 2).as("within_pct"),
-        sum(when(col("duration") <= 0, 1L).otherwise(0L)).as("nonpositive_durations"))
-        .first() }
-      val nSpans = spanRow.getAs[Long]("n")
-      val spanCompliance = spanRow.getAs[Double]("within_pct")
-      val negDur = spanRow.getAs[Long]("nonpositive_durations")
-      m("span_compliance_pct") = spanCompliance
-      m("nonpositive_durations") = negDur.toDouble
-
-      val beatCompliance = timed("beat_distribution") {
-        lengthCompliance(bt, t.beatLengthMin, t.beatLengthMax)
-          .first().getAs[Double]("within_pct") }
-      m("beat_compliance_pct") = beatCompliance
-
-      // integrity per level, NOT concatenated (assessor.py:617-679 bug-fix note)
-      val (spanRegr, beatRegr, spanDup) = timed("integrity") {
-        (timestampRegressions(sp).count(),
-          timestampRegressions(bt).count(),
-          exactDuplicates(sp).first().getAs[Double]("dup_pct"))
-      }
-      m("span_regressions") = spanRegr.toDouble
-      m("beat_regressions") = beatRegr.toDouble
-      m("span_dup_pct") = spanDup
-
-      // near-duplicates via MinHash-LSH at the reference's 0.95 bar;
-      // % of spans that appear in at least one near-dup pair
-      val nearDupIds = timed("near_dup") {
-        nearDuplicates(sp, "span_id", t.nearDuplicateThreshold)
-          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-          .distinct().count() }
-      val nearDupPct = if (nSpans > 0) 100.0 * nearDupIds / nSpans else 0.0
-      m("near_dup_pct") = nearDupPct
-
-      // category F: all checks share ONE sampled k-NN job. An empty
+      // Submission order = longest-first (LPT): with a bounded pool the
+      // longest categories (embedding k-NN, near-dup minhash, coverage
+      // union) must start immediately or they become the tail.
+      // category F first: all checks share ONE sampled k-NN job. An empty
       // neighbor frame (embeddings whose artifact_ids don't match the
       // spans — stale file, wrong artifact type) must SKIP the embedding
       // checks, not NPE on null aggregates or record bogus 0.0 metrics.
-      val emb = timed("embedding") { embeddings.flatMap { e =>
+      val embF = timedF("embedding") { embeddings.flatMap { e =>
         val neigh = EmbeddingSanity.sampledNeighbors(
           sp, e, "span_id", t.neighborK, t.neighborSampleSize).cache()
         try {
@@ -410,15 +380,82 @@ object Quality {
               .first().getDouble(0)
             val bias = Option(EmbeddingSanity.lengthBiasCorr(neigh)
               .first().getAs[java.lang.Double]("length_bias_corr")).map(_.doubleValue())
-            m("same_speaker_pct") = leak.getAs[Double]("same_speaker_pct")
-            m("same_episode_pct") = leak.getAs[Double]("same_episode_pct")
-            m("adjacency_bias_pct") = adj
-            bias.foreach(b => m("length_bias_corr") = b)
             Some((leak.getAs[Double]("same_speaker_pct"), leak.getAs[Double]("same_episode_pct"),
               adj, bias))
           }
         } finally neigh.unpersist()
       } }
+
+      // near-duplicates via MinHash-LSH at the reference's 0.95 bar;
+      // % of spans that appear in at least one near-dup pair
+      val nearDupIdsF = timedF("near_dup") {
+        nearDuplicates(sp, "span_id", t.nearDuplicateThreshold)
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct().count() }
+
+      val covF = timedF("coverage") { coverage(sp, episodes)
+        .agg(avg(col("coverage_pct"))).first().getDouble(0) }
+
+      // corpus-level gap/overlap % of total episode time
+      val gapsF = timedF("gaps") {
+        val d = episodes.agg(coalesce(sum(col("episode_duration")), lit(0.0)))
+          .first().getDouble(0)
+        val g = gapMetrics(sp).agg(
+          coalesce(sum(col("total_gap_s")), lit(0.0)).as("gap_s"),
+          coalesce(sum(col("total_overlap_s")), lit(0.0)).as("overlap_s")).first()
+        (d, g)
+      }
+
+      // integrity per level, NOT concatenated (assessor.py:617-679 bug-fix note)
+      val integrityF = timedF("integrity") {
+        (timestampRegressions(sp).count(),
+          timestampRegressions(bt).count(),
+          exactDuplicates(sp).first().getAs[Double]("dup_pct"))
+      }
+
+      // one fused aggregation job for every single-row span metric
+      val spanRowF = timedF("distribution") { sp.agg(
+        count(lit(1)).as("n"),
+        round(lit(100.0) * sum(when(
+          col("duration") >= t.spanLengthMin && col("duration") <= t.spanLengthMax, 1)
+          .otherwise(0)) / count(lit(1)), 2).as("within_pct"),
+        sum(when(col("duration") <= 0, 1L).otherwise(0L)).as("nonpositive_durations"))
+        .first() }
+
+      val beatComplianceF = timedF("beat_distribution") {
+        lengthCompliance(bt, t.beatLengthMin, t.beatLengthMax)
+          .first().getAs[Double]("within_pct") }
+
+      def await[A](f: Future[A]): A =
+        try Await.result(f, Duration.Inf)
+        finally ()
+      val (cov, (epDur, gaps), spanRow, beatCompliance,
+          (spanRegr, beatRegr, spanDup), nearDupIds, emb) =
+        try (await(covF), await(gapsF), await(spanRowF), await(beatComplianceF),
+          await(integrityF), await(nearDupIdsF), await(embF))
+        finally pool.shutdown()
+      m("coverage_pct") = cov
+      val gapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("gap_s") / epDur else 0.0
+      val overlapPct = if (epDur > 0) 100.0 * gaps.getAs[Double]("overlap_s") / epDur else 0.0
+      m("gap_pct") = gapPct
+      m("overlap_pct") = overlapPct
+      val nSpans = spanRow.getAs[Long]("n")
+      val spanCompliance = spanRow.getAs[Double]("within_pct")
+      val negDur = spanRow.getAs[Long]("nonpositive_durations")
+      m("span_compliance_pct") = spanCompliance
+      m("nonpositive_durations") = negDur.toDouble
+      m("beat_compliance_pct") = beatCompliance
+      m("span_regressions") = spanRegr.toDouble
+      m("beat_regressions") = beatRegr.toDouble
+      m("span_dup_pct") = spanDup
+      val nearDupPct = if (nSpans > 0) 100.0 * nearDupIds / nSpans else 0.0
+      m("near_dup_pct") = nearDupPct
+      emb.foreach { case (spk, ep, adj, bias) =>
+        m("same_speaker_pct") = spk
+        m("same_episode_pct") = ep
+        m("adjacency_bias_pct") = adj
+        bias.foreach(b => m("length_bias_corr") = b)
+      }
 
       val violations = Seq.newBuilder[Violation]
       def check(cond: Boolean, name: String, expected: String, actual: String,

@@ -56,10 +56,19 @@ class PlanAssertSpec extends AnyFunSuite {
       s"the semi-join side must read ONLY the join key:\n${plan.take(3000)}")
   }
 
-  test("q57 decontamination: benchmark gram set joins as a broadcast semi-join") {
+  test("q57 decontamination: map-only sorted-hash probe, no corpus-side join") {
     val plan = planOf("q57_decontamination")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"the benchmark side must broadcast (bounded by eval-set size):\n${plan.take(3000)}")
+    // r15 shape: the benchmark gram set collapses to ONE sorted-hash-array
+    // row and rides a broadcast nested-loop cross onto the corpus scan;
+    // the per-doc overlap is the codegen binary-search membership count.
+    // The corpus side must carry NO join and NO per-gram shuffle at all —
+    // the only exchange left is the final (lang) aggregation.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bench gram array must broadcast:\n${plan.take(3000)}")
+    assert(plan.toLowerCase.contains("sortedmembercount"),
+      s"overlap must use the binary-search membership kernel:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no corpus-side join may remain in the map-only form:\n${plan.take(3000)}")
   }
 
   test("q60 boilerplate: the boilerplate gram set is broadcast, not shuffled") {

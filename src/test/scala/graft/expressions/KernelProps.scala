@@ -46,6 +46,39 @@ object KernelProps extends Properties("kernels") {
         a.toSet.intersect(b.toSet).size.toLong
     }
 
+  private val wsStrGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('\t'),
+      Gen.const('\n'), Gen.const('\r'), Gen.const('\u000B'), Gen.const('\f'),
+      Gen.const('é'), Gen.const('語')))
+      .map(_.mkString.take(80))
+
+  property("tokensWs equals filter(split(s, \\s+), nonEmpty); tokenCount equals its size") =
+    forAll(wsStrGen) { s =>
+      val want = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val got = TextKernels.tokensWs(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == want &&
+        TextKernels.tokenCount(UTF8String.fromString(s)) == want.size
+    }
+
+  property("polyHash2 kernel equals the per-code-point fold") =
+    forAll(strGen) { s =>
+      val want = s.codePoints().toArray.foldLeft(0L)((a, c) =>
+        (a * graft.functions.Hashes.PolyMul2 + c) % graft.functions.Hashes.PolyMod2)
+      HashKernels.polyHash2(UTF8String.fromString(s)) == want
+    }
+
+  property("sortedMemberCount equals sortedIntersectCount on sorted-distinct inputs") =
+    forAll(sortedLongs, sortedLongs) { (a, b) =>
+      val aa = new GenericArrayData(a.map(Long.box(_): Any))
+      val bb = new GenericArrayData(b.map(Long.box(_): Any))
+      HashKernels.sortedMemberCount(aa, bb) ==
+        HashKernels.sortedIntersectCount(aa, bb) &&
+      HashKernels.sortedMemberCount(aa, bb) ==
+        a.toSet.intersect(b.toSet).size.toLong
+    }
+
   property("simhashBits of identical hash arrays collide; empty gives 0") =
     forAll(Gen.listOf(Gen.long).map(_.toArray)) { hs =>
       val arr = new GenericArrayData(hs.map(Long.box(_): Any))
