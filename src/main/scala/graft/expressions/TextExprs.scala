@@ -108,6 +108,108 @@ object TextKernels {
     if (in) { out(k) = UTF8String.fromBytes(bytes, start, n - start); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Count of tokens NOT in `stop` — value-equal to
+    * `size(filter(tokens(s), t -> !array_contains(stopArr, t)))` (the
+    * interpreted form paid an ArrayFilter lambda frame plus a linear
+    * array_contains scan per token). One byte pass, one UTF8String slice
+    * per token. */
+  def contentTokenCount(s: UTF8String,
+      stop: java.util.HashSet[UTF8String]): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0; var c = 0; var start = 0; var in = false
+    while (i <= n) {
+      val ws = i == n || isWs(bytes(i))
+      if (!ws && !in) { start = i; in = true }
+      else if (ws && in) {
+        if (!stop.contains(UTF8String.fromBytes(bytes, start, i - start))) c += 1
+        in = false
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Tokens NOT in `stop`, order- and duplicate-preserving — element-
+    * equal to `filter(tokens(s), t -> !array_contains(stopArr, t))`. */
+  def contentTokens(s: UTF8String,
+      stop: java.util.HashSet[UTF8String]): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0; var start = 0; var in = false
+    while (i <= n) {
+      val ws = i == n || isWs(bytes(i))
+      if (!ws && !in) { start = i; in = true }
+      else if (ws && in) {
+        val t = UTF8String.fromBytes(bytes, start, i - start)
+        if (!stop.contains(t)) buf += t
+        in = false
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Characters that are not regex-`\s` whitespace — value-equal to
+    * `length(regexp_replace(s, "\\s", ""))` without building the
+    * replaced string. Character count = non-continuation UTF-8 bytes
+    * ((b & 0xC0) != 0x80, the `numChars` device); the six `\s` chars are
+    * single ASCII bytes. */
+  def nonWsCharCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var i = 0; var chars = 0; var ws = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) != 0x80) chars += 1
+      if (isWs(b)) ws += 1
+      i += 1
+    }
+    chars - ws
+  }
+
+  /** The per-document Gopher signal battery in ONE byte pass over the
+    * (already-lowercased) text: (n_tok, char_sum, alpha_words,
+    * stop_hits) — value-equal to
+    *   n_tok      = size(tokens(s))                       [cast long]
+    *   char_sum   = aggregate(transform(tokens(s), length), 0, +)
+    *   alpha_words= size(filter(tokens(s), t -> t.rlike("[a-z]")))
+    *   stop_hits  = size(array_intersect(array_distinct(tokens(s)), stops))
+    * The HOF battery walked the token array four times per row with
+    * interpreted lambdas; stop_hits counts DISTINCT stop words present
+    * (bitmask — the caller's stop list is ≤ 64 entries). */
+  def gopherStats(s: UTF8String, stops: Array[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0; var start = 0; var in = false
+    var nTok = 0L; var charSum = 0L; var alpha = 0L
+    var stopMask = 0L
+    var tokChars = 0; var tokAlpha = false
+    while (i <= n) {
+      val b: Byte = if (i == n) ' ' else bytes(i)
+      val ws = isWs(b)
+      if (!ws) {
+        if (!in) { start = i; in = true; tokChars = 0; tokAlpha = false }
+        if ((b & 0xC0) != 0x80) tokChars += 1
+        if (b >= 'a' && b <= 'z') tokAlpha = true
+      } else if (in) {
+        nTok += 1; charSum += tokChars; if (tokAlpha) alpha += 1
+        var k = 0
+        while (k < stops.length) {
+          if ((stopMask & (1L << k)) == 0 &&
+              stops(k).numBytes == i - start &&
+              UTF8String.fromBytes(bytes, start, i - start) == stops(k))
+            stopMask |= 1L << k
+          k += 1
+        }
+        in = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, charSum, alpha, java.lang.Long.bitCount(stopMask)))
+  }
 }
 
 object ShingleKernels {
@@ -141,6 +243,34 @@ object ShingleKernels {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** ALL word n-gram shingles (repeats kept, window order), space-joined
+    * — one pass instead of the interpreted
+    * transform(sequence…slice…concat_ws) chain (a lambda frame and a
+    * sliced array per shingle). Element-equal to
+    * [[graft.functions.TextFunctions.wordShinglesOfTokens]]. */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements() - (n - 1)
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[String](toks.numElements())
+    var i = 0
+    while (i < words.length) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -258,6 +388,86 @@ case class TokensWsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class ContentTokenCountExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[UTF8String]()
+    stops.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.contentTokenCount(v.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.contentTokenCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class ContentTokensExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[UTF8String]()
+    stops.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.contentTokens(v.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.contentTokens($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.wordNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleKernels.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class NonWsCharCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.nonWsCharCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.nonWsCharCount($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class GopherStatsExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  require(stops.size <= 64, "gopher stop list must fit a 64-bit mask")
+  @transient private lazy val arr: Array[UTF8String] =
+    stops.map(UTF8String.fromString).toArray
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("char_sum",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("alpha_words",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("stop_hits",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.gopherStats(v.asInstanceOf[UTF8String], arr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherStops", arr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.gopherStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class XxSortedHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -317,5 +527,37 @@ object TextExprs {
   def tokens_ws(s: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(TokensWsExpr(ColumnShim.expression(s)))
+  }
+
+  /** Eagerly-bound stop-filtered token count (one pass, set membership). */
+  def content_token_count(s: Column, stops: Seq[String]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(ContentTokenCountExpr(ColumnShim.expression(s), stops))
+  }
+
+  /** Eagerly-bound stop-filtered tokenizer. */
+  def content_tokens(s: Column, stops: Seq[String]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(ContentTokensExpr(ColumnShim.expression(s), stops))
+  }
+
+  /** Eagerly-bound one-pass word n-gram shingler (ALL windows, repeats
+    * kept — the counting sibling of `graft_distinct_word_ngrams`). */
+  def word_ngrams(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(WordNgramsExpr(ColumnShim.expression(toks), n))
+  }
+
+  /** Eagerly-bound non-whitespace character count. */
+  def non_ws_char_count(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(NonWsCharCountExpr(ColumnShim.expression(s)))
+  }
+
+  /** Eagerly-bound one-pass Gopher signal struct
+    * (n_tok, char_sum, alpha_words, stop_hits). */
+  def gopher_stats(s: Column, stops: Seq[String]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(GopherStatsExpr(ColumnShim.expression(s), stops))
   }
 }

@@ -36,14 +36,15 @@ object TextFunctions {
     "has", "he", "in", "is", "it", "its", "of", "on", "or", "that", "the",
     "this", "to", "was", "were", "will", "with")
 
-  private def stopArray(stop: Seq[String]): Column = array(stop.map(lit): _*)
-
-  /** Tokens with stopwords removed (order- and duplicate-preserving). */
+  /** Tokens with stopwords removed (order- and duplicate-preserving).
+    * Codegen one-pass kernel with hash-set membership — the previous
+    * `filter(tokens, !array_contains(stopArr, t))` paid an interpreted
+    * ArrayFilter lambda plus a linear stop-list scan per token. */
   def contentTokens(text: Column, stop: Seq[String] = stopwords): Column =
-    filter(tokens(text), t => !array_contains(stopArray(stop), t))
+    graft.expressions.TextExprs.content_tokens(text, stop)
 
   def contentTokenCount(text: Column, stop: Seq[String] = stopwords): Column =
-    size(contentTokens(text, stop))
+    graft.expressions.TextExprs.content_token_count(text, stop)
 
   /** Punctuation chars / non-whitespace chars (reference:
     * text_quality.py:280-391). Safe on empty strings (returns 0.0). */
@@ -68,19 +69,15 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (e.g. for n-gram Jaccard dedup).
-    * NOTE: prefer [[wordShinglesOfTokens]] over a materialized token
-    * column in hot paths — here `tokens(text)` is referenced inside the
-    * per-element lambda, so Catalyst re-evaluates the split per shingle. */
+  /** Word n-gram shingles (e.g. for n-gram Jaccard dedup). */
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesOfTokens(tokens(text), n)
 
-  /** Shingles over an already-materialized token-array column (cheap
-    * per-element attribute access instead of re-splitting). */
-  def wordShinglesOfTokens(toks: Column, n: Int): Column = {
-    val cnt = size(toks) - (n - 1)
-    when(cnt < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), cnt - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** ALL word n-grams of a token-array column (repeats kept, window
+    * order, space-joined). Codegen one-pass kernel — the previous
+    * when-guarded transform(sequence…slice…concat_ws) chain interpreted
+    * a lambda frame and allocated a sliced array per shingle; values are
+    * identical including the empty array for < n tokens. */
+  def wordShinglesOfTokens(toks: Column, n: Int): Column =
+    graft.expressions.TextExprs.word_ngrams(toks, n)
 }

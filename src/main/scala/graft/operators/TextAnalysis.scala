@@ -29,7 +29,9 @@ object TextAnalysis {
   def qualityScore(text: Column): Column = {
     val nTok = TF.tokenCount(text).cast("double")
     val nContent = TF.contentTokenCount(text).cast("double")
-    val chars = length(regexp_replace(text, "\\s", "")).cast("double")
+    // value-equal to length(regexp_replace(text, "\\s", "")) without
+    // building the replaced string per row (codegen kernel)
+    val chars = graft.expressions.TextExprs.non_ws_char_count(text).cast("double")
     val stopRatio = when(nTok === 0.0, lit(1.0)).otherwise(lit(1.0) - nContent / nTok)
     val meanWordLen = when(nTok === 0.0, lit(0.0)).otherwise(chars / nTok)
     lit(0.4) * least(lit(1.0), nTok / 50.0) +
@@ -105,8 +107,7 @@ object TextAnalysis {
       // fewer than n tokens have no n-grams and drop out here
       .filter(size(col("_tk")) >= n)
       .select(col(idCol), explode(
-        transform(sequence(lit(0), size(col("_tk")) - n),
-          i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("gram"))
+        graft.expressions.TextExprs.word_ngrams(col("_tk"), n)).as("gram"))
     // Single pass over the gram set: count per (id, gram), then one
     // doc-keyed agg where min(struct(-cnt, gram)) IS the
     // (count desc, gram asc) argmax — struct ordering compares fields
@@ -499,15 +500,22 @@ object TextAnalysis {
     * decide from EXACTLY the audited expressions. All map-only. */
   def gopherRuleChecks(textCol: Column, minWords: Int = 50,
       maxWords: Int = 100000, minStopHits: Int = 2): Seq[(String, Column)] = {
-    val toks = TF.tokens(lower(textCol))
-    val nTok = size(toks).cast("long")
-    val charSum = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // ONE byte pass (codegen kernel) replaces the four interpreted HOF
+    // walks over the token array (size / aggregate-transform length sum /
+    // rlike filter / array_intersect distinct) — value-equal field by
+    // field, pinned in KernelProps. Whole-stage codegen's subexpression
+    // elimination evaluates the shared struct once per row.
+    val st = graft.expressions.TextExprs.gopher_stats(
+      lower(textCol), GopherStopwords)
+    val nTok = st.getField("n_tok")
+    val charSum = st.getField("char_sum")
     val meanLen = charSum.cast("double") / nTok.cast("double")
-    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-    val symbols = size(regexp_extract_all(textCol, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
-    val stopHits = size(array_intersect(array_distinct(toks),
-      array(GopherStopwords.map(lit): _*)))
+    val alphaWords = st.getField("alpha_words")
+    // regex-count kernel: same value as size(regexp_extract_all(…)) with
+    // no match-array allocation
+    val symbols = graft.expressions.TextExprs
+      .regex_count(textCol, "#|\\.\\.\\.|…").cast("long")
+    val stopHits = st.getField("stop_hits")
     Seq(
       "r_words" -> (nTok >= minWords && nTok <= maxWords),
       "r_mean_len" -> (nTok > 0 && meanLen >= 3.0 && meanLen <= 10.0),

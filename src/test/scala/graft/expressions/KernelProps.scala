@@ -62,6 +62,50 @@ object KernelProps extends Properties("kernels") {
         TextKernels.tokenCount(UTF8String.fromString(s)) == want.size
     }
 
+  private val gopherStops = Seq("the", "be", "to", "of", "and")
+
+  property("contentTokenCount/contentTokens equal the filtered-token reference") =
+    forAll(wsStrGen) { s =>
+      val set = gopherStops.toSet
+      val want = s.split("\\s+").filter(t => t.nonEmpty && !set(t)).toSeq
+      val hs = new java.util.HashSet[UTF8String]()
+      gopherStops.foreach(w => hs.add(UTF8String.fromString(w)))
+      val got = TextKernels.contentTokens(UTF8String.fromString(s), hs)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      got == want &&
+        TextKernels.contentTokenCount(UTF8String.fromString(s), hs) == want.size
+    }
+
+  property("nonWsCharCount equals length(regexp_replace(s, \\s, ''))") =
+    forAll(wsStrGen) { s =>
+      TextKernels.nonWsCharCount(UTF8String.fromString(s)) ==
+        s.replaceAll("\\s", "").codePointCount(0, s.replaceAll("\\s", "").length)
+    }
+
+  property("gopherStats equals the per-field HOF references") =
+    forAll(wsStrGen) { s0 =>
+      val s = s0.toLowerCase
+      val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val row = TextKernels.gopherStats(UTF8String.fromString(s),
+        gopherStops.map(UTF8String.fromString).toArray)
+      row.getLong(0) == toks.size.toLong &&
+        row.getLong(1) == toks.map(t => t.codePointCount(0, t.length).toLong).sum &&
+        row.getLong(2) == toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong &&
+        row.getInt(3) == toks.distinct.count(gopherStops.toSet)
+    }
+
+  property("wordNgrams equals the sliding-window join (repeats kept)") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "a", "d語")), Gen.chooseNum(1, 4)) {
+      (toks, n) =>
+        val want = if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        val arr = new GenericArrayData(
+          toks.map(t => UTF8String.fromString(t): Any).toArray)
+        ShingleKernels.wordNgrams(arr, n)
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq == want
+    }
+
   property("polyHash2 kernel equals the per-code-point fold") =
     forAll(strGen) { s =>
       val want = s.codePoints().toArray.foldLeft(0L)((a, c) =>
