@@ -1575,7 +1575,7 @@ object SparkEntry {
     * (sorted-prefix f(r) ≤ budget test) independently in SQL. */
   def unimaxQuery(spark: SparkSession, dir: String): DataFrame =
     Corpus.unimaxAllocation(Tables.documentsSpread(spark, dir),
-      col("source"), size(TF.tokens(col("text"))),
+      col("source"), TF.tokenCount(col("text")),
       budgetFrac = 1.25, maxEpochs = 1.4)
 
   /** X112 quality-priority cluster representative
@@ -1588,7 +1588,7 @@ object SparkEntry {
   def bestDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(TF.tokens(col("text"))).as("n_tok"), col("text"))
+        TF.tokenCount(col("text")).as("n_tok"), col("text"))
     val pairs = Dedup.minhashNearDups(docs.select(col("doc_id"), col("text")),
       "doc_id", col("text"), shingleWords = 2, k = 12, bands = 3,
       threshold = 0.5, maxBucket = Dedup.DefaultMaxBucket)

@@ -16,12 +16,16 @@ object TextFunctions {
   def normalizeWs(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Whitespace tokens, empties dropped. Codegen single-pass kernel —
-    * element-equal to `filter(split(text, "\\s+"), t -> length(t) > 0)`,
-    * whose `ArrayFilter` HOF is CodegenFallback (interpreted per row,
-    * one lambda frame per element plus the filtered copy). */
+  /** Whitespace tokens, empties dropped. Stays the split+filter form
+    * DELIBERATELY (r15): the single-pass byte-walk kernel
+    * (`TextExprs.tokens_ws`, kept for callers that want it) measured
+    * 25–50 % SLOWER on the minhash/jaccard array paths (q113 A/B in one
+    * window: 1.6 s HOF vs 2.0–2.5 s kernel) — the kernel's getBytes copy
+    * + object-array output lose to split's compiled-regex path when the
+    * full token ARRAY is consumed downstream. The counting form
+    * ([[tokenCount]]) is where the kernel wins (zero allocation). */
   def tokens(text: Column): Column =
-    graft.expressions.TextExprs.tokens_ws(text)
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Token count without materializing the token array at all (one byte
     * pass, zero allocation) — the hottest scalar in the text battery. */

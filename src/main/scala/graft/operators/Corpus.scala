@@ -1088,7 +1088,7 @@ object Corpus {
     * (token counts reduce in the map stage). */
   def shardAudit(docs: DataFrame, idCol: String, textCol: Column,
       nShards: Int): DataFrame =
-    trainingShards(docs.select(col(idCol), size(TF.tokens(textCol)).cast("long").as("_ntok")),
+    trainingShards(docs.select(col(idCol), TF.tokenCount(textCol).cast("long").as("_ntok")),
         idCol, nShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
