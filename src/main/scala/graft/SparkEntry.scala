@@ -1482,11 +1482,14 @@ object SparkEntry {
     // fingerprints, so the banked-norms derivation is a column select
     val cfg = graft.pipeline.CurateConfig(bankNormFp = true)
     // the frozen derivation needs nothing past curriculum — upTo skips
-    // materializing the full side's mixture and shards entirely
+    // materializing the full side's mixture and shards entirely; the
+    // neardup stage's signature side channel derives the frozen index by
+    // id filter instead of a second survivor shingle+minhash pass (r16)
+    val (fullFrames, fullSigs) = graft.pipeline.CuratePipeline.stagesWithSigs(
+      docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), cfg,
+      graft.pipeline.CuratePipeline.DefaultBarriers, upTo = "curriculum")
     val frozen = graft.pipeline.CuratePipeline.frozenFromStages(
-      graft.pipeline.CuratePipeline.stagesSelective(
-        docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), cfg,
-        graft.pipeline.CuratePipeline.DefaultBarriers, upTo = "curriculum"), cfg)
+      fullFrames, cfg, neardupSigs = fullSigs)
     graft.pipeline.CuratePipeline.accounting(
       graft.pipeline.CuratePipeline.incrementalStages(
         docs.filter(pmod(col("doc_id"), lit(100)) === 7), frozen, cfg))

@@ -67,9 +67,15 @@ object Corpus {
         TE.distinct_word_ngrams(col("tk"), n).as("grams"))
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
 
+    // ONE aggregation, not distinct→collect_list (r16): collect_set's
+    // partial buffers dedupe map-side, so the gram stream collapses to
+    // one set per partition and a single exchange carries partial SETS
+    // to the 1-row final merge — the old shape paid a full gram-keyed
+    // exchange (distinct) before a second single-partition exchange.
+    // xx_sorted_hash sorts, so the array is identical either way.
     val benchArr = base.filter(isBench)
-      .select(explode(col("grams")).as("g")).distinct()
-      .agg(TE.xx_sorted_hash(collect_list(col("g"))).as("_barr"))
+      .select(explode(col("grams")).as("g"))
+      .agg(TE.xx_sorted_hash(collect_set(col("g"))).as("_barr"))
 
     val perDoc = base.filter(!isBench)
       .select(col("doc_id"), col("lang"), size(col("grams")).as("n_grams"),

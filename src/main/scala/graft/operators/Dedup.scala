@@ -215,6 +215,33 @@ object Dedup {
     if (!preCollapse)
       verifiedPairs(shingled, idCol, k, bands, threshold, maxBucket)
     else {
+      minhashNearDupsPreCollapsed(shingled, idCol, k, bands, threshold, maxBucket)
+    }
+  }
+
+  /** [[minhashNearDups]] (preCollapse = false) that ALSO returns the
+    * pipeline's materialized per-doc index frame (idCol, sig, hsh, sz) —
+    * [[indexColumns]] over every shingle-bearing input doc, already
+    * localCheckpointed for the banding/verify re-scans. A caller that
+    * needs a [[nearDupIndex]] of the SURVIVORS afterwards (the curate
+    * pipeline's frozen-parameter derivation) filters this frame by id
+    * instead of re-running the full shingle+minhash text pass:
+    * [[indexColumns]] is deterministic per row, so
+    * `sigs ⋉ survivors ≡ nearDupIndex(survivors)` exactly. */
+  private[graft] def minhashNearDupsWithIndex(df: DataFrame, idCol: String,
+      textCol: Column, shingleWords: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val shingled = shingleSets(df, idCol, textCol, shingleWords, k)
+    val r = k / bands
+    val sig = indexColumns(shingled, idCol, k).localCheckpoint(false)
+    val cand = candidatePairs(minhashBands(sig, idCol, "sig", bands, r), idCol, maxBucket)
+    (verifyPairs(cand, sig, idCol, threshold), sig)
+  }
+
+  private def minhashNearDupsPreCollapsed(shingled: DataFrame, idCol: String,
+      k: Int, bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    {
       // group by the SORTED shingle array itself (not a 64-bit digest:
       // a digest collision would silently merge two different docs into
       // a false jac=1.0 family) — the groupBy shuffles the shingle
@@ -356,14 +383,26 @@ object Dedup {
     * index afterwards. */
   def incrementalNearDups(index: DataFrame, delta: DataFrame, idCol: String,
       textCol: Column, shingleWords: Int, k: Int, bands: Int,
-      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame =
+    incrementalNearDupsFromIndex(index,
+      // checkpoint: the delta index is re-scanned (banding + two verify
+      // joins) — see the note inside the FromIndex core
+      nearDupIndex(delta, idCol, textCol, shingleWords, k).localCheckpoint(false),
+      idCol, k, bands, threshold, maxBucket)
+
+  /** [[incrementalNearDups]] with the delta's [[nearDupIndex]] already
+    * computed (and checkpointed) by the caller — the curate pipeline
+    * derives it once and reuses it to bank the kept delta's signatures,
+    * instead of re-running the delta shingle+minhash pass. */
+  private[graft] def incrementalNearDupsFromIndex(index: DataFrame,
+      deltaIdx: DataFrame, idCol: String, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    // both frames are re-scanned (banding + two verify joins): checkpoint
-    // the delta pipeline once, and the union so a computed `index`
-    // argument (as in the q105 query) is not re-derived per scan
-    val deltaIdx = nearDupIndex(delta, idCol, textCol, shingleWords, k)
-      .localCheckpoint(false)
+    // both frames are re-scanned (banding + two verify joins): the caller
+    // checkpoints the delta pipeline once, and the union is checkpointed
+    // here so a computed `index` argument (as in the q105 query) is not
+    // re-derived per scan
     val all = index.unionByName(deltaIdx).localCheckpoint(false)
     val allBands = minhashBands(all, idCol, "sig", bands, r)
     val deltaBands = minhashBands(deltaIdx, idCol, "sig", bands, r)

@@ -103,9 +103,15 @@ object CuratePipeline {
     * ORIGINAL corpus (a doc deduped away still contributes its grams to
     * the benchmark set, exactly as q57 does). */
   private[pipeline] def transitions(
-      cfg: CurateConfig): Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      cfg: CurateConfig,
+      /** Handed the near-dup stage's materialized signature frame
+        * (doc_id, sig, hsh, sz — every exact-stage survivor with
+        * shingles) when that stage runs: the frozen-index derivations
+        * ([[frozenFromStages]], [[run]]) filter it by survivor id
+        * instead of re-running the shingle+minhash text pass. */
+      sigSink: DataFrame => Unit = _ => ()): Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
     "exact" -> ((_, prev) => exactStage(prev, cfg.bankNormFp)),
-    "neardup" -> ((_, prev) => neardupStage(prev.drop("norm_fp"), cfg)),
+    "neardup" -> ((_, prev) => neardupStage(prev.drop("norm_fp"), cfg, sigSink)),
     "quality" -> ((_, prev) =>
       prev.filter(TextAnalysis.gopherRulePass(col("text"),
         cfg.gopherMinWords, cfg.gopherMaxWords, cfg.gopherMinStops))),
@@ -140,10 +146,16 @@ object CuratePipeline {
   }
 
   /** Capped banded MinHash pairs + quality-priority representative keep
-    * (longest doc wins, ties to min id — the q108 contract). */
-  private def neardupStage(docs: DataFrame, cfg: CurateConfig): DataFrame = {
-    val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
-      cfg.shingleWords, cfg.minhashK, cfg.bands, cfg.threshold, cfg.maxBucket)
+    * (longest doc wins, ties to min id — the q108 contract). The pair
+    * pipeline's materialized signature frame goes to `sigSink` so the
+    * frozen-index derivation can reuse it (r16 — one shingle+minhash
+    * pass over the corpus instead of two). */
+  private def neardupStage(docs: DataFrame, cfg: CurateConfig,
+      sigSink: DataFrame => Unit = _ => ()): DataFrame = {
+    val (pairs, sigs) = Dedup.minhashNearDupsWithIndex(docs, "doc_id",
+      col("text"), cfg.shingleWords, cfg.minhashK, cfg.bands, cfg.threshold,
+      cfg.maxBucket)
+    sigSink(sigs)
     Dedup.dedupByClusterBest(docs, "doc_id", pairs, col("n_tok"))
   }
 
@@ -168,7 +180,7 @@ object CuratePipeline {
     graft.expressions.TextExprs.register(prev.sparkSession)
     graft.expressions.HashFunctions.register(prev.sparkSession)
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
-    val benchArr = benchGramArr(benchGramSet(raw, cfg))
+    val benchArr = benchGramArr(benchGramStream(raw, cfg))
     withGrams_(prev, cfg)
       .withColumn("_gh", graft.expressions.TextExprs.xx_sorted_hash(col("_grams")))
       .drop("_grams")
@@ -185,11 +197,19 @@ object CuratePipeline {
   /** The benchmark gram set as ONE sorted-hash-array row (eager: tiny —
     * one array bounded by benchmark size — and consumed by every
     * decontam evaluation; lazy, each consumer would re-derive the
-    * benchmark explode). */
+    * benchmark explode).
+    *
+    * `collect_set`, not distinct→collect_list (r16): the input may carry
+    * duplicate grams (the raw per-doc explode, or a bank∪delta union) and
+    * collect_set's partial buffers dedupe them map-side, so ONE exchange
+    * carries partial sets to the 1-row merge instead of a full gram-keyed
+    * distinct exchange followed by a second single-partition exchange.
+    * xx_sorted_hash sorts the hashes, so the array is identical to the
+    * old double-aggregation's for any input multiset. */
   private def benchGramArr(benchGrams: DataFrame): DataFrame =
     benchGrams
       .agg(graft.expressions.TextExprs.xx_sorted_hash(
-        collect_list(col("g"))).as("_barr"))
+        collect_set(col("g"))).as("_barr"))
       .localCheckpoint(true)
 
   /** Deterministic shard routing of (doc, copy) via the q110 Knuth
@@ -245,14 +265,25 @@ object CuratePipeline {
     * path skips materializing the full side's mixture and shards
     * entirely. */
   private[graft] def stagesSelective(docs: DataFrame, cfg: CurateConfig,
-      barriers: Set[String], upTo: String = "shards"): Seq[(String, DataFrame)] = {
+      barriers: Set[String], upTo: String = "shards"): Seq[(String, DataFrame)] =
+    stagesWithSigs(docs, cfg, barriers, upTo)._1
+
+  /** [[stagesSelective]] that also returns the near-dup stage's
+    * materialized signature frame (None when the chain stops before
+    * `neardup`) — the side channel [[frozenFromStages]] consumes so the
+    * frozen index derivation is an id filter, not a second corpus
+    * shingle+minhash pass (r16). */
+  private[graft] def stagesWithSigs(docs: DataFrame, cfg: CurateConfig,
+      barriers: Set[String], upTo: String = "shards")
+      : (Seq[(String, DataFrame)], Option[DataFrame]) = {
     val raw = withTok(docs)
+    var sigs: Option[DataFrame] = None
     val wanted = {
-      val ts = transitions(cfg)
+      val ts = transitions(cfg, s => sigs = Some(s))
       val idx = ts.indexWhere(_._1 == upTo)
       if (idx < 0) ts else ts.take(idx + 1)
     }
-    wanted.scanLeft(("raw", raw)) {
+    val frames = wanted.scanLeft(("raw", raw)) {
       case ((_, prev), (name, f)) =>
         val out = f(raw, prev)
         // EAGER checkpoint: a lazy one would not be materialized when the
@@ -266,6 +297,7 @@ object CuratePipeline {
         // so the barriers are now a measured optimization, not a cliff
         (name, if (barriers(name)) out.localCheckpoint(true) else out)
     }
+    (frames, sigs)
   }
 
   /** Per-stage accounting: (stage_idx, stage, n_docs, n_tokens, id_sum).
@@ -380,10 +412,18 @@ object CuratePipeline {
       .drop("_tk")
   }
 
-  private[graft] def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
+  /** Per-doc-distinct benchmark gram stream (duplicates ACROSS docs
+    * remain): the right input for [[benchGramArr]], whose collect_set
+    * dedupes map-side — paying a gram-keyed distinct exchange first
+    * would be pure waste. Consumers that need distinct ROWS (the
+    * persisted [[Frozen.BenchGrams]] layer, the novel-gram anti-join)
+    * use [[benchGramSet]]. */
+  private def benchGramStream(raw: DataFrame, cfg: CurateConfig): DataFrame =
     withGrams_(raw.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0), cfg)
       .select(explode(col("_grams")).as("g"))
-      .distinct()
+
+  private[graft] def benchGramSet(raw: DataFrame, cfg: CurateConfig): DataFrame =
+    benchGramStream(raw, cfg).distinct()
 
   /** Per-(lang, decile) upper score bound of the full run's curriculum
     * split — the frozen form a delta batch is graded against. Exact
@@ -434,7 +474,13 @@ object CuratePipeline {
     // a crashed run over the SAME input: a committed stage is reused
     // as-is, never revalidated against `docs`.
     var resuming = resume
-    transitions(cfg).foreach { case (name, f) =>
+    // near-dup signature side channel (r16): when the neardup stage runs
+    // in THIS session, its materialized signature frame derives the
+    // frozen index by id filter; on a resumed chain whose neardup layer
+    // was reused as-is the sink never fires and the derivation falls
+    // back to the re-shingling form
+    var neardupSigs: Option[DataFrame] = None
+    transitions(cfg, s => neardupSigs = Some(s)).foreach { case (name, f) =>
       val layer = s"curated/$name"
       if (resuming && Layout.committedVersions(spark, base, layer).nonEmpty) {
         prev = Layout.loadLatest(spark, base, layer)
@@ -456,8 +502,11 @@ object CuratePipeline {
         .withColumn("bucket", normBucket(0, cfg.normBankBuckets)),
       base, Frozen.NormBank, partitionCols = Seq("bucket"))
     Layout.writeVersioned(
-      Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
-        cfg.shingleWords, cfg.minhashK).withColumn("batch", lit("b0000")),
+      neardupSigs.map(_.join(frames("neardup").select(col("doc_id")),
+          Seq("doc_id"), "left_semi"))
+        .getOrElse(Dedup.nearDupIndex(frames("neardup"), "doc_id", col("text"),
+          cfg.shingleWords, cfg.minhashK))
+        .withColumn("batch", lit("b0000")),
       base, Frozen.NearDupIndex, partitionCols = Seq("batch"))
     Layout.writeVersioned(
       benchGramSet(raw, cfg).withColumn("batch", lit("b0000")),
@@ -531,7 +580,7 @@ object CuratePipeline {
       benchGrams = Layout.loadLatest(spark, base, Frozen.BenchGrams).drop("batch"),
       bounds = Layout.loadLatest(spark, base, Frozen.CurriculumBounds),
       alloc = Layout.loadLatest(spark, base, Frozen.UnimaxAlloc))
-    val st = incrementalStages(deltaDocs, frozen, cfg)
+    val (st, deltaIdx) = incrementalStagesWithIdx(deltaDocs, frozen, cfg)
     val frames = st.toMap
     val (raw, neardupDelta, shardDelta) =
       (frames("raw"), frames("neardup"), frames("shards").localCheckpoint(false))
@@ -544,8 +593,10 @@ object CuratePipeline {
     // bank the kept delta's signatures as ONE new index partition
     val batchNo = Layout
       .committedVersions(spark, base, Frozen.NearDupIndex).last + 1
-    val newIdx = Dedup.nearDupIndex(neardupDelta, "doc_id", col("text"),
-      cfg.shingleWords, cfg.minhashK)
+    // kept slice of the already-materialized delta index — no second
+    // shingle+minhash pass over the kept delta text (r16)
+    val newIdx = deltaIdx
+      .join(neardupDelta.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .withColumn("batch", format_string("b%04d", lit(batchNo)))
     if (!newIdx.isEmpty)
       Merge.merge(spark, base, Frozen.NearDupIndex, newIdx,
@@ -615,9 +666,14 @@ object CuratePipeline {
       benchGrams: DataFrame, bounds: DataFrame, alloc: DataFrame)
 
   /** Derive [[FrozenParams]] from a full run's lazy stage frames (as
-    * returned by [[stages]]) — the pure twin of what [[run]] persists. */
+    * returned by [[stages]]) — the pure twin of what [[run]] persists.
+    * Pass `neardupSigs` (the side channel of [[stagesWithSigs]]) to
+    * derive the frozen index as an id filter of the already-materialized
+    * signature frame instead of re-running the survivor shingle+minhash
+    * pass — `sigs ⋉ survivors ≡ nearDupIndex(survivors)` exactly
+    * ([[graft.operators.Dedup.minhashNearDupsWithIndex]]'s contract). */
   def frozenFromStages(stageFrames: Seq[(String, DataFrame)],
-      cfg: CurateConfig): FrozenParams = {
+      cfg: CurateConfig, neardupSigs: Option[DataFrame] = None): FrozenParams = {
     val f = stageFrames.toMap
     FrozenParams(
       bankedNorms = normBankOf(f("exact")),
@@ -625,8 +681,10 @@ object CuratePipeline {
       // twice (the eager disjointness guard, then the banded chain) —
       // unchecked, the full-side minhash pass would run once per
       // consumer
-      index = Dedup.nearDupIndex(f("neardup"), "doc_id",
-        col("text"), cfg.shingleWords, cfg.minhashK).localCheckpoint(false),
+      index = neardupSigs.map(_.join(f("neardup").select(col("doc_id")),
+          Seq("doc_id"), "left_semi").localCheckpoint(false))
+        .getOrElse(Dedup.nearDupIndex(f("neardup"), "doc_id",
+          col("text"), cfg.shingleWords, cfg.minhashK).localCheckpoint(false)),
       benchGrams = benchGramSet(f("raw"), cfg),
       // no extra checkpoints: each is consumed once, and `curriculum`
       // is already an eager stage barrier — a lazy copy on top would
@@ -641,7 +699,17 @@ object CuratePipeline {
     * [[runIncremental]] materializes and the q123 oracle replays. Same
     * stage names and schemas as [[stages]]. */
   def incrementalStages(deltaDocs: DataFrame, frozen: FrozenParams,
-      cfg: CurateConfig = CurateConfig()): Seq[(String, DataFrame)] = {
+      cfg: CurateConfig = CurateConfig()): Seq[(String, DataFrame)] =
+    incrementalStagesWithIdx(deltaDocs, frozen, cfg)._1
+
+  /** [[incrementalStages]] that also returns the delta's materialized
+    * [[graft.operators.Dedup.nearDupIndex]] frame (every exact-stage
+    * survivor with shingles) — [[runIncremental]] filters it by the kept
+    * ids to bank the delta's signatures instead of re-running the delta
+    * shingle+minhash pass (r16). */
+  private[graft] def incrementalStagesWithIdx(deltaDocs: DataFrame,
+      frozen: FrozenParams, cfg: CurateConfig)
+      : (Seq[(String, DataFrame)], DataFrame) = {
     val raw = withTok(deltaDocs)
 
     // exact vs the banked 8-byte norm fingerprints + within-batch.
@@ -662,9 +730,12 @@ object CuratePipeline {
     require(exactDelta.join(frozen.index.select("doc_id"), Seq("doc_id"), "left_semi")
       .limit(1).isEmpty,
       "delta doc_ids must be disjoint from the banked corpus")
-    val pairs = Dedup.incrementalNearDups(frozen.index, exactDelta, "doc_id",
-      col("text"), cfg.shingleWords, cfg.minhashK, cfg.bands, cfg.threshold,
-      cfg.maxBucket)
+    // delta index computed ONCE (checkpointed): the banded chain below
+    // re-scans it, and runIncremental banks the kept slice of it
+    val deltaIdx = Dedup.nearDupIndex(exactDelta, "doc_id", col("text"),
+      cfg.shingleWords, cfg.minhashK).localCheckpoint(false)
+    val pairs = Dedup.incrementalNearDupsFromIndex(frozen.index, deltaIdx,
+      "doc_id", cfg.minhashK, cfg.bands, cfg.threshold, cfg.maxBucket)
     val ma = exactDelta.select(col("doc_id").as("id_a"), lit(true).as("_a"))
     val mb = exactDelta.select(col("doc_id").as("id_b"), lit(true).as("_b"))
     val flagged = pairs.join(ma, Seq("id_a"), "left").join(mb, Seq("id_b"), "left")
@@ -691,8 +762,11 @@ object CuratePipeline {
     graft.expressions.TextExprs.register(raw.sparkSession)
     graft.expressions.HashFunctions.register(raw.sparkSession)
     val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
+    // union of the banked distinct grams and the delta's per-doc-distinct
+    // stream: benchGramArr's collect_set dedupes across the union, so
+    // neither the delta-side distinct nor the union-wide distinct is paid
     val allBenchArr = benchGramArr(
-      frozen.benchGrams.unionByName(benchGramSet(raw, cfg)).distinct())
+      frozen.benchGrams.unionByName(benchGramStream(raw, cfg)))
     val decontamDelta = withGrams_(qualityDelta, cfg)
       .withColumn("_gh", graft.expressions.TextExprs.xx_sorted_hash(col("_grams")))
       .drop("_grams")
@@ -752,11 +826,11 @@ object CuratePipeline {
     // already a checkpoint or a broadcast, so nothing full-side is
     // re-derived (the r11 regression this section used to guard
     // against came from the frozen frames, now pinned above).
-    Seq("raw" -> raw, "exact" -> exactDelta, "neardup" -> neardupDelta,
+    (Seq("raw" -> raw, "exact" -> exactDelta, "neardup" -> neardupDelta,
       "quality" -> qualityDelta,
       "decontam" -> decontamDelta,
       "curriculum" -> curriculumDelta,
       "mixture" -> mixtureDelta,
-      "shards" -> shardStage(mixtureDelta, cfg))
+      "shards" -> shardStage(mixtureDelta, cfg)), deltaIdx)
   }
 }

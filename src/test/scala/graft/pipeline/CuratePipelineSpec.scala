@@ -84,6 +84,21 @@ class CuratePipelineSpec extends AnyFunSuite {
     assert(spread > 0, "no upsampled doc spread across shards")
   }
 
+  test("shared-signature frozen index equals the recomputed survivor index (r16)") {
+    // r16: run()/frozenFromStages bank the near-dup stage's materialized
+    // signature frame filtered by survivor id instead of re-running the
+    // shingle+minhash pass — pin the equivalence `sigs ⋉ survivors ≡
+    // nearDupIndex(survivors)` on the materialized lake
+    val neardup = Layout.loadLatest(spark, lake, "curated/neardup")
+    val banked = Layout.loadLatest(spark, lake,
+      CuratePipeline.Frozen.NearDupIndex).drop("batch")
+    val recomputed = graft.operators.Dedup.nearDupIndex(
+      neardup, "doc_id", col("text"), shingleWords = 2, k = 12)
+    assert(banked.exceptAll(recomputed).count() == 0 &&
+      recomputed.exceptAll(banked).count() == 0,
+      "banked shared-signature index differs from the recomputed survivor index")
+  }
+
   test("curriculum survivors all satisfy the decile hash keep rule") {
     // the keep rule is relative to the decontam frame's deciles — recompute
     val dec = Layout.loadLatest(spark, lake, "curated/decontam")
