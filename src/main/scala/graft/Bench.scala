@@ -1048,35 +1048,38 @@ object Bench {
       } catch { case e: Exception =>
         System.err.println(s"[bench] could not write $anchorFile: $e") }
     }
-    // stdout carries per-query integer MILLISECONDS as a positional
-    // ARRAY ordered by ascending query name (the file keeps the
-    // name-keyed seconds map) — round 9's record went parsed:null
-    // because even the short-KEY map at 119 queries pushed the one-liner
-    // past the 2000-char tail capture; the keyed form costs ~7 chars a
-    // query that the array form doesn't, and the order is recoverable
-    // from `queries_key_order` + the committed detail file. Values ROUND
-    // (not truncate) so stdout agrees with the file.
-    val msArray = "\"(q[^\"]+)\":([0-9.]+)".r.findAllMatchIn(qs)
-      .map(m => (m.group(1), (m.group(2).toDouble * 1000).round))
-      .toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]")
+    // stdout carries a NAMED per-query seconds map (r15 verdict #2: the
+    // r14/r15 name-less ms array left the driver's PERF per_query join
+    // empty both rounds). The 2000-char tail capture cannot hold 125
+    // full query names (~3.1 KB of keys alone — r8/r9 went parsed:null
+    // exactly this way), so the keys are each query's UNIQUE leading
+    // "qNN" token (q01../q125 — one query per number by construction,
+    // asserted below); the full-name seconds map is in the detail file
+    // and on the sacrificial full line printed just above the official
+    // one. Values are the same 3-decimal seconds as the file's.
+    val qPairs = "\"(q[0-9]+)[^\"]*\":([0-9.]+)".r.findAllMatchIn(qs)
+      .map(m => (m.group(1), m.group(2))).toSeq.sortBy(_._1)
+    require(qPairs.map(_._1).distinct.size == qPairs.size,
+      "query short keys (leading qNN token) must be unique for the stdout map")
+    val shortMap = qPairs.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     def line(withCats: Boolean): String = {
       val ph = if (withCats) phases
         else phases.replaceAll(""","categories":\{[^}]*\}""", "")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$msArray,""" +
-        s""""queries_key_order":"lexicographic ascending name (q100 < q11); seconds map in detail file"""" +
-        s""","sf":"$sfDir"$ph,"detail":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortMap,""" +
+        s""""sf":"$sfDir"$ph,"detail":"$outFile"}"""
     }
     // deterministic trim ladder against the 2000-char capture: drop the
     // quality category sub-map first (it lives in the detail file), and
     // if the phase maps THEMSELVES no longer fit (r12's official record
     // went parsed:null exactly this way — the line was printed past the
     // budget with only a warning), fall back to a minimal line that
-    // always fits: total + per-query ms + detail pointer. The budget is
-    // 1800, not 2000: sbt's trailing "[success] Total time" line eats
-    // ~100 chars of the driver's tail capture after ours.
+    // always fits: total + named per-query seconds + detail pointer. The
+    // budget is 1800, not 2000: sbt's trailing "[success] Total time"
+    // line eats ~100 chars of the driver's tail capture after ours.
     val minimal =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_ms":$msArray,""" +
-        s""""queries_key_order":"name asc","sf":"$sfDir"$retriesJson$contendedJson,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortMap,""" +
+        s""""sf":"$sfDir"$retriesJson$contendedJson,""" +
         s""""trimmed":"phase maps in detail file","detail":"$outFile"}"""
     val out =
       if (line(true).length <= 1800) line(true)
@@ -1084,8 +1087,13 @@ object Bench {
       else minimal
     if (out.length > 1800)
       System.err.println(s"[bench] even the minimal stdout line is ${out.length} " +
-        "chars — past the driver's tail capture; the per-query array itself " +
+        "chars — past the driver's tail capture; the per-query map itself " +
         "has outgrown the budget")
+    // sacrificial FULL-NAME line first: complete in the full stdout
+    // stream (and human logs), cut by the 2000-char tail so it can never
+    // shadow the official line for a tail parser — it deliberately does
+    // not contain the string `"metric"` anywhere
+    println(s"""{"queries_sec_full":$qs}""")
     println(out)
   }
 }
