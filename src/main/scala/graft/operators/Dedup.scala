@@ -91,18 +91,22 @@ object Dedup {
 
   /** LSH banding: (doc_id, band_id, band_key) rows, one per band, where
     * band_key joins the r signature slots of that band. Docs sharing any
-    * band_key are candidate pairs. */
+    * band_key are candidate pairs.
+    *
+    * ONE posexplode projection, not a `bands`-way union of per-band
+    * projections (r16): the union form re-scanned its input once per
+    * band and carried `bands` separate codegen stages — pure fixed cost,
+    * since the emitted row multiset is identical (band_id = array
+    * position). Matters twice at scale: banding feeds the candidate
+    * shuffle on every minhash query, and a cold executor pays the
+    * codegen of every stage shape once per JVM. */
   def minhashBands(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val perBand = (0 until bands).map { b =>
-      df.select(
-        col(idCol),
-        lit(b).as("band_id"),
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(array((0 until bands).map { b =>
         concat_ws(",", (0 until rowsPerBand).map(r =>
-          get(col(sigCol), lit(b * rowsPerBand + r))): _*).as("band_key"))
-    }
-    perBand.reduce(_.unionByName(_))
-  }
+          get(col(sigCol), lit(b * rowsPerBand + r))): _*)
+      }: _*)))
+      .select(col(idCol), col("pos").as("band_id"), col("col").as("band_key"))
 
   /** Default per-bucket cap for banded LSH candidate generation: a
     * (band, signature) bucket past this many member docs is SKIPPED —

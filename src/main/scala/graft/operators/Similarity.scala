@@ -17,16 +17,49 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Similarity {
 
-  /** Exact top-k by cosine: queries × corpus, windowed rank.
+  /** Exact top-k by cosine: queries × corpus.
     * queries: (query_id, qv double[]); corpus: (neighbor_id, nv double[]).
-    * Broadcast the (small) query side so the corpus never shuffles.
-    * The broadcast nested loop is O(|Q|·n) — guarded on the QUERY side
+    * The (small, guarded) query side is collected and broadcast; the
+    * corpus side runs a partition-local exact top-k KERNEL (r16): each
+    * task scores its rows against every query in a tight primitive-array
+    * loop and keeps only the per-partition top-k per query under the SAME
+    * total order as [[perQueryTopK]] (sim desc — NaN first — then
+    * neighbor id asc), so the final agg merges |Q|·partitions·k candidate
+    * rows into exactly the result the former |Q|·n broadcast-nested-loop
+    * join produced, without materializing the |Q|·n joined rows. Dot
+    * accumulation order, sqrt, and HALF_UP rounding replicate the
+    * vec_dot/round codegen bit for bit (pinned by SimilaritySpec against
+    * the join formulation). Non-(long/int/string) id types fall back to
+    * the join path. Still O(|Q|·n) compute — guarded on the QUERY side
     * like its blocked/LSH siblings; bulk query sets belong on the IVF
     * path. */
   def topKExact(queries: DataFrame, corpus: DataFrame, k: Int,
       roundDp: Int = 6, maxQueries: Long = 10000L): DataFrame = {
     Guards.requireAtMost(queries, maxQueries, "topKExact",
       "switch to the IVF path (VectorIndex.build + VectorIndex.search) for bulk query sets")
+    VectorExprs.register(queries.sparkSession)
+    import org.apache.spark.sql.types._
+    val idTypes = Seq(queries.schema("query_id").dataType,
+      corpus.schema("neighbor_id").dataType)
+    val kernelTypes = idTypes.forall {
+      case StringType | LongType | IntegerType => true
+      case _ => false
+    }
+    if (!kernelTypes) return topKExactJoin(queries, corpus, k, roundDp)
+    val qRows = queries.select(col("query_id"), col("qv")).collect()
+    if (qRows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+      return topKExactJoin(queries, corpus, k, roundDp) // null query id/vec: join semantics
+    val cands = TopKKernel.partitionTopK(
+      graft.core.Par.spread(corpus).select(col("neighbor_id"), col("nv")),
+      qRows, idTypes.head, idTypes(1), k, roundDp)
+    perQueryTopK(cands, k)
+  }
+
+  /** The retired broadcast-nested-loop formulation of [[topKExact]] —
+    * fallback for exotic id types and the equivalence oracle the kernel
+    * path is spec-pinned against. */
+  private[graft] def topKExactJoin(queries: DataFrame, corpus: DataFrame,
+      k: Int, roundDp: Int = 6): DataFrame = {
     VectorExprs.register(queries.sparkSession)
     // norms once per vector (columns, so they survive the join), codegen
     // dot per pair: dot/(sqrt·sqrt) keeps oracle-bit-exact association.

@@ -375,13 +375,24 @@ object Quality {
         try {
           if (neigh.isEmpty) None
           else {
-            val leak = EmbeddingSanity.leakagePcts(neigh).first()
-            val adj = EmbeddingSanity.adjacencyBiasPct(neigh, t.adjacencyToleranceSeconds)
-              .first().getDouble(0)
+            // leakage + adjacency FUSED into one aggregation job over the
+            // checkpointed neighbor frame (r16): same expressions as
+            // EmbeddingSanity.leakagePcts / adjacencyBiasPct, one job
+            // fewer of fixed scheduling latency
+            val leak = neigh.agg(
+              (lit(100.0) * sum(when(col("q_speaker") === col("n_speaker"), 1).otherwise(0))
+                / count(lit(1))).as("same_speaker_pct"),
+              (lit(100.0) * sum(when(col("q_episode_id") === col("n_episode_id"), 1).otherwise(0))
+                / count(lit(1))).as("same_episode_pct"),
+              (lit(100.0) * sum(when(
+                  col("q_episode_id") === col("n_episode_id") &&
+                  abs(col("q_start_time") - col("n_start_time")) <= t.adjacencyToleranceSeconds,
+                  1).otherwise(0))
+                / count(lit(1))).as("adjacency_bias_pct")).first()
             val bias = Option(EmbeddingSanity.lengthBiasCorr(neigh)
               .first().getAs[java.lang.Double]("length_bias_corr")).map(_.doubleValue())
             Some((leak.getAs[Double]("same_speaker_pct"), leak.getAs[Double]("same_episode_pct"),
-              adj, bias))
+              leak.getAs[Double]("adjacency_bias_pct"), bias))
           }
         } finally neigh.unpersist()
       } }

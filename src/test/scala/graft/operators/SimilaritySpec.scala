@@ -35,6 +35,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kernel topKExact equals the join formulation exactly (r16)") {
+    // long ids, including duplicate vectors (rounded-sim TIES at the k
+    // boundary — the tie-break the kernel must replicate: id ascending)
+    val dupCorpus = corpus.unionByName(
+      corpus.withColumn("neighbor_id", col("neighbor_id") + 1000L))
+    val kern = Similarity.topKExact(queries, dupCorpus, k = 7)
+    val join = Similarity.topKExactJoin(queries, dupCorpus, k = 7)
+    assert(kern.exceptAll(join).count() == 0 && join.exceptAll(kern).count() == 0,
+      "kernel and join top-k differ on long ids")
+
+    // string ids + a null corpus vector (null sim, ranks last when a
+    // query has fewer than k real candidates — k chosen above the corpus
+    // size for query "qx" to force it)
+    val sq = queries.select(concat(lit("q"), col("query_id")).as("query_id"), col("qv"))
+    val sc = dupCorpus
+      .select(concat(lit("q"), col("neighbor_id")).as("neighbor_id"), col("nv"))
+      .unionByName(Seq(
+        ("nnull", null.asInstanceOf[Seq[Double]])).toDF("neighbor_id", "nv"))
+    val kernS = Similarity.topKExact(sq, sc, k = 7)
+    val joinS = Similarity.topKExactJoin(sq, sc, k = 7)
+    assert(kernS.exceptAll(joinS).count() == 0 && joinS.exceptAll(kernS).count() == 0,
+      "kernel and join top-k differ on string ids / null vectors")
+    // null sim rows actually admitted when k exceeds the real candidates
+    val tiny = sc.limit(0).unionByName(
+      Seq(("na", Seq(1.0, 0.0)), ("nb", Seq(0.9, 0.1)),
+        ("nnull", null.asInstanceOf[Seq[Double]])).toDF("neighbor_id", "nv"))
+    val tq = Seq(("qa", Seq(1.0, 0.0))).toDF("query_id", "qv")
+    val kT = Similarity.topKExact(tq, tiny, k = 3)
+    val jT = Similarity.topKExactJoin(tq, tiny, k = 3)
+    assert(kT.exceptAll(jT).count() == 0 && jT.exceptAll(kT).count() == 0,
+      "kernel and join differ when null-vector rows enter the top-k")
+  }
+
+  test("kernel topKExact ranks zero-norm (NaN-sim) corpus rows first (r16)") {
+    // the ANSI join formulation THROWS on a 0.0 norm divisor, so there is
+    // nothing to be equivalent to — pin the kernel's documented behavior:
+    // 0/0 = NaN sim sorts first (SQL DESC puts NaN largest), ties by id
+    val c = Seq(("za", Seq(0.0, 0.0)), ("nb", Seq(0.9, 0.1)))
+      .toDF("neighbor_id", "nv")
+    val q = Seq(("qa", Seq(1.0, 0.0))).toDF("query_id", "qv")
+    val out = Similarity.topKExact(q, c, k = 2)
+      .orderBy("rnk").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("neighbor_id") == "za" &&
+      out(0).getAs[Double]("sim").isNaN)
+    assert(out(1).getAs[String]("neighbor_id") == "nb")
+  }
+
   test("top-1 neighbor of a clustered vector is from the same cluster") {
     val out = Similarity.topKExact(queries, corpus, k = 1).collect()
     out.foreach { r =>
