@@ -61,18 +61,76 @@ object StreamingNearDup {
   /** One live bucket member: doc id, ascending-sorted 64-bit shingle
     * hashes CAPPED at maxStoredHashes (a bottom-k sketch when truncated),
     * TRUE shingle-set size, event-time millis. Truncation is derivable:
-    * hsh.length < sz. */
+    * hsh.length < sz. In-memory working shape only — the persisted state
+    * is the flat [[BucketState]]. */
   final case class BucketDoc(id: Long, hsh: Array[Long], sz: Int, tsMs: Long)
 
-  /** Bucket state: live members (≤ maxBucket) + the saturation latch. */
-  final case class BucketState(docs: List[BucketDoc], saturated: Boolean)
+  /** Bucket state, FLAT: one primitive array per member field plus the
+    * member hash payloads flattened behind an offsets array, and the
+    * saturation latch. Member i is (ids(i), szs(i), tsMs(i),
+    * hshFlat[hshOff(i) until hshOff(i+1))).
+    *
+    * Flat primitive arrays, not a List[BucketDoc] (r16): Spark's state
+    * encoder turns a List of case classes into a per-element
+    * object-serializer walk (alloc + nested array copy per member per
+    * state put), while primitive arrays encode as single bulk copies —
+    * and the stateful operator puts ~3 band rows per arriving doc, which
+    * made the encoder the dominant per-doc cost of the whole stream
+    * (state side ≈ 1.2 s of each 1.7 s 50k-doc micro-batch). Same
+    * logical content, same caps, same emitted pairs. */
+  final case class BucketState(ids: Array[Long], szs: Array[Int],
+      tsMs: Array[Long], hshOff: Array[Int], hshFlat: Array[Long],
+      saturated: Boolean)
+
+  private def toState(docs: List[BucketDoc], saturated: Boolean): BucketState = {
+    val n = docs.length
+    val ids = new Array[Long](n); val szs = new Array[Int](n)
+    val ts = new Array[Long](n); val off = new Array[Int](n + 1)
+    var i = 0
+    var it = docs
+    while (it.nonEmpty) {
+      val d = it.head
+      ids(i) = d.id; szs(i) = d.sz; ts(i) = d.tsMs
+      off(i + 1) = off(i) + d.hsh.length
+      i += 1; it = it.tail
+    }
+    val flat = new Array[Long](off(n))
+    i = 0; it = docs
+    while (it.nonEmpty) {
+      val d = it.head
+      System.arraycopy(d.hsh, 0, flat, off(i), d.hsh.length)
+      i += 1; it = it.tail
+    }
+    BucketState(ids, szs, ts, off, flat, saturated)
+  }
+
+  private def fromState(s: BucketState): List[BucketDoc] = {
+    var out: List[BucketDoc] = Nil
+    var i = s.ids.length - 1
+    while (i >= 0) {
+      out = BucketDoc(s.ids(i),
+        java.util.Arrays.copyOfRange(s.hshFlat, s.hshOff(i), s.hshOff(i + 1)),
+        s.szs(i), s.tsMs(i)) :: out
+      i -= 1
+    }
+    out
+  }
 
   final case class StreamPair(id_a: Long, id_b: Long, jac: Double,
       exact: Boolean, band_id: Int, ts: Timestamp)
 
   /** Internal row shape between the band explode and the stateful
-    * operator (public only because encoder codegen must reach it). */
-  final case class BandRow(bandId: Int, bandKey: String, id: Long,
+    * operator (public only because encoder codegen must reach it).
+    * `bandKey` is xxhash64 of the batch path's string band key (r16):
+    * the 64-bit key shuffles and stores at a third of the string key's
+    * bytes and hashes/compares in O(1) in the state map. Two DIFFERENT
+    * band signatures sharing a key takes an xxhash64 collision
+    * (~n²/2⁶⁴ per band-horizon); the only effect would be one merged
+    * candidate bucket, whose extra pairs still verify through the same
+    * exact/KMV Jaccard before emission and whose cap accounting merges —
+    * the same measure-zero hash-equality device the batch decontam/q27
+    * paths document. */
+  final case class BandRow(bandId: Int, bandKey: Long, id: Long,
       hsh: Array[Long], sz: Int, ts: Timestamp)
 
   /** Jaccard over two ascending-sorted hash prefixes of sets with true
@@ -156,9 +214,13 @@ object StreamingNearDup {
     val banded = shingled
       .withColumn("band", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band_id"),
-          concat_ws(",", (0 until r).map(i => get(col("sig"), lit(b * r + i))): _*)
-            .as("band_key"))
+          xxhash64(concat_ws(",", (0 until r).map(i =>
+            get(col("sig"), lit(b * r + i))): _*)).as("band_key"))
       }: _*)))
+      // the event-time column must survive AS A TIMESTAMP into the
+      // stateful operator's input: EventTimeTimeout requires the
+      // watermark-tagged column there (casting it to long millis fails
+      // analysis — measured r16, not folklore)
       .select(col("band.band_id").as("bandId"), col("band.band_key").as("bandKey"),
         col(idCol).as("id"), col("hsh"), col("sz"), col(tsCol).as("ts"))
       .as[BandRow]
@@ -167,26 +229,34 @@ object StreamingNearDup {
       .groupByKey(row => (row.bandId, row.bandKey))
       .flatMapGroupsWithState[BucketState, StreamPair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
           val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
             // horizon sweep for buckets this batch never touched
-            val live = state.get.docs.filter(_.tsMs >= wm)
+            val prev = state.get
+            val live = fromState(prev).filter(_.tsMs >= wm)
             if (live.isEmpty) state.remove()
             else {
-              state.update(BucketState(live, state.get.saturated))
+              state.update(toState(live, prev.saturated))
               state.setTimeoutTimestamp(math.max(
                 live.map(_.tsMs).max + delayMs, wm + 1))
             }
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+            val prev = state.getOption
             // expired members retire before any comparison
-            var members = prev.docs.filter(_.tsMs >= wm)
-            var saturated = prev.saturated && members.nonEmpty
+            var members = prev.map(fromState).getOrElse(Nil).filter(_.tsMs >= wm)
+            var saturated = prev.exists(_.saturated) && members.nonEmpty
             val out = List.newBuilder[StreamPair]
             // deterministic within-batch order: event time, then id
-            for (row <- rows.toArray.sortBy(x => (x.ts.getTime, x.id))) {
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, new java.util.Comparator[BandRow] {
+              def compare(x: BandRow, y: BandRow): Int = {
+                val c = java.lang.Long.compare(x.ts.getTime, y.ts.getTime)
+                if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+              }
+            })
+            for (row <- sorted) {
               val dup = members.exists(_.id == row.id)
               if (!dup && !saturated) {
                 if (members.sizeIs >= maxBucket) {
@@ -214,7 +284,7 @@ object StreamingNearDup {
             }
             if (members.isEmpty) { state.remove(); out.result().iterator }
             else {
-              state.update(BucketState(members, saturated))
+              state.update(toState(members, saturated))
               state.setTimeoutTimestamp(math.max(
                 members.map(_.tsMs).max + delayMs, wm + 1))
               out.result().iterator
