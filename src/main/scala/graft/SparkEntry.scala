@@ -550,11 +550,14 @@ object SparkEntry {
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSpread(spark, dir)
     // profiles train on a deterministic quarter-sample (mirrored in the
-    // oracle); classification still covers every document
+    // oracle); classification still covers every document. The doc's own
+    // lang CARRIES through the classify aggregation (r16) — the former
+    // docs ⋈ pred join-back on doc_id cost two corpus-sized exchanges
+    // just to recover a column the classify input already had.
     val pred = TextAnalysis.langIdByTrigramProfile(docs, "doc_id", col("text"), "lang",
-      trainDf = Some(docs.filter(col("doc_id") % 4 === 0)))
-    docs.select(col("doc_id"), col("lang"))
-      .join(pred, "doc_id")
+      trainDf = Some(docs.filter(col("doc_id") % 4 === 0)),
+      carryCols = Seq("lang"))
+    pred
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")

@@ -250,7 +250,14 @@ object TextAnalysis {
     * no per-trigram join. Scales as one pass + one map-only pass. */
   def langIdByTrigramProfile(df: DataFrame, idCol: String, textCol: Column,
       labelCol: String, profileSize: Int = 50,
-      trainDf: Option[DataFrame] = None): DataFrame = {
+      trainDf: Option[DataFrame] = None,
+      /** Extra per-doc columns to CARRY through the classify aggregation
+        * (r16) — they join the group key beside idCol, which is exact for
+        * columns functionally determined by the id (a doc's own label,
+        * source, …) and spares the caller a corpus-sized join-back onto
+        * the prediction frame just to recover them (q27's confusion
+        * matrix dropped two exchanges this way). */
+      carryCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     graft.expressions.TextExprs.register(spark)
     graft.expressions.HashFunctions.register(spark)
@@ -273,17 +280,18 @@ object TextAnalysis {
       // same hash+sort encoding as the doc side → exact set intersection
       .agg(TE.xx_sorted_hash(collect_list(col("g"))).as("parr"))
     // classify: |doc trigrams ∩ profile| via codegen sorted intersect
-    val docs = df.select(col(idCol), TE.xx_sorted_hash(gramsOf).as("gh"))
+    val docs = df.select(
+      (col(idCol) +: carryCols.map(col) :+ TE.xx_sorted_hash(gramsOf).as("gh")): _*)
     docs.crossJoin(broadcast(profile))
       .withColumn("score", HF.sorted_intersect_count(col("gh"), col("parr")))
-      .groupBy(col(idCol))
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(
         min_by(col("plabel"), struct(-col("score"), col("plabel"))).as("predicted"),
         max(col("score")).as("_best"))
       // a doc sharing no trigram with ANY profile is unclassifiable —
       // absent from the output, like the join-based formulation
       .filter(col("_best") > 0)
-      .select(col(idCol), col("predicted"))
+      .select((col(idCol) +: carryCols.map(col) :+ col("predicted")): _*)
   }
 
   /** X97 Naive Bayes quality classifier trained on a weak label — the
