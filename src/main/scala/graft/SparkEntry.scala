@@ -1116,14 +1116,26 @@ object SparkEntry {
           .otherwise(0L))
       .withColumn("session_seq",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val st = s.select("user_id", "session_seq", "event_type").distinct()
-    val nS = broadcast(st.select("user_id", "session_seq").distinct()
-      .agg(count(lit(1)).as("n_sessions")))
-    val perType = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
-    val pairs = st.select(col("user_id"), col("session_seq"), col("event_type").as("type_a"))
-      .join(st.select(col("user_id"), col("session_seq"), col("event_type").as("type_b")),
-        Seq("user_id", "session_seq"))
-      .filter(col("type_a") < col("type_b"))
+    // ONE session-keyed aggregation collects each session's distinct
+    // types as a SORTED set; pairs explode map-side from the set suffix
+    // (types sorted ⇒ a < b by construction) — r16, replacing the
+    // distinct + session-keyed SELF-JOIN form, whose pair generation
+    // re-shuffled the distinct frame onto (user, session) twice. The
+    // per-session type-set is bounded by the event-type vocabulary, so
+    // the explode is C(|types|, 2) per session — the same pair mass the
+    // join emitted, now without a join. hash(user_id) from the window
+    // already satisfies the (user, session) clustering, so the agg adds
+    // no exchange.
+    val sess = s.groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val nS = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
+    val perType = sess.select(explode(col("types")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = sess
+      .select(col("types"), posexplode(col("types")).as(Seq("_i", "type_a")))
+      .select(col("type_a"),
+        explode(slice(col("types"), col("_i") + lit(2),
+          greatest(size(col("types")) - col("_i") - 1, lit(0)))).as("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("na"))), "type_a")
